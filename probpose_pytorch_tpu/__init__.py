@@ -1,0 +1,12 @@
+"""ProbPose-TPU: a TPU-native (JAX/XLA/Pallas) probabilistic 2-D pose
+estimation framework with the full capability surface of the PyTorch
+reference (zir-vision/ProbPose_pytorch), redesigned for TPU hardware.
+
+Public API mirrors the reference's `probpose.{model, codec, heatmap, loss}`
+modules; see docs/PARITY.md for the mapping.
+"""
+
+__version__ = "0.1.0"
+
+from probpose_pytorch_tpu import codec, ops  # noqa: F401
+from probpose_pytorch_tpu.codec import ArgMaxProbMap, Codec, ProbMap  # noqa: F401

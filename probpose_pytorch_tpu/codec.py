@@ -1,0 +1,216 @@
+"""Keypoint codecs: target encoding and prediction decoding, batched on-device.
+
+TPU-native rebuild of /root/reference/probpose/codec.py. Differences by
+design (not omissions):
+
+* All encode/decode paths are **batched** pure functions of arrays, jittable
+  and vmappable — the reference asserts single-instance input
+  (codec.py:168-170) and loops on the CPU.
+* Convolution/blur kernels are precomputed reflect/zero-boundary band
+  operators (see ops/heatmap.py, ops/udp.py) built once per codec instance,
+  not rebuilt per call (`_prepare_oks_kernels` was per-call, heatmap.py:333).
+* Decode-path quirks of the reference are kept for output parity: the
+  (input-1)/(heatmap-1) encode scale vs the /[W-1, H-1]*input_size decode
+  rescale asymmetry (codec.py:131-133, 237), the fixed-sigma override
+  (codec.py:60-64), and raw-value score readout (heatmap.py:375-379).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probpose_pytorch_tpu.ops.heatmap import (
+    OKSConvOperators,
+    build_oks_conv_operators,
+    expected_value_decode,
+    heatmap_maximum,
+)
+from probpose_pytorch_tpu.ops.probmaps import generate_probmaps
+from probpose_pytorch_tpu.ops.udp import (
+    GaussianBlurOperators,
+    build_gaussian_blur_operators,
+    refine_keypoints_dark_udp,
+)
+
+__all__ = ["ProbMap", "ArgMaxProbMap", "Codec"]
+
+
+def _as_batched(keypoints: jax.Array) -> jax.Array:
+    kpts = jnp.asarray(keypoints, jnp.float32)
+    if kpts.ndim == 2:
+        kpts = kpts[None]
+    return kpts
+
+
+@dataclass(frozen=True)
+class _ProbMapBase:
+    """Shared encode logic (reference ProbMap.encode / ArgMaxProbMap.encode are
+    identical, codec.py:138-212 and codec.py:443-513)."""
+
+    input_size: tuple[int, int]
+    heatmap_size: tuple[int, int]
+    sigmas: tuple[float, ...]
+    sigma: float
+    blur_kernel_size: int = 11
+
+    def __post_init__(self):
+        object.__setattr__(
+            self, "sigmas", tuple(float(s) for s in np.asarray(self.sigmas).ravel())
+        )
+
+    @property
+    def scale_factor(self) -> np.ndarray:
+        """(input-1)/(heatmap-1), reference codec.py:131-133."""
+        return (
+            (np.array(self.input_size, np.float64) - 1)
+            / (np.array(self.heatmap_size, np.float64) - 1)
+        ).astype(np.float32)
+
+    @property
+    def sigmas_array(self) -> np.ndarray:
+        return np.asarray(self.sigmas, np.float32)
+
+    def encode(
+        self,
+        keypoints: jax.Array,
+        keypoints_visible: jax.Array | None = None,
+        keypoints_visibility: jax.Array | None = None,
+        id_similarity: float = 0.0,
+    ) -> dict[str, Any]:
+        """Encode a batch of single-instance poses into OKS target maps.
+
+        Args:
+            keypoints: (B, K, 2) — or (K, 2) — coordinates in input space.
+            keypoints_visible: (B, K) labeled-ness weights (COCO v==2).
+            keypoints_visibility: (B, K) visibility bits (COCO v>=1).
+
+        Returns:
+            dict with heatmaps (B, K, H, W), keypoint_weights (B, K),
+            annotated (B, K) bool, in_image (B, K) bool, keypoints_scaled,
+            heatmap_keypoints, identification_similarity — the reference
+            output schema (codec.py:202-212), batched.
+        """
+        kpts = _as_batched(keypoints)
+        B, K, _ = kpts.shape
+        if keypoints_visible is None:
+            keypoints_visible = jnp.ones((B, K), jnp.float32)
+        if keypoints_visibility is None:
+            keypoints_visibility = jnp.zeros((B, K), jnp.float32)
+        vis = jnp.asarray(keypoints_visible, jnp.float32).reshape(B, K)
+
+        hm_kpts = kpts / jnp.asarray(self.scale_factor)
+        heatmaps, weights = generate_probmaps(
+            self.heatmap_size, hm_kpts, vis, self.sigmas_array, self.sigma
+        )
+
+        in_w, in_h = self.input_size
+        in_image = (
+            (kpts[:, :, 0] >= 0)
+            & (kpts[:, :, 0] < in_w)
+            & (kpts[:, :, 1] >= 0)
+            & (kpts[:, :, 1] < in_h)
+        )
+        return dict(
+            heatmaps=heatmaps,
+            keypoint_weights=weights,
+            annotated=vis > 0,
+            in_image=in_image,
+            keypoints_scaled=kpts,
+            heatmap_keypoints=hm_kpts,
+            keypoints_visibility=jnp.asarray(
+                keypoints_visibility, jnp.float32
+            ).reshape(B, K),
+            identification_similarity=id_similarity,
+        )
+
+    def _rescale_to_input(self, kpts: jax.Array) -> jax.Array:
+        """Heatmap-space -> input-space, reference codec.py:237/541."""
+        W, H = self.heatmap_size
+        scale = jnp.asarray(self.input_size, jnp.float32) / jnp.asarray(
+            [W - 1, H - 1], jnp.float32
+        )
+        return kpts * scale
+
+
+@dataclass(frozen=True)
+class ProbMap(_ProbMapBase):
+    """Expected-value codec (reference ProbMap, codec.py:73-239).
+
+    Default sigma=2.0 takes the fixed-sigma encode branch (codec.py:122, 63-64).
+    Decode = OKS-kernel convolution + argmax + sub-pixel Taylor refinement.
+    """
+
+    sigma: float = 2.0
+
+    @property
+    def _conv_ops(self) -> OKSConvOperators:
+        W, H = self.heatmap_size
+        return build_oks_conv_operators(self.sigmas_array, H, W)
+
+    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Decode (B, K, H, W) — or (K, H, W) — heatmaps to input-space
+        coordinates. Returns (B, K, 2) keypoints and (B, K) scores."""
+        hm = jnp.asarray(heatmaps, jnp.float32)
+        if hm.ndim == 3:
+            hm = hm[None]
+        locs, vals = expected_value_decode(hm, self._conv_ops)
+        return self._rescale_to_input(locs), vals
+
+
+@dataclass(frozen=True)
+class ArgMaxProbMap(_ProbMapBase):
+    """Argmax + DarkPose/UDP codec (reference ArgMaxProbMap, codec.py:377-543).
+
+    Default sigma=-1 keeps per-keypoint OKS spreads in encode (codec.py:426).
+    """
+
+    sigma: float = -1.0
+
+    @property
+    def _blur_ops(self) -> GaussianBlurOperators:
+        W, H = self.heatmap_size
+        return build_gaussian_blur_operators(self.blur_kernel_size, H, W)
+
+    def decode(self, heatmaps: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Argmax peak + UDP refinement, rescaled to input space."""
+        hm = jnp.asarray(heatmaps, jnp.float32)
+        if hm.ndim == 3:
+            hm = hm[None]
+        locs, vals = heatmap_maximum(hm)
+        refined = refine_keypoints_dark_udp(locs, hm, self._blur_ops)
+        return self._rescale_to_input(refined), vals
+
+
+@dataclass(frozen=True)
+class Codec:
+    """Facade bundling a probmap codec with 5-tuple prediction decoding
+    (reference Codec, codec.py:242-279)."""
+
+    probmap: _ProbMapBase
+
+    def encode(self, keypoints, keypoints_visible=None, id_similarity=0.0):
+        return self.probmap.encode(
+            keypoints, keypoints_visible, id_similarity=id_similarity
+        )
+
+    def decode_heatmap(self, heatmaps: jax.Array):
+        return self.probmap.decode(heatmaps)
+
+    def decode(self, pred: tuple[jax.Array, ...]):
+        """Decode the head's 5-tuple (heatmaps, probabilities, visibilities,
+        oks, errors). Errors are normalized by the heatmap diagonal
+        (codec.py:259-261). Returns numpy-friendly jax arrays; shapes follow
+        the reference: scalars as (B, 1, C)."""
+        heatmaps, probabilities, visibilities, oks, errors = pred
+        B, C, H, W = heatmaps.shape
+        preds = self.probmap.decode(heatmaps)
+        probabilities = jnp.reshape(probabilities, (B, 1, C))
+        visibilities = jnp.reshape(visibilities, (B, 1, C))
+        oks = jnp.reshape(oks, (B, 1, C))
+        errors = jnp.reshape(errors, (B, 1, C)) / float(np.sqrt(H**2 + W**2))
+        return preds, probabilities, visibilities, oks, errors
