@@ -3,16 +3,24 @@
 Real-TPU execution is exercised by bench.py and the driver's compile checks;
 unit tests validate numerics and sharding on host CPU as the build brief
 prescribes.
+
+Note: the environment's sitecustomize imports jax and pins JAX_PLATFORMS to
+the TPU plugin before conftest runs, so we must force the platform through
+jax.config (env-var edits alone are too late).
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
