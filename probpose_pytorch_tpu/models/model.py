@@ -1,0 +1,85 @@
+"""Backbone + head composition (reference ProbPoseModel,
+/root/reference/probpose/model.py:4-11) plus a config-driven builder."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from probpose_pytorch_tpu.models.head import ProbMapHead
+from probpose_pytorch_tpu.models.vit import ViTBackbone, ViTConfig
+
+__all__ = ["ProbPoseModel", "ModelConfig", "build_model"]
+
+
+class ProbPoseModel(nn.Module):
+    """forward = head(backbone(x)); returns the 5-tuple
+    (heatmaps, probability, visibility, oks, error)."""
+
+    backbone: nn.Module
+    head: nn.Module
+
+    def __call__(self, x: jax.Array, train: bool = False):
+        return self.head(self.backbone(x, train=train), train=train)
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Static model configuration (greenfield — the reference hard-codes its
+    architecture in train.py:40-45)."""
+
+    img_size: tuple[int, int] = (256, 192)  # (H, W)
+    patch_size: int = 16
+    num_keypoints: int = 17
+    backbone: str = "vit-s"
+    frozen_backbone: bool = False
+    adapter_hidden: tuple[int, ...] = ()
+    deconv_out_channels: tuple[int, ...] = (256, 256)
+    deconv_kernel_sizes: tuple[int, ...] = (4, 4)
+    conv_out_channels: tuple[int, ...] = ()
+    conv_kernel_sizes: tuple[int, ...] = ()
+    final_layer_kernel_size: int | None = 1
+    pool_sizes: tuple[tuple[int, int], ...] = ((4, 3), (2, 2), (2, 2))
+    normalize: float | None = 1.0
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def heatmap_size(self) -> tuple[int, int]:
+        """(W, H): feature grid upsampled 2x per deconv stage."""
+        up = 2 ** len(self.deconv_out_channels)
+        return (
+            self.img_size[1] // self.patch_size * up,
+            self.img_size[0] // self.patch_size * up,
+        )
+
+    @property
+    def dtype(self) -> jnp.dtype:
+        return jnp.dtype(self.compute_dtype)
+
+
+def build_model(cfg: ModelConfig) -> ProbPoseModel:
+    vit_kw = ViTConfig.PRESETS[cfg.backbone]
+    backbone = ViTBackbone(
+        img_size=cfg.img_size,
+        patch_size=cfg.patch_size,
+        dtype=cfg.dtype,
+        frozen=cfg.frozen_backbone,
+        adapter_hidden=cfg.adapter_hidden,
+        **vit_kw,
+    )
+    head = ProbMapHead(
+        out_channels=cfg.num_keypoints,
+        pool_sizes=cfg.pool_sizes,
+        deconv_out_channels=cfg.deconv_out_channels,
+        deconv_kernel_sizes=cfg.deconv_kernel_sizes,
+        conv_out_channels=cfg.conv_out_channels,
+        conv_kernel_sizes=cfg.conv_kernel_sizes,
+        final_layer_kernel_size=cfg.final_layer_kernel_size,
+        normalize=cfg.normalize,
+        dtype=cfg.dtype,
+    )
+    return ProbPoseModel(backbone=backbone, head=head)

@@ -1,0 +1,160 @@
+"""Vision Transformer backbone, TPU-native (flax.linen).
+
+Fills the role of the reference's timm-based `ScratchViTBackbone`
+(/root/reference/probpose/backbone.py:23-40): image -> NHWC spatial feature
+grid with no class token and no pooling. Design differences for TPU:
+
+* NHWC layout end to end; matmuls run in a configurable compute dtype
+  (bfloat16 by default) with float32 params and float32 LayerNorm/softmax.
+* Attention and MLP are explicit einsums so sharding constraints can be
+  attached (see parallel/sharding.py); the ViT-S geometry (embed 384,
+  depth 12, mlp ratio 4) matches the reference's trained config
+  (train.py:40-43 uses timm embed_dim=384 at 384x384/p16).
+* `jax.checkpoint`-friendly: blocks are scanned-free plain modules so XLA can
+  fuse; remat is applied at the train-step level when enabled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+__all__ = ["ViTBackbone", "ViTConfig"]
+
+
+class MlpBlock(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
+        # Softmax in f32 for stability regardless of compute dtype.
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + MlpBlock(
+            int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp"
+        )(y)
+        return x
+
+
+class ViTConfig:
+    """Static geometry presets (ViTPose-style sizes)."""
+
+    PRESETS = {
+        "vit-s": dict(embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0),
+        "vit-b": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
+        "vit-l": dict(embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0),
+        # timm's VisionTransformer(embed_dim=384) default keeps 12 heads —
+        # the reference backbone's actual geometry (backbone.py:26-33).
+        "vit-s-timm": dict(embed_dim=384, depth=12, num_heads=12, mlp_ratio=4.0),
+    }
+
+
+class ViTBackbone(nn.Module):
+    """ViT backbone producing an NHWC feature grid.
+
+    Args:
+        img_size: (H, W) input image size (static).
+        patch_size: patch edge in pixels.
+        embed_dim / depth / num_heads / mlp_ratio: transformer geometry.
+        dtype: compute dtype for matmuls (params stay float32).
+        frozen: stop gradients through the trunk (the RADIO-style frozen
+            backbone mode, reference backbone.py:10-12); an optional trainable
+            MLP adapter over tokens mirrors backbone.py:15-21.
+        adapter_hidden: hidden widths of the token MLP adapter ([] = none).
+    """
+
+    img_size: tuple[int, int] = (256, 192)
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.bfloat16
+    frozen: bool = False
+    adapter_hidden: Sequence[int] = ()
+
+    @property
+    def grid_size(self) -> tuple[int, int]:
+        return (self.img_size[0] // self.patch_size,
+                self.img_size[1] // self.patch_size)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """(B, H, W, 3) image in [0, 1] -> (B, H/p, W/p, C) features."""
+        B = x.shape[0]
+        gh, gw = self.grid_size
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        x = x.reshape(B, gh * gw, self.embed_dim)
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, gh * gw, self.embed_dim),
+            jnp.float32,
+        )
+        x = x + pos.astype(self.dtype)
+        for i in range(self.depth):
+            x = Block(
+                self.num_heads,
+                self.mlp_ratio,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+        x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+
+        if self.frozen:
+            x = jax.lax.stop_gradient(x)
+        for j, hidden in enumerate(self.adapter_hidden):
+            x = nn.Dense(hidden, dtype=self.dtype, name=f"adapter{j}")(x)
+            if j < len(self.adapter_hidden) - 1:
+                x = nn.relu(x)
+
+        C = x.shape[-1]
+        return x.reshape(B, gh, gw, C)
