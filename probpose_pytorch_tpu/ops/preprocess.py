@@ -1,0 +1,156 @@
+"""Fused on-device preprocessing: crop + resize + normalize per person box.
+
+The reference preprocesses on the host with PIL (crop + LANCZOS resize in
+DataLoader workers, /root/reference/probpose/dataset.py:71-90,117-121). Here
+the whole batch of (image, box) pairs becomes one jitted XLA program:
+
+* `crop_resize` — per-box affine resample of an image batch to a fixed crop
+  size. Two quality tiers:
+    - "linear" / "lanczos3" / "cubic": jax.image.scale_and_translate (separable
+      resampling that compiles to matmul-shaped contractions on the MXU),
+      vmapped over per-box scales/translations. lanczos3 matches PIL LANCZOS.
+    - "bilinear_gather": hand-rolled 4-tap gather; cheapest, used for
+      throughput-critical serving.
+  Out-of-box samples are zero (PIL pads crops beyond the image with black).
+* `transform_keypoints` / `untransform_keypoints` — the matching coordinate
+  maps (dataset.py:86-88).
+* uint8 inputs are scaled to [0, 1] float (the torchvision ToDtype(scale=True)
+  step, dataset.py:106-111) inside the same fused program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["crop_resize", "transform_keypoints", "untransform_keypoints"]
+
+Method = Literal["linear", "lanczos3", "cubic", "bilinear_gather"]
+
+
+def _to_float01(images: jax.Array) -> jax.Array:
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images.astype(jnp.float32)
+
+
+def _crop_one_scale_translate(
+    image: jax.Array, box: jax.Array, out_hw: tuple[int, int], method: str
+) -> jax.Array:
+    """Resample one (Hs, Ws, C) image for box (x, y, w, h) via
+    jax.image.scale_and_translate; out-of-image content is zero."""
+    Hs, Ws, _ = image.shape
+    H, W = out_hw
+    x0, y0, bw, bh = box[0], box[1], box[2], box[3]
+    scale = jnp.stack([H / bh, W / bw])
+    translation = jnp.stack([-y0 * H / bh, -x0 * W / bw])
+    out = jax.image.scale_and_translate(
+        image,
+        (H, W, image.shape[-1]),
+        (0, 1),
+        scale,
+        translation,
+        method=method,
+    )
+    # scale_and_translate zero-pads outside the source extent already (its
+    # kernel weights vanish outside), so no extra masking is needed.
+    return out
+
+
+def _crop_one_bilinear(
+    image: jax.Array, box: jax.Array, out_hw: tuple[int, int]
+) -> jax.Array:
+    """4-tap bilinear gather with zero padding outside the image."""
+    Hs, Ws, C = image.shape
+    H, W = out_hw
+    x0, y0, bw, bh = box[0], box[1], box[2], box[3]
+    ox = (jnp.arange(W, dtype=jnp.float32) + 0.5) * (bw / W) + x0 - 0.5
+    oy = (jnp.arange(H, dtype=jnp.float32) + 0.5) * (bh / H) + y0 - 0.5
+
+    xf = jnp.floor(ox)
+    yf = jnp.floor(oy)
+    wx = ox - xf
+    wy = oy - yf
+
+    def take_rows(yi):
+        valid = (yi >= 0) & (yi < Hs)
+        rows = jnp.take(image, jnp.clip(yi, 0, Hs - 1), axis=0)
+        return rows * valid[:, None, None].astype(image.dtype)
+
+    def take_cols(rows, xi):
+        valid = (xi >= 0) & (xi < Ws)
+        cols = jnp.take(rows, jnp.clip(xi, 0, Ws - 1), axis=1)
+        return cols * valid[None, :, None].astype(image.dtype)
+
+    y0i = yf.astype(jnp.int32)
+    x0i = xf.astype(jnp.int32)
+    top = take_rows(y0i)
+    bot = take_rows(y0i + 1)
+    tl = take_cols(top, x0i)
+    tr = take_cols(top, x0i + 1)
+    bl = take_cols(bot, x0i)
+    br = take_cols(bot, x0i + 1)
+    wxc = wx[None, :, None]
+    wyc = wy[:, None, None]
+    return (
+        tl * (1 - wxc) * (1 - wyc)
+        + tr * wxc * (1 - wyc)
+        + bl * (1 - wxc) * wyc
+        + br * wxc * wyc
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def crop_resize(
+    images: jax.Array,
+    boxes: jax.Array,
+    out_hw: tuple[int, int],
+    method: Method = "linear",
+) -> jax.Array:
+    """Crop each image to its box and resize to `out_hw`, normalized to [0,1].
+
+    Args:
+        images: (B, Hs, Ws, C) uint8 or float.
+        boxes: (B, 4) float (x, y, w, h) in source-pixel units.
+        out_hw: static (H, W) crop size.
+        method: resampling kernel.
+
+    Returns:
+        (B, H, W, C) float32 crops.
+    """
+    images = _to_float01(images)
+    if method == "bilinear_gather":
+        fn = functools.partial(_crop_one_bilinear, out_hw=out_hw)
+        return jax.vmap(fn)(images, boxes)
+    fn = functools.partial(
+        _crop_one_scale_translate, out_hw=out_hw, method=method
+    )
+    return jax.vmap(fn)(images, boxes)
+
+
+def transform_keypoints(
+    keypoints: jax.Array, boxes: jax.Array, out_hw: tuple[int, int]
+) -> jax.Array:
+    """Source-image keypoints -> crop coordinates (the reference's scale_box
+    keypoint map, dataset.py:86-88): k' = (k - box_origin) / box_wh * out_wh.
+
+    keypoints: (B, K, 2); boxes: (B, 4) xywh.
+    """
+    H, W = out_hw
+    origin = boxes[:, None, 0:2]
+    wh = boxes[:, None, 2:4]
+    return (keypoints - origin) / wh * jnp.asarray([W, H], jnp.float32)
+
+
+def untransform_keypoints(
+    keypoints: jax.Array, boxes: jax.Array, out_hw: tuple[int, int]
+) -> jax.Array:
+    """Crop coordinates -> source-image coordinates (inverse map, used by the
+    multi-person pipeline to merge per-box decodes back into the frame)."""
+    H, W = out_hw
+    origin = boxes[:, None, 0:2]
+    wh = boxes[:, None, 2:4]
+    return keypoints / jnp.asarray([W, H], jnp.float32) * wh + origin
