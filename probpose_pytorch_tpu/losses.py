@@ -299,8 +299,12 @@ class ProbPoseLoss:
         return self.codec.probmap
 
     def _decode_coords(self, heatmaps: jax.Array) -> jax.Array:
-        coords, _ = self._probmap.decode(heatmaps)
-        return coords
+        # The decoded coordinates are training *targets*: the reference
+        # derives them in NumPy (constants w.r.t. autograd, loss.py:568-585);
+        # here the decode is traced, so stop_gradient keeps the semantics
+        # (and keeps argmax/UDP non-differentiabilities out of the backward).
+        coords, _ = self._probmap.decode(jax.lax.stop_gradient(heatmaps))
+        return jax.lax.stop_gradient(coords)
 
     def __call__(
         self,

@@ -1,0 +1,73 @@
+"""Sharding rules: how params and batches lay out on the (data, model) mesh.
+
+Tensor-parallel layout for the ViT (the standard Megatron-style split,
+expressed as GSPMD shardings rather than explicit collectives):
+
+  * attention qkv kernel (C, 3C): split the fused output dim -> each model
+    shard owns a head subset; the following proj kernel (C, C) splits its
+    *input* dim so the block ends in a partial-sum that GSPMD all-reduces.
+  * MLP fc1 (C, hidden): split output; fc2 (hidden, C): split input.
+  * everything else (LayerNorms, pos embed, head branches) is replicated.
+  * batches shard over the "data" axis on their leading dim.
+
+XLA then inserts psum over "model" inside each block and psum over "data"
+for gradients — the collectives ride ICI without any hand-written NCCL-style
+code (the reference has none to mirror; SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.tree_util as jtu
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "param_shardings",
+    "batch_sharding",
+    "shard_params",
+    "shard_batch",
+]
+
+
+def _param_spec(path: tuple, leaf: Any) -> P:
+    names = [str(getattr(p, "key", p)) for p in path]
+    joined = "/".join(names)
+    ndim = getattr(leaf, "ndim", 0)
+    if "attn" in joined and names[-1] == "kernel" and ndim == 2:
+        if "qkv" in joined:
+            return P(None, "model")
+        if "proj" in joined:
+            return P("model", None)
+    if "mlp" in joined and names[-1] == "kernel" and ndim == 2:
+        if "fc1" in joined:
+            return P(None, "model")
+        if "fc2" in joined:
+            return P("model", None)
+    if "mlp" in joined and names[-1] == "bias" and "fc1" in joined and ndim == 1:
+        return P("model")
+    if "attn" in joined and names[-1] == "bias" and "qkv" in joined and ndim == 1:
+        return P("model")
+    return P()  # replicated
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding tree for a param/variable pytree."""
+    return jtu.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-dim data-parallel sharding for batch arrays."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    sh = batch_sharding(mesh)
+    return jtu.tree_map(lambda x: jax.device_put(x, sh), batch)

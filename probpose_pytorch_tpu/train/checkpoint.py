@@ -1,0 +1,56 @@
+"""Checkpointing with resume (Orbax).
+
+Strict superset of the reference, which pickles the whole nn.Module every 10
+epochs with no optimizer/scheduler state and no resume path
+(/root/reference/probpose/train.py:171-180; SURVEY.md §5.4): here the full
+TrainState (params + BN stats + optimizer state + step [+ EMA]) is saved
+atomically and restorable onto any mesh layout.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(self, directory: str | Path, keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, force: bool = False) -> None:
+        self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force
+        )
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, target_state: Any, step: int | None = None) -> Any:
+        """Restore into the structure/shardings of `target_state` (an
+        initialized TrainState — shapes/dtypes/shardings are taken from it)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        abstract = jax.tree_util.tree_map(
+            ocp.utils.to_shape_dtype_struct, target_state
+        )
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+
+    def close(self) -> None:
+        self._mgr.close()

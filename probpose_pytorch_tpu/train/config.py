@@ -1,0 +1,117 @@
+"""Training configuration (greenfield: the reference hard-codes constants at
+/root/reference/probpose/train.py:19-48; SURVEY.md §5.6 calls a real config
+layer out as new design). JSON-serializable dataclasses."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from probpose_pytorch_tpu.models.model import ModelConfig
+
+__all__ = ["OptimConfig", "LossWeights", "TrainConfig"]
+
+
+@dataclass(frozen=True)
+class OptimConfig:
+    """AdamW + one-cycle cosine schedule + global-norm clipping (the
+    reference's recipe, train.py:72-84,113)."""
+
+    peak_lr: float = 5e-4
+    weight_decay: float = 0.1
+    pct_start: float = 0.1
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    clip_grad_norm: float = 1.0
+    b1: float = 0.9
+    b2: float = 0.999
+    ema_decay: float | None = None  # optional EMA of params
+    accum_steps: int = 1  # gradient accumulation
+
+
+@dataclass(frozen=True)
+class LossWeights:
+    """Per-term loss weights (reference LOSS_WEIGHTS, train.py:26-32)."""
+
+    kpt: float = 1.0
+    probability: float = 1.0
+    visibility: float = 0.0
+    oks: float = 1.0
+    error: float = 1.0
+
+    def as_dict(self) -> dict[str, float]:
+        return dataclasses.asdict(self)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss_weights: LossWeights = field(default_factory=LossWeights)
+    epochs: int = 200
+    train_batch_size: int = 32
+    val_batch_size: int = 32
+    val_every: int = 50
+    log_every: int = 10
+    checkpoint_every_epochs: int = 10
+    keep_checkpoints: int = 3
+    seed: int = 0
+    sigma: float = 2.0  # fixed encode spread (ProbMap default)
+    decode_sigma: float = -1.0  # loss decoder spread (ArgMaxProbMap default)
+    kpt_sigma_value: float = 0.05  # per-keypoint sigma fill (train.py:46-47)
+    freeze_error: bool = True
+    freeze_oks: bool = False
+    learn_heatmaps_from_zeros: bool = False
+    data_root: str = "./data/field-synth-2"
+    dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic"
+    num_workers: int = 4
+    out_dir: str = "./runs/default"
+    resume: bool = True
+    remat: bool = False  # jax.checkpoint the backbone
+    model_parallel: int = 1
+
+    # ----- (de)serialization -----
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "TrainConfig":
+        raw = json.loads(text)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "TrainConfig":
+        def build(dc_cls, data):
+            fields = {f.name: f for f in dataclasses.fields(dc_cls)}
+            kwargs = {}
+            for k, v in data.items():
+                if k not in fields:
+                    raise ValueError(f"unknown config key {k!r} for {dc_cls.__name__}")
+                f = fields[k]
+                if dataclasses.is_dataclass(f.type) or f.name in (
+                    "model",
+                    "optim",
+                    "loss_weights",
+                ):
+                    sub = {"model": ModelConfig, "optim": OptimConfig,
+                           "loss_weights": LossWeights}[f.name]
+                    kwargs[k] = build(sub, v)
+                elif isinstance(v, list):
+                    kwargs[k] = tuple(
+                        tuple(e) if isinstance(e, list) else e for e in v
+                    )
+                else:
+                    kwargs[k] = v
+            return dc_cls(**kwargs)
+
+        return build(cls, raw)
+
+    def save(self, path: str | Path) -> None:
+        Path(path).write_text(self.to_json())
+
+    @classmethod
+    def load(cls, path: str | Path) -> "TrainConfig":
+        return cls.from_json(Path(path).read_text())

@@ -1,0 +1,285 @@
+"""The training loop: one fused jitted step (encode -> forward -> loss ->
+backward -> update), an eval step with accuracies, and `fit()`.
+
+Rebuild of /root/reference/probpose/train.py with the three host/device
+round-trips of the reference's step (target encode in DataLoader workers,
+dataset.py:128; OKS target decode on CPU, loss.py:550-640) eliminated: the
+entire step is one XLA program, data-parallel over a mesh (SURVEY.md §7
+step 5-6; BASELINE config #5).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from probpose_pytorch_tpu.codec import ArgMaxProbMap, Codec, ProbMap
+from probpose_pytorch_tpu.losses import ProbPoseLoss
+from probpose_pytorch_tpu.models.model import build_model
+from probpose_pytorch_tpu.parallel.sharding import shard_batch, shard_params
+from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+from probpose_pytorch_tpu.train.config import TrainConfig
+from probpose_pytorch_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+)
+from probpose_pytorch_tpu.utils.logging import MetricsLogger
+
+__all__ = ["build_codecs", "make_train_step", "make_eval_step", "Trainer"]
+
+
+def build_codecs(cfg: TrainConfig) -> tuple[Codec, Codec]:
+    """(encode codec, fast loss-decode codec) — the reference's pairing of a
+    ProbMap data codec with an ArgMaxProbMap loss decoder (train.py:46-48)."""
+    W, H = cfg.model.heatmap_size
+    sigmas = np.full(cfg.model.num_keypoints, cfg.kpt_sigma_value, np.float32)
+    img_wh = (cfg.model.img_size[1], cfg.model.img_size[0])
+    encode_codec = Codec(
+        ProbMap(img_wh, (W, H), sigmas=sigmas, sigma=cfg.sigma)
+    )
+    fast_codec = Codec(
+        ArgMaxProbMap(img_wh, (W, H), sigmas=sigmas, sigma=cfg.decode_sigma)
+    )
+    return encode_codec, fast_codec
+
+
+def _prepare_images(batch: dict[str, Any]) -> jax.Array:
+    img = batch["image"]
+    if img.dtype == jnp.uint8:
+        img = img.astype(jnp.float32) / 255.0
+    return img
+
+
+def _encode_targets(codec: Codec, batch: dict[str, Any]) -> dict[str, Any]:
+    enc = codec.probmap.encode(
+        batch["keypoints"],
+        batch["keypoints_visible"],
+        keypoints_visibility=batch["keypoints_visibility"],
+    )
+    return dict(
+        heatmaps=enc["heatmaps"],
+        in_image=enc["in_image"],
+        keypoints_visible=batch["keypoints_visible"],
+        keypoints_visibility=batch["keypoints_visibility"],
+        keypoint_weights=enc["keypoint_weights"],
+    )
+
+
+def make_train_step(
+    model,
+    encode_codec: Codec,
+    loss_fn: ProbPoseLoss,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+) -> Callable:
+    """Build the fused train step: (state, batch) -> (state, metrics).
+
+    batch: image (B,H,W,3) uint8/f32 crops, keypoints (B,K,2) in input space,
+    keypoints_visible / keypoints_visibility (B,K).
+    """
+    weights = cfg.loss_weights.as_dict()
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        images = _prepare_images(batch)
+        gt = _encode_targets(encode_codec, batch)
+
+        def compute_loss(params):
+            pred, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            losses = loss_fn(
+                gt,
+                pred,
+                learn_heatmaps_from_zeros=cfg.learn_heatmaps_from_zeros,
+            )
+            total = sum(losses[k] * w for k, w in weights.items())
+            return total, (losses, updates)
+
+        (total, (losses, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads, tx, ema_decay=cfg.optim.ema_decay
+        ).replace(batch_stats=updates["batch_stats"])
+        metrics = {"loss": total, **{f"loss/{k}": v for k, v in losses.items()}}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    model, encode_codec: Codec, loss_fn: ProbPoseLoss, cfg: TrainConfig
+) -> Callable:
+    weights = cfg.loss_weights.as_dict()
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        images = _prepare_images(batch)
+        gt = _encode_targets(encode_codec, batch)
+        pred = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images,
+            train=False,
+        )
+        losses, acc = loss_fn(gt, pred, compute_acc=True)
+        total = sum(losses[k] * w for k, w in weights.items())
+        metrics = {
+            "loss": total,
+            **{f"loss/{k}": v for k, v in losses.items()},
+            **{f"acc/{k}": v for k, v in acc.items()},
+            "max_heatmap": jnp.max(pred[0]),
+            "mean_prob": jnp.mean(pred[1]),
+        }
+        return metrics
+
+    return step
+
+
+@dataclass
+class Trainer:
+    """End-to-end trainer: model/codecs/optimizer/jitted steps/checkpointing.
+
+    Usage:
+        trainer = Trainer.create(cfg, steps_per_epoch)
+        trainer.fit(train_batches, val_batches)
+    """
+
+    cfg: TrainConfig
+    model: Any
+    encode_codec: Codec
+    fast_codec: Codec
+    loss_fn: ProbPoseLoss
+    tx: optax.GradientTransformation
+    state: TrainState
+    train_step: Callable
+    eval_step: Callable
+    mesh: Mesh | None = None
+
+    @classmethod
+    def create(
+        cls,
+        cfg: TrainConfig,
+        steps_per_epoch: int,
+        mesh: Mesh | None = None,
+    ) -> "Trainer":
+        model = build_model(cfg.model)
+        encode_codec, fast_codec = build_codecs(cfg)
+        loss_fn = ProbPoseLoss(
+            fast_codec,
+            freeze_error=cfg.freeze_error,
+            freeze_oks=cfg.freeze_oks,
+        )
+        total_steps = steps_per_epoch * cfg.epochs
+        tx = make_optimizer(cfg.optim, total_steps)
+        rng = jax.random.PRNGKey(cfg.seed)
+        H, W = cfg.model.img_size
+        sample = jnp.zeros((1, H, W, 3), jnp.float32)
+        state = create_train_state(
+            model, rng, sample, tx, ema=cfg.optim.ema_decay is not None
+        )
+        if mesh is not None:
+            state = state.replace(
+                params=shard_params(state.params, mesh),
+                opt_state=jax.tree_util.tree_map(
+                    lambda x: x, state.opt_state
+                ),
+            )
+        train_step = jax.jit(
+            make_train_step(model, encode_codec, loss_fn, tx, cfg),
+            donate_argnums=(0,),
+        )
+        eval_step = jax.jit(make_eval_step(model, encode_codec, loss_fn, cfg))
+        return cls(
+            cfg=cfg,
+            model=model,
+            encode_codec=encode_codec,
+            fast_codec=fast_codec,
+            loss_fn=loss_fn,
+            tx=tx,
+            state=state,
+            train_step=train_step,
+            eval_step=eval_step,
+            mesh=mesh,
+        )
+
+    def _device_batch(self, batch: dict[str, Any]) -> dict[str, Any]:
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        return batch
+
+    def fit(
+        self,
+        train_batches: Callable[[], Iterable[dict[str, Any]]],
+        val_batches: Callable[[], Iterable[dict[str, Any]]] | None = None,
+        max_steps: int | None = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        logger = MetricsLogger(cfg.out_dir)
+        ckpt = CheckpointManager(
+            f"{cfg.out_dir}/checkpoints", keep=cfg.keep_checkpoints
+        )
+        start_step = 0
+        if cfg.resume and ckpt.latest_step() is not None:
+            self.state = ckpt.restore(self.state)
+            start_step = int(self.state.step)
+            print(f"[trainer] resumed from step {start_step}")
+
+        step_idx = start_step
+        t0 = time.time()
+        done = False
+        for epoch in range(cfg.epochs):
+            if done:
+                break
+            for batch in train_batches():
+                batch = self._device_batch(batch)
+                self.state, metrics = self.train_step(self.state, batch)
+                if step_idx % cfg.log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t0
+                    host["steps_per_sec"] = (
+                        cfg.log_every / dt if step_idx else 0.0
+                    )
+                    t0 = time.time()
+                    logger.log(step_idx, host, prefix="training")
+                if (
+                    val_batches is not None
+                    and step_idx % cfg.val_every == 0
+                ):
+                    self._validate(val_batches, logger, step_idx)
+                step_idx += 1
+                if max_steps is not None and step_idx - start_step >= max_steps:
+                    done = True
+                    break
+            if (epoch % cfg.checkpoint_every_epochs == 0 or done) and (
+                ckpt.latest_step() != step_idx
+            ):
+                ckpt.save(step_idx, self.state)
+        if ckpt.latest_step() != step_idx:
+            ckpt.save(step_idx, self.state, force=True)
+        ckpt.close()
+        logger.close()
+        return self.state
+
+    def _validate(self, val_batches, logger, step_idx) -> None:
+        agg: dict[str, list[float]] = {}
+        for batch in val_batches():
+            metrics = self.eval_step(self.state, self._device_batch(batch))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(v))
+        logger.log(
+            step_idx,
+            {k: float(np.mean(v)) for k, v in agg.items()},
+            prefix="validation",
+        )

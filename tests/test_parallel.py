@@ -1,0 +1,104 @@
+"""Multi-device SPMD tests on the virtual 8-device CPU mesh:
+data-parallel + tensor-parallel train step compiles, executes, and matches
+the single-device step numerically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+from probpose_pytorch_tpu.models.model import ModelConfig
+from probpose_pytorch_tpu.models.vit import ViTConfig
+from probpose_pytorch_tpu.parallel import (
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_params,
+)
+from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+ViTConfig.PRESETS.setdefault(
+    "vit-tiny-par", dict(embed_dim=64, depth=2, num_heads=2, mlp_ratio=2.0)
+)
+
+
+def _cfg(tmp_path):
+    model = ModelConfig(
+        img_size=(64, 48),
+        num_keypoints=5,
+        backbone="vit-tiny-par",
+        compute_dtype="float32",
+        deconv_out_channels=(32, 32),
+        deconv_kernel_sizes=(4, 4),
+        pool_sizes=((2, 2), (2, 2)),
+        normalize=1.0,
+    )
+    return TrainConfig(
+        model=model,
+        epochs=1,
+        train_batch_size=8,
+        out_dir=str(tmp_path / "run"),
+    )
+
+
+def _batch(cfg):
+    ds = SyntheticPoseDataset(8, cfg.model.img_size, cfg.model.num_keypoints)
+    return next(iter(batch_iterator(ds, 8, num_workers=1)))
+
+
+def test_mesh_construction():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8, model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, model_parallel=3)
+
+
+def test_param_shardings_split_attention_and_mlp(tmp_path):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer.create(cfg, steps_per_epoch=2)
+    mesh = make_mesh(8, model_parallel=2)
+    sh = param_shardings(trainer.state.params, mesh)
+    flat = {
+        jax.tree_util.keystr(p): s
+        for p, s in jax.tree_util.tree_leaves_with_path(sh)
+    }
+    qkv = [v for k, v in flat.items() if "qkv" in k and "kernel" in k]
+    assert qkv and all("model" in str(s.spec) for s in qkv)
+    ln = [v for k, v in flat.items() if "norm1" in k]
+    assert ln and all(s.spec == jax.sharding.PartitionSpec() for s in ln)
+
+
+@pytest.mark.parametrize("model_parallel", [1, 2])
+def test_sharded_train_step_matches_single_device(tmp_path, model_parallel):
+    cfg = _cfg(tmp_path)
+    trainer = Trainer.create(cfg, steps_per_epoch=2)
+    batch = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+
+    # Single-device result.
+    state1, metrics1 = trainer.train_step(trainer.state, batch)
+
+    # Same step over the mesh. Rebuild because train_step donates its input.
+    trainer2 = Trainer.create(cfg, steps_per_epoch=2)
+    mesh = make_mesh(8, model_parallel=model_parallel)
+    sharded_state = trainer2.state.replace(
+        params=shard_params(trainer2.state.params, mesh)
+    )
+    sharded_batch = shard_batch(batch, mesh)
+    state2, metrics2 = trainer2.train_step(sharded_state, sharded_batch)
+
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics2["loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params)[0]
+    l2 = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+
+
+def test_batch_sharding_layout(tmp_path):
+    mesh = make_mesh(8, model_parallel=2)
+    batch = shard_batch({"x": jnp.zeros((16, 4))}, mesh)
+    shards = batch["x"].sharding
+    assert shards.spec == jax.sharding.PartitionSpec("data")

@@ -1,0 +1,128 @@
+"""End-to-end training tests on synthetic data (tiny model, CPU).
+
+Covers the reference train loop's surface (train.py) plus what it lacks:
+checkpoint resume, config round-trip, optimizer schedule.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+from probpose_pytorch_tpu.models.model import ModelConfig
+from probpose_pytorch_tpu.train import TrainConfig, Trainer
+from probpose_pytorch_tpu.train.config import OptimConfig
+from probpose_pytorch_tpu.train.state import onecycle_schedule
+
+
+def _tiny_cfg(tmp_path, **overrides) -> TrainConfig:
+    model = ModelConfig(
+        img_size=(64, 48),
+        num_keypoints=5,
+        backbone="vit-s",
+        compute_dtype="float32",
+        deconv_out_channels=(32, 32),
+        deconv_kernel_sizes=(4, 4),
+        pool_sizes=((2, 2), (2, 2)),
+        normalize=1.0,
+    )
+    # shrink the ViT via a preset override by monkeypatching the registry
+    from probpose_pytorch_tpu.models.vit import ViTConfig
+
+    ViTConfig.PRESETS["vit-tiny-test"] = dict(
+        embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0
+    )
+    model = ModelConfig(**{**model.__dict__, "backbone": "vit-tiny-test"})
+    base = dict(
+        model=model,
+        epochs=1,
+        train_batch_size=4,
+        val_batch_size=4,
+        val_every=100,
+        log_every=1,
+        out_dir=str(tmp_path / "run"),
+        seed=0,
+    )
+    base.update(overrides)
+    return TrainConfig(**base)
+
+
+def _data(cfg, n=8):
+    ds = SyntheticPoseDataset(
+        n, cfg.model.img_size, cfg.model.num_keypoints, seed=1
+    )
+    return lambda: batch_iterator(
+        ds, cfg.train_batch_size, shuffle=False, num_workers=1
+    )
+
+
+class TestTrainer:
+    def test_two_steps_update_params_and_metrics_finite(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        batches = list(_data(cfg)())
+        p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+        state, metrics = trainer.train_step(trainer.state, batches[0])
+        state, metrics = trainer.train_step(state, batches[1])
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 2
+        p1 = jax.tree_util.tree_leaves(state.params)[0]
+        assert float(jnp.abs(p1 - p0).max()) > 0
+
+    def test_loss_decreases_on_repeated_batch(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, epochs=1)
+        trainer = Trainer.create(cfg, steps_per_epoch=30)
+        batch = next(iter(_data(cfg, n=4)()))
+        state = trainer.state
+        losses = []
+        for _ in range(25):
+            state, metrics = trainer.train_step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0], losses
+
+    def test_eval_step_reports_accuracies(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        batch = next(iter(_data(cfg)()))
+        metrics = trainer.eval_step(trainer.state, batch)
+        for key in ("acc/kpt", "acc/probability", "max_heatmap", "mean_prob"):
+            assert np.isfinite(float(metrics[key])), key
+
+    def test_fit_checkpoints_and_resumes(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        trainer.fit(_data(cfg), max_steps=2)
+        step_after = int(trainer.state.step)
+        assert step_after == 2
+
+        # Fresh trainer resumes from the saved checkpoint.
+        trainer2 = Trainer.create(cfg, steps_per_epoch=2)
+        trainer2.fit(_data(cfg), max_steps=1)
+        assert int(trainer2.state.step) == 3
+
+    def test_metrics_jsonl_written(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        trainer.fit(_data(cfg), max_steps=2)
+        text = (tmp_path / "run" / "metrics.jsonl").read_text()
+        assert "training/loss" in text
+
+
+class TestConfig:
+    def test_json_roundtrip(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, epochs=7)
+        path = tmp_path / "cfg.json"
+        cfg.save(path)
+        cfg2 = TrainConfig.load(path)
+        assert cfg2 == cfg
+
+    def test_onecycle_schedule_shape(self):
+        sched = onecycle_schedule(OptimConfig(peak_lr=1e-3), total_steps=100)
+        lr0 = float(sched(0))
+        lr_peak = float(sched(10))
+        lr_end = float(sched(99))
+        assert lr0 == pytest.approx(1e-3 / 25, rel=1e-3)
+        assert lr_peak == pytest.approx(1e-3, rel=1e-3)
+        assert lr_end < 1e-5
