@@ -58,7 +58,7 @@ def _build_pipeline():
     )
 
     def pipeline(variables, frames, boxes):
-        crops = crop_resize(frames, boxes, cfg.img_size, "bilinear_gather")
+        crops = crop_resize(frames, boxes, cfg.img_size, "bilinear_matmul")
         heatmaps, probs, *_ = model.apply(variables, crops, train=False)
         coords, scores = codec.decode(heatmaps)
         return coords, scores, probs

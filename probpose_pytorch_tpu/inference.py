@@ -1,0 +1,191 @@
+"""Inference: the single-image CLI (reference probpose/inference.py) and a
+batched top-down predictor for the multi-person pipeline (BASELINE config #4).
+
+Usage (mirrors the reference CLI surface, inference.py:16-60):
+    python -m probpose_pytorch_tpu.inference \
+        --checkpoint runs/x/checkpoints --image img.jpg --output out/ \
+        [--config runs/x/config.json] [--input-size 256,192] [--normalize]
+
+Differences by design: checkpoints are Orbax TrainStates (not pickled
+modules); whole-image resize is kept for CLI parity, while `TopDownPredictor`
+adds the detector-box path the reference lacks (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TopDownPredictor:
+    """Batched top-down pose predictor: frames + person boxes -> keypoints.
+
+    The whole path (fused crop -> forward -> decode -> coordinate un-mapping)
+    is one jitted program per static (batch, frame-size) bucket.
+    """
+
+    model: Any
+    variables: Any
+    codec: Any
+    input_size: tuple[int, int]  # (H, W)
+    preprocess_method: str = "bilinear_gather"
+
+    def __post_init__(self):
+        import jax
+
+        self._jitted: dict[tuple, Any] = {}
+        self._jax = jax
+
+    def _fn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.ops.preprocess import (
+            crop_resize,
+            untransform_keypoints,
+        )
+
+        def run(variables, frames, boxes):
+            crops = crop_resize(
+                frames, boxes, self.input_size, self.preprocess_method
+            )
+            pred = self.model.apply(variables, crops, train=False)
+            (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
+            H, W = self.input_size
+            kpts = untransform_keypoints(kpts, boxes, (H, W))
+            return dict(
+                keypoints=kpts,
+                scores=scores,
+                probabilities=probs,
+                visibilities=vis,
+                oks=oks,
+                errors=errs,
+            )
+
+        return run
+
+    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        """frames: (B, Hs, Ws, 3) uint8; boxes: (B, 4) xywh. Returns a dict of
+        numpy arrays with frame-space keypoints."""
+        import jax.numpy as jnp
+
+        key = (frames.shape, boxes.shape)
+        if key not in self._jitted:
+            self._jitted[key] = self._jax.jit(self._fn())
+        out = self._jitted[key](
+            self.variables, jnp.asarray(frames), jnp.asarray(boxes)
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def load_predictor(
+    checkpoint_dir: str | Path,
+    config_path: str | Path | None = None,
+    ema: bool = False,
+) -> TopDownPredictor:
+    """Build a predictor from an Orbax checkpoint directory (+ config JSON,
+    defaulting to <ckpt>/../config.json then flagship defaults)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    checkpoint_dir = Path(checkpoint_dir)
+    if config_path is None:
+        candidate = checkpoint_dir.parent / "config.json"
+        config_path = candidate if candidate.exists() else None
+    cfg = (
+        TrainConfig.load(config_path) if config_path else TrainConfig()
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    ckpt = CheckpointManager(checkpoint_dir)
+    state = ckpt.restore(trainer.state)
+    params = state.ema_params if (ema and state.ema_params is not None) else state.params
+    variables = {"params": params, "batch_stats": state.batch_stats}
+    return TopDownPredictor(
+        model=trainer.model,
+        variables=variables,
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description="ProbPose-TPU inference")
+    parser.add_argument("--checkpoint", type=Path, required=True,
+                        help="Orbax checkpoint directory")
+    parser.add_argument("--config", type=Path, default=None,
+                        help="TrainConfig JSON (default: beside checkpoint)")
+    parser.add_argument("--image", type=Path, required=True)
+    parser.add_argument("--output", type=Path, required=True)
+    parser.add_argument("--input-size", type=str, default=None,
+                        help="H,W override")
+    parser.add_argument("--normalize", action="store_true",
+                        help="normalize heatmap PNGs to their max")
+    parser.add_argument("--prob-threshold", type=float, default=0.9)
+    parser.add_argument("--ema", action="store_true", help="use EMA params")
+    args = parser.parse_args(argv)
+
+    import PIL.Image
+
+    from probpose_pytorch_tpu.viz import draw_keypoints
+
+    predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    if args.input_size:
+        h, w = (int(v) for v in args.input_size.split(","))
+        predictor.input_size = (h, w)
+
+    image = PIL.Image.open(args.image).convert("RGB")
+    frame = np.asarray(image, np.uint8)[None]
+    # Whole-image box (the reference CLI resizes the full image,
+    # inference.py:74-75).
+    box = np.array(
+        [[0, 0, frame.shape[2], frame.shape[1]]], np.float32
+    )
+    out = predictor(frame, box)
+
+    args.output.mkdir(parents=True, exist_ok=True)
+    # Per-keypoint heatmap PNG dump (inference.py:92-105).
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.ops.preprocess import crop_resize
+
+    crops = crop_resize(
+        jnp.asarray(frame), jnp.asarray(box), predictor.input_size,
+        predictor.preprocess_method,
+    )
+    heatmaps = predictor.model.apply(
+        predictor.variables, crops, train=False
+    )[0]
+    hm = np.asarray(heatmaps)[0]
+    from matplotlib import colormaps
+
+    for i in range(hm.shape[0]):
+        h = hm[i] / hm[i].max() if args.normalize and hm[i].max() > 0 else hm[i]
+        arr = (colormaps["inferno"](h) * 255).astype(np.uint8)
+        PIL.Image.fromarray(arr).save(args.output / f"heatmap_{i}.png")
+
+    rendered = draw_keypoints(
+        image,
+        out["keypoints"][0],
+        out["probabilities"][0, 0],
+        prob_threshold=args.prob_threshold,
+    )
+    rendered.save(args.output / "output_image.png")
+    (args.output / "predictions.json").write_text(
+        json.dumps(
+            {k: v.tolist() for k, v in out.items()}, indent=2
+        )
+    )
+    print(f"wrote {args.output}/output_image.png, heatmap_*.png, predictions.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -120,3 +120,35 @@ class TestKeypointTransforms:
         np.testing.assert_allclose(
             out[0, 0], [(60 - 50) / 100 * 192, (80 - 50) / 200 * 256]
         )
+
+
+class TestBilinearMatmul:
+    def test_matches_gather_path(self):
+        rng = np.random.default_rng(5)
+        imgs = rng.integers(0, 256, (3, 60, 50, 3), dtype=np.uint8)
+        boxes = rng.uniform([0, 0, 20, 20], [20, 20, 30, 40], (3, 4)).astype(
+            np.float32
+        )
+        a = np.asarray(
+            crop_resize(jnp.asarray(imgs), jnp.asarray(boxes), (32, 24),
+                        "bilinear_matmul")
+        )
+        b = np.asarray(
+            crop_resize(jnp.asarray(imgs), jnp.asarray(boxes), (32, 24),
+                        "bilinear_gather")
+        )
+        # bf16 matmul inputs: ~3e-3 relative quantization
+        assert np.abs(a - b).max() < 0.01
+
+    def test_out_of_bounds_black(self):
+        img = np.full((20, 20, 3), 255, np.uint8)
+        out = np.asarray(
+            crop_resize(
+                jnp.asarray(img[None]),
+                jnp.asarray([[-10.0, -10.0, 20.0, 20.0]]),
+                (10, 10),
+                "bilinear_matmul",
+            )
+        )[0]
+        assert out[:4, :4].max() == 0.0
+        assert out[-3:, -3:].min() > 0.9
