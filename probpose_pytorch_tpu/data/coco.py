@@ -1,0 +1,126 @@
+"""COCO keypoint dataset loading (greenfield: the reference has no COCO
+loader — SURVEY.md §2.4 lists COCO eval as an explicit absence; BASELINE
+configs #4-#5 require train2017/val2017 streaming).
+
+Pure-json parsing (no pycocotools dependency): produces the same record
+schema as the YOLO parser, so the rest of the pipeline is format-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+__all__ = ["parse_coco_annotations", "COCOPoseDataset", "COCO_SIGMAS"]
+
+# The 17 COCO keypoint sigmas (person category), as published with the
+# COCO keypoint evaluation protocol.
+COCO_SIGMAS = np.array(
+    [
+        0.026, 0.025, 0.025, 0.035, 0.035, 0.079, 0.079, 0.072, 0.072,
+        0.062, 0.062, 0.107, 0.107, 0.087, 0.087, 0.089, 0.089,
+    ],
+    np.float32,
+)
+
+
+def parse_coco_annotations(
+    annotation_file: str | Path,
+    image_root: str | Path,
+    min_keypoints: int = 1,
+) -> list[dict[str, Any]]:
+    """Parse a COCO person-keypoints JSON into crop records:
+    {image_path, category_id, bbox xywh, keypoints (K, 3), image_id, ann_id,
+    area}."""
+    raw = json.loads(Path(annotation_file).read_text())
+    images = {im["id"]: im for im in raw["images"]}
+    records = []
+    for ann in raw["annotations"]:
+        if ann.get("iscrowd", 0):
+            continue
+        if ann.get("num_keypoints", 0) < min_keypoints:
+            continue
+        im = images[ann["image_id"]]
+        kps = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
+        records.append(
+            dict(
+                image_path=str(Path(image_root) / im["file_name"]),
+                category_id=ann["category_id"],
+                bbox=np.asarray(ann["bbox"], np.float32),
+                keypoints=kps,
+                image_id=ann["image_id"],
+                ann_id=ann["id"],
+                area=float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])),
+            )
+        )
+    return records
+
+
+def expand_bbox(bbox: np.ndarray, scale: float = 1.25,
+                aspect: float | None = 192 / 256) -> np.ndarray:
+    """Standard top-down box conditioning: pad to the crop aspect ratio and
+    expand by `scale` around the center."""
+    x, y, w, h = bbox
+    cx, cy = x + w / 2, y + h / 2
+    if aspect is not None:
+        if w / h > aspect:
+            h = w / aspect
+        else:
+            w = h * aspect
+    w, h = w * scale, h * scale
+    return np.asarray([cx - w / 2, cy - h / 2, w, h], np.float32)
+
+
+@dataclass
+class COCOPoseDataset:
+    """Host-side COCO top-down crop dataset, same sample schema as
+    YOLOPoseDataset (image crop + crop-space keypoints + visibility splits)."""
+
+    annotation_file: str | Path
+    image_root: str | Path
+    input_size: tuple[int, int]  # (H, W)
+    bbox_scale: float = 1.25
+    min_keypoints: int = 1
+    resample: str = "bilinear"
+
+    def __post_init__(self):
+        self.records = parse_coco_annotations(
+            self.annotation_file, self.image_root, self.min_keypoints
+        )
+
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
+        import PIL.Image
+
+        rec = self.records[idx]
+        H, W = self.input_size
+        box = expand_bbox(rec["bbox"], self.bbox_scale, W / H)
+        x0, y0, bw, bh = box
+        with PIL.Image.open(rec["image_path"]) as im:
+            im = im.convert("RGB")
+            crop = im.crop((x0, y0, x0 + bw, y0 + bh)).resize(
+                (W, H),
+                PIL.Image.LANCZOS
+                if self.resample == "lanczos"
+                else PIL.Image.BILINEAR,
+            )
+        kps = rec["keypoints"].copy()
+        xy = kps[:, :2]
+        xy[:, 0] = (xy[:, 0] - x0) / bw * W
+        xy[:, 1] = (xy[:, 1] - y0) / bh * H
+        v = kps[:, 2]
+        return dict(
+            image=np.asarray(crop, np.uint8),
+            keypoints=xy.astype(np.float32),
+            keypoints_visible=(v >= 1).astype(np.float32),
+            keypoints_visibility=(v == 2).astype(np.float32),
+            bbox=box,
+            image_id=np.int64(rec["image_id"]),
+            area=np.float32(rec["area"]),
+        )

@@ -1,0 +1,4 @@
+from probpose_pytorch_tpu.eval.coco_eval import (  # noqa: F401
+    COCOKeypointEvaluator,
+    oks_matrix,
+)

@@ -1,0 +1,137 @@
+"""COCO loader + AP evaluator tests with a synthetic mini-COCO fixture."""
+
+import json
+
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.data.coco import (
+    COCO_SIGMAS,
+    COCOPoseDataset,
+    expand_bbox,
+    parse_coco_annotations,
+)
+from probpose_pytorch_tpu.eval.coco_eval import (
+    COCOKeypointEvaluator,
+    oks_matrix,
+)
+
+
+@pytest.fixture
+def mini_coco(tmp_path):
+    import PIL.Image
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(3):
+        arr = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+        PIL.Image.fromarray(arr).save(img_dir / f"{i:06d}.jpg")
+        images.append(dict(id=i, file_name=f"{i:06d}.jpg", width=160, height=120))
+        kps = rng.uniform([30, 30], [120, 100], (17, 2))
+        v = rng.integers(0, 3, 17)
+        flat = np.concatenate([kps, v[:, None]], 1).reshape(-1).tolist()
+        annotations.append(
+            dict(
+                id=100 + i,
+                image_id=i,
+                category_id=1,
+                keypoints=flat,
+                num_keypoints=int((v > 0).sum()),
+                bbox=[25.0, 25.0, 100.0, 80.0],
+                area=8000.0,
+                iscrowd=0,
+            )
+        )
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(dict(images=images, annotations=annotations)))
+    return ann_file, img_dir
+
+
+class TestCOCOData:
+    def test_parse_and_dataset(self, mini_coco):
+        ann_file, img_dir = mini_coco
+        recs = parse_coco_annotations(ann_file, img_dir)
+        assert len(recs) == 3
+        ds = COCOPoseDataset(ann_file, img_dir, (256, 192))
+        s = ds[0]
+        assert s["image"].shape == (256, 192, 3)
+        assert s["keypoints"].shape == (17, 2)
+        assert s["keypoints_visible"].shape == (17,)
+
+    def test_expand_bbox_aspect(self):
+        box = expand_bbox(np.array([0, 0, 100, 50], np.float32), 1.25, 0.75)
+        # padded to 0.75 aspect then scaled: w=100 -> h=133.3, *1.25
+        assert box[2] == pytest.approx(125.0)
+        assert box[3] == pytest.approx(100 / 0.75 * 1.25)
+        # center preserved
+        assert box[0] + box[2] / 2 == pytest.approx(50.0)
+
+
+class TestOKSMatrix:
+    def test_perfect_match_is_one(self):
+        rng = np.random.default_rng(1)
+        gt = np.concatenate(
+            [rng.uniform(0, 100, (2, 17, 2)), np.full((2, 17, 1), 2.0)], -1
+        )
+        dt = gt.copy()
+        m = oks_matrix(dt, gt, np.array([4000.0, 4000.0]), COCO_SIGMAS)
+        np.testing.assert_allclose(np.diag(m), 1.0)
+
+    def test_distance_decreases_oks(self):
+        gt = np.concatenate(
+            [np.full((1, 17, 2), 50.0), np.full((1, 17, 1), 2.0)], -1
+        )
+        near = gt.copy()
+        near[..., :2] += 2.0
+        far = gt.copy()
+        far[..., :2] += 30.0
+        m_near = oks_matrix(near, gt, np.array([4000.0]), COCO_SIGMAS)[0, 0]
+        m_far = oks_matrix(far, gt, np.array([4000.0]), COCO_SIGMAS)[0, 0]
+        assert m_near > m_far
+
+
+class TestEvaluator:
+    def _gt(self, rng, n):
+        kpts = rng.uniform(20, 200, (n, 17, 2))
+        v = np.full((n, 17, 1), 2.0)
+        return np.concatenate([kpts, v], -1)
+
+    def test_perfect_predictions_ap1(self):
+        rng = np.random.default_rng(2)
+        ev = COCOKeypointEvaluator(COCO_SIGMAS)
+        for _ in range(4):
+            gt = self._gt(rng, 3)
+            dt = gt.copy()
+            dt[..., 2] = 0.9
+            ev.add_image(dt, np.full(3, 0.9), gt, np.full(3, 5000.0))
+        res = ev.summarize()
+        assert res["AP"] == pytest.approx(1.0)
+        assert res["AR"] == pytest.approx(1.0)
+
+    def test_garbage_predictions_ap0(self):
+        rng = np.random.default_rng(3)
+        ev = COCOKeypointEvaluator(COCO_SIGMAS)
+        for _ in range(4):
+            gt = self._gt(rng, 2)
+            dt = gt.copy()
+            dt[..., :2] += 500.0
+            ev.add_image(dt, np.full(2, 0.9), gt, np.full(2, 5000.0))
+        res = ev.summarize()
+        assert res["AP"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_half_good_monotonic(self):
+        rng = np.random.default_rng(4)
+        ev = COCOKeypointEvaluator(COCO_SIGMAS)
+        for i in range(6):
+            gt = self._gt(rng, 1)
+            dt = gt.copy()
+            if i % 2:
+                dt[..., :2] += 500.0
+            # good detections score higher -> clean PR curve
+            ev.add_image(dt, np.full(1, 0.9 if i % 2 == 0 else 0.5),
+                         gt, np.full(1, 5000.0))
+        res = ev.summarize()
+        assert 0.4 < res["AP"] <= 0.51
+        assert res["AR"] == pytest.approx(0.5)
