@@ -44,6 +44,7 @@ def _build_pipeline():
         deconv_kernel_sizes=(4, 4),
         pool_sizes=((4, 3), (2, 2), (2, 2)),
         normalize=1.0,
+        softmax_dtype="bfloat16",
     )
     model = build_model(cfg)
     W, H = cfg.heatmap_size

@@ -46,6 +46,7 @@ class ModelConfig:
     pool_sizes: tuple[tuple[int, int], ...] = ((4, 3), (2, 2), (2, 2))
     normalize: float | None = 1.0
     compute_dtype: str = "bfloat16"
+    softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
 
     @property
     def heatmap_size(self) -> tuple[int, int]:
@@ -67,6 +68,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
         img_size=cfg.img_size,
         patch_size=cfg.patch_size,
         dtype=cfg.dtype,
+        softmax_dtype=jnp.dtype(cfg.softmax_dtype),
         frozen=cfg.frozen_backbone,
         adapter_hidden=cfg.adapter_hidden,
         **vit_kw,

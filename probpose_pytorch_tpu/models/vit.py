@@ -43,6 +43,7 @@ class MlpBlock(nn.Module):
 class Attention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
+    softmax_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -53,8 +54,10 @@ class Attention(nn.Module):
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
-        # Softmax in f32 for stability regardless of compute dtype.
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
+        # f32 softmax is the safe default for training; serving configs set
+        # softmax_dtype=bf16 — the f32 cast round-trips the (B,h,N,N) matrix
+        # through HBM and costs ~20% of backbone time at 192 tokens.
+        attn = jax.nn.softmax(attn.astype(self.softmax_dtype), axis=-1).astype(
             self.dtype
         )
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
@@ -65,12 +68,18 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
     dtype: jnp.dtype = jnp.bfloat16
+    softmax_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         C = x.shape[-1]
         y = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(y)
+        x = x + Attention(
+            self.num_heads,
+            dtype=self.dtype,
+            softmax_dtype=self.softmax_dtype,
+            name="attn",
+        )(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(
             int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp"
@@ -112,6 +121,7 @@ class ViTBackbone(nn.Module):
     num_heads: int = 6
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.bfloat16
+    softmax_dtype: jnp.dtype = jnp.float32
     frozen: bool = False
     adapter_hidden: Sequence[int] = ()
 
@@ -145,6 +155,7 @@ class ViTBackbone(nn.Module):
                 self.num_heads,
                 self.mlp_ratio,
                 dtype=self.dtype,
+                softmax_dtype=self.softmax_dtype,
                 name=f"block{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
