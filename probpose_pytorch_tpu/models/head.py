@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from probpose_pytorch_tpu.ops.sparsemax import sparsemax
+from probpose_pytorch_tpu.ops.sparsemax import sparsemax_auto
 
 __all__ = ["ProbMapHead"]
 
@@ -200,7 +200,7 @@ class ProbMapHead(nn.Module):
         x = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)  # (B,K,H,W)
         flat = x.reshape(B, K, H * W)
         if self.normalize is not None:
-            flat = sparsemax(flat / self.temperature) * self.normalize
+            flat = sparsemax_auto(flat / self.temperature) * self.normalize
         flat = jnp.clip(flat, 0.0, 1.0)
         return flat.reshape(B, K, H, W)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sparsemax"]
+__all__ = ["sparsemax", "sparsemax_tpu", "sparsemax_auto"]
 
 _BISECT_ITERS = 30
 
@@ -76,3 +76,30 @@ def _bwd(p, g):
 
 
 sparsemax.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def sparsemax_tpu(z: jax.Array) -> jax.Array:
+    """Sparsemax with the single-pass Pallas forward kernel
+    (ops/pallas/sparsemax_kernel.py) and the same closed-form backward.
+    Falls back to interpret mode off-TPU."""
+    from probpose_pytorch_tpu.ops.pallas import sparsemax_pallas
+
+    return sparsemax_pallas(z)
+
+
+def _fwd_tpu(z):
+    from probpose_pytorch_tpu.ops.pallas import sparsemax_pallas
+
+    p = sparsemax_pallas(z)
+    return p, p
+
+
+sparsemax_tpu.defvjp(_fwd_tpu, _bwd)
+
+
+def sparsemax_auto(z: jax.Array) -> jax.Array:
+    """Pick the Pallas kernel on TPU, the XLA formulation elsewhere."""
+    if jax.default_backend() == "tpu":
+        return sparsemax_tpu(z)
+    return sparsemax(z)

@@ -1,0 +1,125 @@
+"""Numerical verification of the torch-checkpoint importer.
+
+Builds small torch modules with the reference's layer layout (oracles for the
+*checkpoint format*, not copies of reference code), imports their weights,
+and checks our flax modules reproduce the torch forward pass.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+from torch import nn  # noqa: E402
+
+from probpose_pytorch_tpu.compat.torch_import import (  # noqa: E402
+    import_head_params,
+)
+from probpose_pytorch_tpu.models.head import ProbMapHead  # noqa: E402
+
+
+def _torch_head(in_ch=16, out_ch=3, deconv=(8, 8), pools=((2, 2), (2, 2))):
+    """Reference-layout torch head: Sequential indices must match
+    head.py's construction order for the importer's positional mapping."""
+    m = nn.Module()
+    layers, c = [], in_ch
+    for oc in deconv:
+        layers += [
+            nn.ConvTranspose2d(c, oc, 4, stride=2, padding=1, bias=False),
+            nn.BatchNorm2d(oc),
+            nn.ReLU(),
+        ]
+        c = oc
+    m.deconv_layers = nn.Sequential(*layers)
+    m.final_layer = nn.Conv2d(c, out_ch, 1)
+
+    def scalar_branch(final_act):
+        seq, cc = [], in_ch
+        for k in pools:
+            seq += [
+                nn.Conv2d(cc, cc, 3, padding=1),
+                nn.BatchNorm2d(cc),
+                nn.MaxPool2d(k, stride=k),
+                nn.ReLU(),
+            ]
+        seq += [nn.Conv2d(cc, out_ch, 1), final_act]
+        return nn.Sequential(*seq)
+
+    m.probability_layers = scalar_branch(nn.Sigmoid())
+    m.visibility_layers = scalar_branch(nn.Sigmoid())
+    m.oks_layers = scalar_branch(nn.Sigmoid())
+    m.error_layers = scalar_branch(nn.ReLU())
+    # Non-trivial weights
+    with torch.no_grad():
+        for p in m.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    m.eval()
+    return m
+
+
+def test_head_import_matches_torch_forward():
+    torch.manual_seed(0)
+    tm = _torch_head()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, stats = import_head_params(
+        sd, num_deconv=2, num_conv=0, num_pool_stages=2
+    )
+
+    head = ProbMapHead(
+        out_channels=3,
+        pool_sizes=((2, 2), (2, 2)),
+        deconv_out_channels=(8, 8),
+        deconv_kernel_sizes=(4, 4),
+        normalize=None,  # torch oracle has no sparsemax here
+        dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    # 4x4 features: the (2,2)x(2,2) pool schedule reaches exactly 1x1, so the
+    # torch oracle and our head agree on the final-conv input extent.
+    feats = rng.normal(size=(2, 4, 4, 16)).astype(np.float32)
+
+    ours = head.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(feats),
+        train=False,
+    )
+
+    with torch.no_grad():
+        tfeats = torch.from_numpy(feats.transpose(0, 3, 1, 2))
+        t_hm = tm.final_layer(tm.deconv_layers(tfeats)).clamp(0, 1)
+        t_prob = tm.probability_layers(tfeats)
+        t_vis = tm.visibility_layers(tfeats)
+        t_oks = tm.oks_layers(tfeats)
+        t_err = tm.error_layers(tfeats)
+
+    np.testing.assert_allclose(
+        np.asarray(ours[0]), t_hm.numpy(), rtol=1e-4, atol=1e-5
+    )
+    for o, t in zip(ours[1:], (t_prob, t_vis, t_oks, t_err)):
+        np.testing.assert_allclose(
+            np.asarray(o), t.numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_deconv_layout_conversion_exact():
+    """Isolated ConvTranspose k4s2p1 equivalence: torch vs flax 'SAME'."""
+    from flax import linen as fnn
+
+    torch.manual_seed(1)
+    tconv = nn.ConvTranspose2d(4, 6, 4, stride=2, padding=1, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.randn_like(tconv.weight))
+    x = np.random.default_rng(0).normal(size=(1, 5, 7, 4)).astype(np.float32)
+    with torch.no_grad():
+        ref = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+
+    w = tconv.weight.detach().numpy()[:, :, ::-1, ::-1]
+    kernel = np.ascontiguousarray(w.transpose(2, 3, 0, 1))
+    fconv = fnn.ConvTranspose(6, (4, 4), strides=(2, 2), padding="SAME",
+                              use_bias=False)
+    out = fconv.apply({"params": {"kernel": jnp.asarray(kernel)}},
+                      jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5
+    )
