@@ -1,0 +1,93 @@
+"""Training CLI: `python -m probpose_pytorch_tpu.train.cli <out_dir>
+[--config cfg.json] [--data-root ...] [--max-steps N]`.
+
+Mirrors the reference entry point (`python -m probpose.train <out_dir>`,
+train.py:34-36) with a real config layer on top.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from pathlib import Path
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="ProbPose-TPU training")
+    parser.add_argument("out_dir", type=Path)
+    parser.add_argument("--config", type=Path, default=None)
+    parser.add_argument("--data-root", type=str, default=None)
+    parser.add_argument("--dataset-format", type=str, default=None,
+                        choices=["yolo", "coco", "synthetic"])
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--no-resume", action="store_true")
+    args = parser.parse_args(argv)
+
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig.load(args.config) if args.config else TrainConfig()
+    updates: dict = {"out_dir": str(args.out_dir)}
+    if args.data_root:
+        updates["data_root"] = args.data_root
+    if args.dataset_format:
+        updates["dataset_format"] = args.dataset_format
+    if args.no_resume:
+        updates["resume"] = False
+    cfg = dataclasses.replace(cfg, **updates)
+    args.out_dir.mkdir(parents=True, exist_ok=True)
+    cfg.save(args.out_dir / "config.json")
+
+    from probpose_pytorch_tpu.data import (
+        SyntheticPoseDataset,
+        batch_iterator,
+    )
+
+    if cfg.dataset_format == "synthetic":
+        train_ds = SyntheticPoseDataset(
+            3200, cfg.model.img_size, cfg.model.num_keypoints, seed=1
+        )
+        val_ds = SyntheticPoseDataset(
+            320, cfg.model.img_size, cfg.model.num_keypoints, seed=2
+        )
+    elif cfg.dataset_format == "coco":
+        from probpose_pytorch_tpu.data.coco import COCOPoseDataset
+
+        root = Path(cfg.data_root)
+        train_ds = COCOPoseDataset(
+            root / "annotations/person_keypoints_train2017.json",
+            root / "train2017",
+            cfg.model.img_size,
+        )
+        val_ds = COCOPoseDataset(
+            root / "annotations/person_keypoints_val2017.json",
+            root / "val2017",
+            cfg.model.img_size,
+        )
+    else:
+        from probpose_pytorch_tpu.data import YOLOPoseDataset
+
+        train_ds = YOLOPoseDataset(cfg.data_root, "train", cfg.model.img_size)
+        val_ds = YOLOPoseDataset(cfg.data_root, "valid", cfg.model.img_size)
+
+    steps_per_epoch = max(len(train_ds) // cfg.train_batch_size, 1)
+    trainer = Trainer.create(cfg, steps_per_epoch)
+
+    def train_batches():
+        return batch_iterator(
+            train_ds,
+            cfg.train_batch_size,
+            shuffle=True,
+            seed=cfg.seed,
+            num_workers=cfg.num_workers,
+        )
+
+    def val_batches():
+        return batch_iterator(
+            val_ds, cfg.val_batch_size, num_workers=cfg.num_workers
+        )
+
+    trainer.fit(train_batches, val_batches, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()
