@@ -1,0 +1,120 @@
+"""On-device data augmentation for top-down pose training.
+
+Greenfield subsystem (SURVEY.md §2.4: the reference has no augmentation
+beyond crop/resize). TPU-native design: because cropping already runs on
+device (ops/preprocess.py), geometric augmentation is expressed as *box and
+keypoint transforms* — random horizontal flip (with left/right keypoint-pair
+swapping), random scale/translation jitter of the person box, and photometric
+jitter on the crop — all fused into the same jitted program as the train step.
+
+All ops are pure functions of a PRNG key: reproducible and shardable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["AugmentConfig", "augment_boxes", "flip_crops_and_keypoints",
+           "color_jitter", "COCO_FLIP_PAIRS"]
+
+# Left/right keypoint index pairs for the 17-keypoint COCO skeleton.
+COCO_FLIP_PAIRS = (
+    (1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16),
+)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    flip_prob: float = 0.5
+    scale_jitter: float = 0.15  # box scale ~ U[1-s, 1+s]
+    shift_jitter: float = 0.05  # box shift as a fraction of box size
+    brightness: float = 0.2
+    contrast: float = 0.2
+    flip_pairs: tuple[tuple[int, int], ...] = COCO_FLIP_PAIRS
+
+    @property
+    def enabled(self) -> bool:
+        return (
+            self.flip_prob > 0
+            or self.scale_jitter > 0
+            or self.shift_jitter > 0
+            or self.brightness > 0
+            or self.contrast > 0
+        )
+
+
+def augment_boxes(
+    key: jax.Array, boxes: jax.Array, cfg: AugmentConfig
+) -> jax.Array:
+    """Random scale/shift jitter of (B, 4) xywh boxes about their centers."""
+    B = boxes.shape[0]
+    k1, k2 = jax.random.split(key)
+    scale = 1.0 + cfg.scale_jitter * jax.random.uniform(
+        k1, (B, 1), minval=-1.0, maxval=1.0
+    )
+    shift = cfg.shift_jitter * jax.random.uniform(
+        k2, (B, 2), minval=-1.0, maxval=1.0
+    )
+    cx = boxes[:, 0:1] + boxes[:, 2:3] / 2 + shift[:, 0:1] * boxes[:, 2:3]
+    cy = boxes[:, 1:2] + boxes[:, 3:4] / 2 + shift[:, 1:2] * boxes[:, 3:4]
+    w = boxes[:, 2:3] * scale
+    h = boxes[:, 3:4] * scale
+    return jnp.concatenate([cx - w / 2, cy - h / 2, w, h], axis=1)
+
+
+def _swap_pairs(arr: jax.Array, pairs: Sequence[tuple[int, int]]) -> jax.Array:
+    """Swap left/right keypoint channels along axis 1."""
+    K = arr.shape[1]
+    perm = np.arange(K)
+    for a, b in pairs:
+        if a < K and b < K:
+            perm[a], perm[b] = perm[b], perm[a]
+    return arr[:, jnp.asarray(perm)]
+
+
+def flip_crops_and_keypoints(
+    key: jax.Array,
+    crops: jax.Array,
+    keypoints: jax.Array,
+    visible: jax.Array,
+    visibility: jax.Array,
+    cfg: AugmentConfig,
+):
+    """Random horizontal flip of (B, H, W, C) crops with matching keypoint
+    mirroring and left/right identity swaps."""
+    B, H, W, _ = crops.shape
+    flip = jax.random.bernoulli(key, cfg.flip_prob, (B,))
+    flipped = crops[:, :, ::-1, :]
+    crops = jnp.where(flip[:, None, None, None], flipped, crops)
+
+    kx = W - 1 - keypoints[..., 0]
+    flipped_kpts = _swap_pairs(
+        jnp.stack([kx, keypoints[..., 1]], axis=-1), cfg.flip_pairs
+    )
+    keypoints = jnp.where(flip[:, None, None], flipped_kpts, keypoints)
+    visible = jnp.where(
+        flip[:, None], _swap_pairs(visible, cfg.flip_pairs), visible
+    )
+    visibility = jnp.where(
+        flip[:, None], _swap_pairs(visibility, cfg.flip_pairs), visibility
+    )
+    return crops, keypoints, visible, visibility
+
+
+def color_jitter(
+    key: jax.Array, crops: jax.Array, cfg: AugmentConfig
+) -> jax.Array:
+    """Per-sample brightness/contrast jitter on [0, 1] float crops."""
+    B = crops.shape[0]
+    k1, k2 = jax.random.split(key)
+    b = cfg.brightness * jax.random.uniform(k1, (B, 1, 1, 1), minval=-1, maxval=1)
+    c = 1.0 + cfg.contrast * jax.random.uniform(
+        k2, (B, 1, 1, 1), minval=-1, maxval=1
+    )
+    mean = jnp.mean(crops, axis=(1, 2, 3), keepdims=True)
+    return jnp.clip((crops - mean) * c + mean + b, 0.0, 1.0)

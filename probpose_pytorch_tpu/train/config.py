@@ -11,8 +11,9 @@ from pathlib import Path
 from typing import Any
 
 from probpose_pytorch_tpu.models.model import ModelConfig
+from probpose_pytorch_tpu.ops.augment import AugmentConfig
 
-__all__ = ["OptimConfig", "LossWeights", "TrainConfig"]
+__all__ = ["OptimConfig", "LossWeights", "TrainConfig", "AugmentConfig"]
 
 
 @dataclass(frozen=True)
@@ -30,6 +31,10 @@ class OptimConfig:
     b2: float = 0.999
     ema_decay: float | None = None  # optional EMA of params
     accum_steps: int = 1  # gradient accumulation
+    # Skip parameter updates when grads are non-finite (training-failure
+    # containment; SURVEY.md §5.3 notes the reference has none). Aborts after
+    # this many consecutive bad steps; 0 disables the guard.
+    max_nonfinite_skips: int = 0
 
 
 @dataclass(frozen=True)
@@ -51,6 +56,7 @@ class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     loss_weights: LossWeights = field(default_factory=LossWeights)
+    augment: AugmentConfig | None = None  # None = no augmentation (ref parity)
     epochs: int = 200
     train_batch_size: int = 32
     val_batch_size: int = 32
@@ -91,14 +97,14 @@ class TrainConfig:
                 if k not in fields:
                     raise ValueError(f"unknown config key {k!r} for {dc_cls.__name__}")
                 f = fields[k]
-                if dataclasses.is_dataclass(f.type) or f.name in (
-                    "model",
-                    "optim",
-                    "loss_weights",
-                ):
-                    sub = {"model": ModelConfig, "optim": OptimConfig,
-                           "loss_weights": LossWeights}[f.name]
-                    kwargs[k] = build(sub, v)
+                nested = {
+                    "model": ModelConfig,
+                    "optim": OptimConfig,
+                    "loss_weights": LossWeights,
+                    "augment": AugmentConfig,
+                }
+                if f.name in nested:
+                    kwargs[k] = build(nested[f.name], v) if v is not None else None
                 elif isinstance(v, list):
                     kwargs[k] = tuple(
                         tuple(e) if isinstance(e, list) else e for e in v

@@ -86,9 +86,34 @@ def make_train_step(
     keypoints_visible / keypoints_visibility (B,K).
     """
     weights = cfg.loss_weights.as_dict()
+    aug = cfg.augment
+    base_key = jax.random.PRNGKey(cfg.seed)
 
     def step(state: TrainState, batch: dict[str, Any]):
         images = _prepare_images(batch)
+        if aug is not None and aug.enabled:
+            from probpose_pytorch_tpu.ops.augment import (
+                color_jitter,
+                flip_crops_and_keypoints,
+            )
+
+            key = jax.random.fold_in(base_key, state.step)
+            k_flip, k_color = jax.random.split(key)
+            images, kpts, vis, visibility = flip_crops_and_keypoints(
+                k_flip,
+                images,
+                batch["keypoints"],
+                batch["keypoints_visible"],
+                batch["keypoints_visibility"],
+                aug,
+            )
+            images = color_jitter(k_color, images, aug)
+            batch = dict(
+                batch,
+                keypoints=kpts,
+                keypoints_visible=vis,
+                keypoints_visibility=visibility,
+            )
         gt = _encode_targets(encode_codec, batch)
 
         def compute_loss(params):

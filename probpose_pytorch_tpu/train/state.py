@@ -56,6 +56,8 @@ def make_optimizer(
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, frozen_labels
         )
+    if cfg.max_nonfinite_skips > 0:
+        tx = optax.apply_if_finite(tx, cfg.max_nonfinite_skips)
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
     return tx

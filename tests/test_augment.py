@@ -1,0 +1,130 @@
+"""On-device augmentation tests: flip correctness, box jitter, color jitter,
+train-step integration, NaN-guard optimizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from probpose_pytorch_tpu.ops.augment import (
+    AugmentConfig,
+    augment_boxes,
+    color_jitter,
+    flip_crops_and_keypoints,
+)
+
+
+class TestFlip:
+    def test_always_flip_mirrors_image_and_keypoints(self):
+        cfg = AugmentConfig(flip_prob=1.0, flip_pairs=((0, 1),))
+        rng = np.random.default_rng(0)
+        crops = jnp.asarray(rng.random((2, 8, 10, 3), np.float32))
+        kpts = jnp.asarray([[[2.0, 3.0], [7.0, 1.0], [4.0, 4.0]]] * 2)
+        vis = jnp.asarray([[1.0, 0.0, 1.0]] * 2)
+        visb = jnp.asarray([[0.0, 1.0, 1.0]] * 2)
+        c2, k2, v2, vb2 = flip_crops_and_keypoints(
+            jax.random.PRNGKey(0), crops, kpts, vis, visb, cfg
+        )
+        np.testing.assert_allclose(np.asarray(c2), np.asarray(crops)[:, :, ::-1])
+        # x -> W-1-x, pair (0,1) swapped
+        np.testing.assert_allclose(
+            np.asarray(k2)[0], [[9 - 7, 1.0], [9 - 2, 3.0], [9 - 4, 4.0]]
+        )
+        np.testing.assert_allclose(np.asarray(v2)[0], [0.0, 1.0, 1.0])
+        np.testing.assert_allclose(np.asarray(vb2)[0], [1.0, 0.0, 1.0])
+
+    def test_never_flip_is_identity(self):
+        cfg = AugmentConfig(flip_prob=0.0)
+        crops = jnp.ones((1, 4, 4, 3))
+        kpts = jnp.asarray([[[1.0, 2.0]] * 17])
+        vis = jnp.ones((1, 17))
+        c2, k2, *_ = flip_crops_and_keypoints(
+            jax.random.PRNGKey(0), crops, kpts, vis, vis, cfg
+        )
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(kpts))
+
+
+class TestBoxAndColor:
+    def test_box_jitter_bounded(self):
+        cfg = AugmentConfig(scale_jitter=0.2, shift_jitter=0.1)
+        boxes = jnp.asarray([[10.0, 20.0, 100.0, 200.0]] * 64)
+        out = np.asarray(augment_boxes(jax.random.PRNGKey(1), boxes, cfg))
+        assert (out[:, 2] >= 80).all() and (out[:, 2] <= 120).all()
+        assert (out[:, 3] >= 160).all() and (out[:, 3] <= 240).all()
+        centers = out[:, 0] + out[:, 2] / 2
+        assert np.abs(centers - 60).max() <= 10 + 1e-4
+        assert out.std(axis=0)[2] > 0  # actually random
+
+    def test_color_jitter_stays_in_range(self):
+        cfg = AugmentConfig(brightness=0.3, contrast=0.3)
+        crops = jnp.asarray(
+            np.random.default_rng(0).random((8, 6, 6, 3), np.float32)
+        )
+        out = np.asarray(color_jitter(jax.random.PRNGKey(2), crops, cfg))
+        assert out.min() >= 0 and out.max() <= 1
+        assert not np.allclose(out, np.asarray(crops))
+
+
+class TestTrainIntegration:
+    def test_augmented_step_runs_and_is_deterministic_per_step(self, tmp_path):
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+        from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-aug", dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0)
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-aug",
+                compute_dtype="float32", deconv_out_channels=(16, 16),
+                deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+            augment=AugmentConfig(flip_prob=0.5, brightness=0.2, contrast=0.2,
+                                  flip_pairs=((0, 1), (2, 3))),
+            train_batch_size=4,
+            out_dir=str(tmp_path),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=10)
+        ds = SyntheticPoseDataset(4, cfg.model.img_size, 5)
+        batch = {k: jnp.asarray(v) for k, v in
+                 next(iter(batch_iterator(ds, 4, num_workers=1))).items()}
+        s1, m1 = trainer.train_step(trainer.state, batch)
+        assert np.isfinite(float(m1["loss"]))
+
+        # Same step index + same batch -> identical loss (fold_in determinism)
+        trainer2 = Trainer.create(cfg, steps_per_epoch=10)
+        _, m2 = trainer2.train_step(trainer2.state, batch)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_config_roundtrip_with_augment(self, tmp_path):
+        from probpose_pytorch_tpu.train import TrainConfig
+
+        cfg = TrainConfig(augment=AugmentConfig(flip_prob=0.3))
+        p = tmp_path / "c.json"
+        cfg.save(p)
+        cfg2 = TrainConfig.load(p)
+        assert cfg2.augment.flip_prob == 0.3
+        assert cfg2.augment.flip_pairs == AugmentConfig().flip_pairs
+        assert cfg2 == cfg
+
+
+class TestNaNGuard:
+    def test_nonfinite_updates_skipped(self):
+        import optax
+
+        from probpose_pytorch_tpu.train.config import OptimConfig
+        from probpose_pytorch_tpu.train.state import make_optimizer
+
+        tx = make_optimizer(
+            OptimConfig(max_nonfinite_skips=3), total_steps=100
+        )
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        bad = {"w": jnp.asarray([jnp.nan, 1.0, 1.0])}
+        updates, state = tx.update(bad, state, params)
+        np.testing.assert_array_equal(np.asarray(updates["w"]), 0.0)
+        good = {"w": jnp.ones(3)}
+        updates, state = tx.update(good, state, params)
+        assert float(jnp.abs(updates["w"]).sum()) > 0
