@@ -63,16 +63,31 @@ class ModelConfig:
 
 
 def build_model(cfg: ModelConfig) -> ProbPoseModel:
-    vit_kw = ViTConfig.PRESETS[cfg.backbone]
-    backbone = ViTBackbone(
-        img_size=cfg.img_size,
-        patch_size=cfg.patch_size,
-        dtype=cfg.dtype,
-        softmax_dtype=jnp.dtype(cfg.softmax_dtype),
-        frozen=cfg.frozen_backbone,
-        adapter_hidden=cfg.adapter_hidden,
-        **vit_kw,
-    )
+    if cfg.backbone.startswith("conv"):
+        from probpose_pytorch_tpu.models.convnet import (
+            CONV_PRESETS,
+            ConvBackbone,
+        )
+
+        channels, blocks = CONV_PRESETS[cfg.backbone]
+        backbone = ConvBackbone(
+            img_size=cfg.img_size,
+            stage_channels=channels,
+            stage_blocks=blocks,
+            dtype=cfg.dtype,
+            frozen=cfg.frozen_backbone,
+        )
+    else:
+        vit_kw = ViTConfig.PRESETS[cfg.backbone]
+        backbone = ViTBackbone(
+            img_size=cfg.img_size,
+            patch_size=cfg.patch_size,
+            dtype=cfg.dtype,
+            softmax_dtype=jnp.dtype(cfg.softmax_dtype),
+            frozen=cfg.frozen_backbone,
+            adapter_hidden=cfg.adapter_hidden,
+            **vit_kw,
+        )
     head = ProbMapHead(
         out_channels=cfg.num_keypoints,
         pool_sizes=cfg.pool_sizes,

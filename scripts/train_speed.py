@@ -48,8 +48,10 @@ def timed(n):
     return time.perf_counter() - t0
 
 
-timed(1); timed(6)
-best = float("inf")
-for _ in range(3):
-    best = min(best, (timed(6) - timed(1)) / 5)
-print(f"train step: {best*1e3:.1f} ms/step  {B/best:.0f} crops/s training throughput (B={B})")
+timed(2); timed(12)
+import statistics
+samples = []
+for _ in range(5):
+    samples.append((timed(12) - timed(2)) / 10)
+per = statistics.median(samples)
+print(f"train step: {per*1e3:.1f} ms/step  {B/per:.0f} crops/s training throughput (B={B})")

@@ -158,3 +158,30 @@ class TestHeadAndModel:
         assert any("error" in k and v == "frozen" for k, v in froze.items())
         assert any("deconv" in k and v == "frozen" for k, v in froze.items())
         assert any("probability" in k and v == "trainable" for k, v in froze.items())
+
+
+class TestConvBackbone:
+    def test_feature_grid_contract_and_model(self):
+        from probpose_pytorch_tpu.models.convnet import ConvBackbone
+
+        m = ConvBackbone(
+            img_size=(64, 48), stage_channels=(8, 16, 24, 32),
+            stage_blocks=(1, 1, 1, 1), dtype=jnp.float32,
+        )
+        x = jnp.zeros((2, 64, 48, 3))
+        variables = m.init(jax.random.PRNGKey(0), x, train=True)
+        feats, _ = m.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert feats.shape == (2, 4, 3, 32)  # stride 16, like ViT/p16
+
+    def test_build_model_conv_preset(self):
+        cfg = ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="conv-t",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        )
+        model = build_model(cfg)
+        x = jnp.zeros((2, 64, 48, 3))
+        variables, (out, _) = _init_and_apply(model, x, train=True)
+        W, H = cfg.heatmap_size
+        assert out[0].shape == (2, 5, H, W)
