@@ -39,19 +39,21 @@ def chained(state, batch, n):
     def body(_, s):
         s2, _ = step(s, batch)
         return s2
-    return jax.lax.fori_loop(0, n, body, state).step
+    final = jax.lax.fori_loop(0, n, body, state)
+    # Fetch a param-dependent scalar so the loop body cannot be DCE'd.
+    return sum(jnp.sum(jnp.abs(l).astype(jnp.float32)) for l in jax.tree_util.tree_leaves(final.params))
 
 
 def timed(n):
     t0 = time.perf_counter()
-    int(chained(trainer.state, batch, n))
+    float(chained(trainer.state, batch, n))
     return time.perf_counter() - t0
 
 
-timed(2); timed(12)
+timed(1); timed(4)
 import statistics
 samples = []
-for _ in range(5):
-    samples.append((timed(12) - timed(2)) / 10)
+for _ in range(3):
+    samples.append((timed(4) - timed(1)) / 3)
 per = statistics.median(samples)
 print(f"train step: {per*1e3:.1f} ms/step  {B/per:.0f} crops/s training throughput (B={B})")
