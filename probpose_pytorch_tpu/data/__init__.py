@@ -7,3 +7,11 @@ from probpose_pytorch_tpu.data.yolo import (  # noqa: F401
     YOLOPoseDataset,
     parse_yolo_annotations,
 )
+from probpose_pytorch_tpu.data.cache import (  # noqa: F401
+    CachedCropDataset,
+    build_crop_cache,
+)
+from probpose_pytorch_tpu.data.coco import (  # noqa: F401
+    COCOPoseDataset,
+    parse_coco_annotations,
+)

@@ -47,6 +47,7 @@ class ModelConfig:
     normalize: float | None = 1.0
     compute_dtype: str = "bfloat16"
     softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
+    remat: bool = False  # jax.checkpoint the ViT blocks
 
     @property
     def heatmap_size(self) -> tuple[int, int]:
@@ -86,6 +87,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
             softmax_dtype=jnp.dtype(cfg.softmax_dtype),
             frozen=cfg.frozen_backbone,
             adapter_hidden=cfg.adapter_hidden,
+            remat=cfg.remat,
             **vit_kw,
         )
     head = ProbMapHead(

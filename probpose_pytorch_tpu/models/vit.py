@@ -124,6 +124,7 @@ class ViTBackbone(nn.Module):
     softmax_dtype: jnp.dtype = jnp.float32
     frozen: bool = False
     adapter_hidden: Sequence[int] = ()
+    remat: bool = False  # rematerialize blocks (memory <- FLOPs trade)
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -150,8 +151,9 @@ class ViTBackbone(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(self.dtype)
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 self.num_heads,
                 self.mlp_ratio,
                 dtype=self.dtype,

@@ -131,6 +131,7 @@ def refine_keypoints_dark_udp(
     keypoints: jax.Array,
     heatmaps: jax.Array,
     blur_ops: GaussianBlurOperators,
+    max_step: float | None = None,
 ) -> jax.Array:
     """Distribution-aware (DarkPose/UDP) refinement of argmax keypoints.
 
@@ -145,6 +146,10 @@ def refine_keypoints_dark_udp(
             read the padded corner).
         heatmaps: (B, K, H, W).
         blur_ops: from `build_gaussian_blur_operators`.
+        max_step: optional clamp on the Newton step magnitude (px). The
+            reference leaves degenerate-Hessian steps unbounded (they reach
+            tens of px and are meaningless); None preserves that behavior,
+            a value like 1.0 bounds refinement to its valid sub-pixel regime.
 
     Returns:
         (B, K, 2) refined float32 keypoints.
@@ -185,6 +190,8 @@ def refine_keypoints_dark_udp(
     pa, pb, pc = _sym2x2_pinv(dxx + eps, dxy, dyy + eps)
     step_x = pa * dx + pb * dy
     step_y = pb * dx + pc * dy
-    return (keypoints - jnp.stack([step_x, step_y], axis=-1)).astype(
-        jnp.float32
-    )
+    step = jnp.stack([step_x, step_y], axis=-1)
+    if max_step is not None:
+        norm = jnp.linalg.norm(step, axis=-1, keepdims=True)
+        step = step * jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12))
+    return (keypoints - step).astype(jnp.float32)

@@ -76,7 +76,6 @@ class TrainConfig:
     num_workers: int = 4
     out_dir: str = "./runs/default"
     resume: bool = True
-    remat: bool = False  # jax.checkpoint the backbone
     model_parallel: int = 1
 
     # ----- (de)serialization -----

@@ -214,12 +214,7 @@ class Trainer:
             model, rng, sample, tx, ema=cfg.optim.ema_decay is not None
         )
         if mesh is not None:
-            state = state.replace(
-                params=shard_params(state.params, mesh),
-                opt_state=jax.tree_util.tree_map(
-                    lambda x: x, state.opt_state
-                ),
-            )
+            state = state.replace(params=shard_params(state.params, mesh))
         train_step = jax.jit(
             make_train_step(model, encode_codec, loss_fn, tx, cfg),
             donate_argnums=(0,),
