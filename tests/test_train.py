@@ -126,3 +126,37 @@ class TestConfig:
         assert lr0 == pytest.approx(1e-3 / 25, rel=1e-3)
         assert lr_peak == pytest.approx(1e-3, rel=1e-3)
         assert lr_end < 1e-5
+
+
+class TestOptimFeatures:
+    def test_ema_params_track(self, tmp_path):
+        from probpose_pytorch_tpu.train.config import OptimConfig
+        import dataclasses
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(cfg, optim=OptimConfig(ema_decay=0.5))
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        assert trainer.state.ema_params is not None
+        batch = next(iter(_data(cfg)()))
+        state, _ = trainer.train_step(trainer.state, batch)
+        # EMA moved toward the new params but is not equal to them.
+        p = jax.tree_util.tree_leaves(state.params)[0]
+        e = jax.tree_util.tree_leaves(state.ema_params)[0]
+        assert float(jnp.abs(p - e).max()) > 0
+
+    def test_gradient_accumulation(self, tmp_path):
+        from probpose_pytorch_tpu.train.config import OptimConfig
+        import dataclasses
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(cfg, optim=OptimConfig(accum_steps=2))
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        batch = next(iter(_data(cfg)()))
+        p0 = jax.tree_util.tree_leaves(trainer.state.params)[0].copy()
+        s1, _ = trainer.train_step(trainer.state, batch)
+        p1 = jax.tree_util.tree_leaves(s1.params)[0]
+        # First micro-step accumulates only: params unchanged.
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+        s2, _ = trainer.train_step(s1, batch)
+        p2 = jax.tree_util.tree_leaves(s2.params)[0]
+        assert float(jnp.abs(p2 - p0).max()) > 0  # second applies the update
