@@ -1,0 +1,93 @@
+"""Streaming COCO val evaluation pipeline (BASELINE config #4):
+detector/GT boxes -> bucketed crop batches -> batched pose decode ->
+frame-space keypoints -> streaming AP.
+
+Greenfield subsystem (SURVEY.md §2.4: the reference has no val-AP path).
+The device side (crop -> forward -> decode -> untransform) is one jitted
+program per batch shape; the AP accumulation stays on host, outside the step.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Any, Iterable
+
+import numpy as np
+
+from probpose_pytorch_tpu.data.coco import COCO_SIGMAS
+from probpose_pytorch_tpu.eval.coco_eval import COCOKeypointEvaluator
+
+__all__ = ["evaluate_topdown"]
+
+
+def evaluate_topdown(
+    predictor: Any,
+    dataset: Any,
+    batch_size: int = 32,
+    sigmas: np.ndarray = COCO_SIGMAS,
+    score_key: str = "scores",
+    max_samples: int | None = None,
+) -> dict[str, float]:
+    """Run top-down evaluation over a COCO-style crop dataset.
+
+    The dataset must yield samples with `image` (crop), `bbox` (frame-space
+    xywh used for the crop), `image_id`, `area`, and frame-space GT implied by
+    the crop keypoints. Detections for each image_id are pooled, then fed to
+    the streaming evaluator.
+
+    Returns the COCO keypoint summary (AP, AP50, AP75, AP_medium, AP_large,
+    AR).
+    """
+    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    per_image: dict[int, dict[str, list]] = defaultdict(
+        lambda: dict(dt=[], scores=[], gt=[], areas=[], boxes=[])
+    )
+
+    H, W = predictor.input_size
+    for start in range(0, n, batch_size):
+        idxs = range(start, min(start + batch_size, n))
+        samples = [dataset[i] for i in idxs]
+        # Pad the tail batch so the jitted shape stays constant.
+        pad = batch_size - len(samples)
+        batch = samples + [samples[-1]] * pad
+        crops = np.stack([s["image"] for s in batch])
+        boxes = np.stack([s["bbox"] for s in batch])
+        # The predictor re-crops from frames; here samples are already crops,
+        # so feed identity boxes and un-map with the true boxes.
+        ident = np.tile(
+            np.array([0, 0, W, H], np.float32), (len(batch), 1)
+        )
+        out = predictor(crops, ident)
+        kpts = out["keypoints"][: len(samples)]  # crop space
+        scores = out[score_key][: len(samples)]
+        probs = out["probabilities"][: len(samples), 0]
+
+        for s, kp, sc, pr in zip(samples, kpts, scores, probs):
+            x0, y0, bw, bh = s["bbox"]
+            frame_kp = np.empty_like(kp)
+            frame_kp[:, 0] = kp[:, 0] / W * bw + x0
+            frame_kp[:, 1] = kp[:, 1] / H * bh + y0
+            dt = np.concatenate([frame_kp, sc.reshape(-1, 1)], axis=1)
+            gt_xy = np.empty_like(s["keypoints"])
+            gt_xy[:, 0] = s["keypoints"][:, 0] / W * bw + x0
+            gt_xy[:, 1] = s["keypoints"][:, 1] / H * bh + y0
+            gt = np.concatenate(
+                [gt_xy, s["keypoints_visible"].reshape(-1, 1) * 2], axis=1
+            )
+            rec = per_image[int(s["image_id"])]
+            rec["dt"].append(dt)
+            rec["scores"].append(float(np.mean(sc * pr)))
+            rec["gt"].append(gt)
+            rec["areas"].append(float(s["area"]))
+            rec["boxes"].append(np.asarray(s["bbox"], np.float64))
+
+    evaluator = COCOKeypointEvaluator(np.asarray(sigmas))
+    for rec in per_image.values():
+        evaluator.add_image(
+            np.stack(rec["dt"]),
+            np.asarray(rec["scores"]),
+            np.stack(rec["gt"]),
+            np.asarray(rec["areas"]),
+            np.stack(rec["boxes"]),
+        )
+    return evaluator.summarize()

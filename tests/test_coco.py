@@ -135,3 +135,40 @@ class TestEvaluator:
         res = ev.summarize()
         assert 0.4 < res["AP"] <= 0.51
         assert res["AR"] == pytest.approx(0.5)
+
+
+class TestEvalPipeline:
+    def test_oracle_predictor_gets_high_ap(self, mini_coco):
+        """A 'predictor' that decodes the GT-encoded heatmaps must score
+        AP ~1 through the full streaming pipeline (crop->decode->untransform
+        ->match)."""
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.codec import ProbMap
+        from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
+
+        ann_file, img_dir = mini_coco
+        ds = COCOPoseDataset(ann_file, img_dir, (64, 48), min_keypoints=1)
+        pm = ProbMap((48, 64), (48, 64), sigmas=COCO_SIGMAS)
+
+        class OracleRoundTrip:
+            input_size = (64, 48)
+
+            def __call__(self, crops, boxes):
+                i = getattr(self, "_i", 0)
+                samples = [ds[min(i + j, len(ds) - 1)] for j in range(len(crops))]
+                self._i = i + len(crops)
+                kpts = np.stack([s["keypoints"] for s in samples])
+                vis = np.stack([s["keypoints_visible"] for s in samples])
+                enc = pm.encode(jnp.asarray(kpts), jnp.asarray(vis))
+                dec, scores = pm.decode(enc["heatmaps"])
+                return dict(
+                    keypoints=np.asarray(dec),
+                    scores=np.asarray(scores),
+                    probabilities=np.ones((len(crops), 1, kpts.shape[1])),
+                )
+
+        res = evaluate_topdown(OracleRoundTrip(), ds, batch_size=2,
+                               sigmas=COCO_SIGMAS)
+        assert res["AP"] > 0.95, res
+        assert res["AR"] > 0.95, res
