@@ -83,6 +83,34 @@ class TopDownPredictor:
         )
         return {k: np.asarray(v) for k, v in out.items()}
 
+    def predict_frame(
+        self,
+        frame: np.ndarray,
+        boxes: np.ndarray,
+        buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
+    ) -> dict:
+        """Variable-count detector boxes on one frame: pads the box list to
+        the next bucket size (bounding recompilation to len(buckets) programs)
+        and strips the padding from the outputs."""
+        n = len(boxes)
+        if n == 0:
+            return {}
+        bucket = next((b for b in buckets if b >= n), None)
+        if bucket is None:
+            parts = [
+                self.predict_frame(frame, boxes[i : i + buckets[-1]], buckets)
+                for i in range(0, n, buckets[-1])
+            ]
+            return {
+                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+            }
+        padded = np.concatenate(
+            [boxes, np.tile(boxes[-1:], (bucket - n, 1))], axis=0
+        ).astype(np.float32)
+        frames = np.broadcast_to(frame, (bucket, *frame.shape))
+        out = self(frames, padded)
+        return {k: v[:n] for k, v in out.items()}
+
 
 def load_predictor(
     checkpoint_dir: str | Path,

@@ -1,4 +1,4 @@
-from probpose_pytorch_tpu.parallel.mesh import make_mesh  # noqa: F401
+from probpose_pytorch_tpu.parallel.mesh import make_hybrid_mesh, make_mesh  # noqa: F401
 from probpose_pytorch_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -44,3 +44,33 @@ def make_mesh(
         n_devices // model_parallel, model_parallel
     )
     return Mesh(grid, axis_names)
+
+
+def make_hybrid_mesh(
+    model_parallel: int = 1,
+    axis_names: tuple[str, str] = ("data", "model"),
+) -> Mesh:
+    """Multi-slice mesh: data parallelism spans slices over DCN, tensor
+    parallelism stays within a slice on ICI.
+
+    Uses mesh_utils.create_hybrid_device_mesh so the "model" axis (which
+    carries per-block all-reduces) is mapped to ICI neighbors and only the
+    gradient all-reduce crosses DCN — the standard multi-slice layout. Falls
+    back to `make_mesh` on a single slice/host.
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+
+    devices = jax.devices()
+    n = len(devices)
+    num_slices = max(
+        len({getattr(d, "slice_index", 0) for d in devices}), 1
+    )
+    if num_slices <= 1:
+        return make_mesh(n, model_parallel, axis_names)
+    per_slice = n // num_slices
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(per_slice // model_parallel, model_parallel),
+        dcn_mesh_shape=(num_slices, 1),
+        devices=devices,
+    )
+    return Mesh(grid, axis_names)

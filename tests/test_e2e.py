@@ -168,3 +168,39 @@ def test_host_metrics_match_on_device():
         jnp.asarray(dt[None]), jnp.asarray(gt[None]), jnp.asarray(m[None])
     )
     assert abs(sampled - float(det)) < 0.02
+
+
+def test_predict_frame_bucketing(tmp_path):
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir=str(tmp_path / "run"),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    predictor = TopDownPredictor(
+        model=trainer.model,
+        variables={"params": trainer.state.params,
+                   "batch_stats": trainer.state.batch_stats},
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+    rng = np.random.default_rng(1)
+    frame = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+    boxes = rng.uniform([0, 0, 40, 50], [60, 40, 90, 70], (3, 4)).astype(
+        np.float32
+    )
+    out = predictor.predict_frame(frame, boxes, buckets=(4, 8))
+    assert out["keypoints"].shape == (3, 5, 2)
+    # Bucketed (padded to 4) results equal unbucketed ones for the real boxes.
+    direct = predictor(np.broadcast_to(frame, (3, *frame.shape)),
+                       boxes)
+    np.testing.assert_allclose(out["keypoints"], direct["keypoints"],
+                               atol=1e-4)

@@ -102,3 +102,10 @@ def test_batch_sharding_layout(tmp_path):
     batch = shard_batch({"x": jnp.zeros((16, 4))}, mesh)
     shards = batch["x"].sharding
     assert shards.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_hybrid_mesh_single_slice_fallback():
+    from probpose_pytorch_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(model_parallel=2)
+    assert mesh.shape == {"data": 4, "model": 2}
