@@ -1,3 +1,6 @@
 from probpose_pytorch_tpu.ops.pallas.sparsemax_kernel import (  # noqa: F401
     sparsemax_pallas,
 )
+from probpose_pytorch_tpu.ops.pallas.decode_kernel import (  # noqa: F401
+    expected_value_decode_pallas,
+)

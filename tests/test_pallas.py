@@ -31,3 +31,35 @@ def test_ragged_rows_masked_grid():
     p = np.asarray(sparsemax_pallas(jnp.asarray(z), interpret=True))
     ref = np.asarray(sparsemax(jnp.asarray(z)))
     np.testing.assert_allclose(p, ref, atol=1e-6)
+
+
+def test_fused_decode_matches_xla_path():
+    from probpose_pytorch_tpu.ops.heatmap import (
+        build_oks_conv_operators,
+        expected_value_decode,
+    )
+    from probpose_pytorch_tpu.ops.pallas import expected_value_decode_pallas
+
+    rng = np.random.default_rng(0)
+    B, K, H, W = 5, 4, 64, 48
+    # realistic single-peak maps
+    from oracles import numpy_probmaps
+
+    kpts = rng.uniform([3, 3], [W - 4, H - 4], (B, K, 2)).astype(np.float32)
+    sigmas = rng.uniform(0.03, 0.12, (K,)).astype(np.float32)
+    maps, _ = numpy_probmaps((W, H), kpts, np.ones((B, K)), sigmas, -1.0)
+    maps = np.clip(
+        maps + 0.03 * rng.random((B, K, H, W), dtype=np.float32), 0, 1
+    ).astype(np.float32)
+
+    ops = build_oks_conv_operators(sigmas, H, W)
+    locs_ref, vals_ref = expected_value_decode(jnp.asarray(maps), ops)
+    locs, vals = expected_value_decode_pallas(
+        jnp.asarray(maps), ops, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(locs), np.asarray(locs_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(vals_ref), atol=1e-6
+    )
