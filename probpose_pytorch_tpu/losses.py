@@ -13,14 +13,14 @@ hand-computed NumPy oracles in tests/test_losses.py.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from probpose_pytorch_tpu.codec import ArgMaxProbMap, Codec, _ProbMapBase
+from probpose_pytorch_tpu.codec import Codec, _ProbMapBase
 from probpose_pytorch_tpu.ops.heatmap import (
     calc_distances,
     distance_acc,
