@@ -73,6 +73,7 @@ class TrainConfig:
     learn_heatmaps_from_zeros: bool = False
     data_root: str = "./data/field-synth-2"
     dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic"
+    preprocess_method: str = "bilinear_matmul"  # frame-mode crop kernel
     num_workers: int = 4
     out_dir: str = "./runs/default"
     resume: bool = True

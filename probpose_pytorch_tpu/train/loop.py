@@ -82,15 +82,45 @@ def make_train_step(
 ) -> Callable:
     """Build the fused train step: (state, batch) -> (state, metrics).
 
-    batch: image (B,H,W,3) uint8/f32 crops, keypoints (B,K,2) in input space,
-    keypoints_visible / keypoints_visibility (B,K).
+    Two batch layouts are accepted:
+      * crop mode — image (B,H,W,3) uint8/f32 crops, keypoints (B,K,2) in
+        crop space;
+      * frame mode — frame (B,Hs,Ws,3) full frames + box (B,4) xywh +
+        keypoints (B,K,2) in FRAME space. Cropping (and box-jitter
+        augmentation, when configured) then happens **inside the step** on
+        device — the fully fused preprocess path (BASELINE north star).
+    Plus keypoints_visible / keypoints_visibility (B,K) in both modes.
     """
     weights = cfg.loss_weights.as_dict()
     aug = cfg.augment
     base_key = jax.random.PRNGKey(cfg.seed)
+    H, W = cfg.model.img_size
 
     def step(state: TrainState, batch: dict[str, Any]):
-        images = _prepare_images(batch)
+        if "frame" in batch:
+            from probpose_pytorch_tpu.ops.augment import augment_boxes
+            from probpose_pytorch_tpu.ops.preprocess import (
+                crop_resize,
+                transform_keypoints,
+            )
+
+            boxes = jnp.asarray(batch["box"], jnp.float32)
+            if aug is not None and (aug.scale_jitter or aug.shift_jitter):
+                kb = jax.random.fold_in(base_key, state.step * 2 + 1)
+                boxes = augment_boxes(kb, boxes, aug)
+            images = crop_resize(
+                batch["frame"], boxes, (H, W), cfg.preprocess_method
+            )
+            batch = dict(
+                batch,
+                keypoints=transform_keypoints(
+                    jnp.asarray(batch["keypoints"], jnp.float32),
+                    boxes,
+                    (H, W),
+                ),
+            )
+        else:
+            images = _prepare_images(batch)
         if aug is not None and aug.enabled:
             from probpose_pytorch_tpu.ops.augment import (
                 color_jitter,

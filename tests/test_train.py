@@ -160,3 +160,56 @@ class TestOptimFeatures:
         s2, _ = trainer.train_step(s1, batch)
         p2 = jax.tree_util.tree_leaves(s2.params)[0]
         assert float(jnp.abs(p2 - p0).max()) > 0  # second applies the update
+
+
+class TestFrameMode:
+    def test_frame_mode_step_matches_crop_mode_semantics(self, tmp_path):
+        """Frame-mode (on-device crop inside the step) trains and, with an
+        identity box, matches crop-mode losses."""
+        import dataclasses
+
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        batch = next(iter(_data(cfg)()))
+        H, W = cfg.model.img_size
+
+        frame_batch = dict(
+            frame=jnp.asarray(batch["image"]),
+            box=jnp.tile(jnp.asarray([[0.0, 0.0, W, H]]), (4, 1)),
+            keypoints=jnp.asarray(batch["keypoints"]),
+            keypoints_visible=jnp.asarray(batch["keypoints_visible"]),
+            keypoints_visibility=jnp.asarray(batch["keypoints_visibility"]),
+        )
+        s1, m1 = trainer.train_step(trainer.state, frame_batch)
+        assert np.isfinite(float(m1["loss"]))
+
+        trainer2 = Trainer.create(cfg, steps_per_epoch=4)
+        s2, m2 = trainer2.train_step(trainer2.state, batch)
+        # identity box -> crop == image (bilinear over exact grid): same loss
+        np.testing.assert_allclose(
+            float(m1["loss"]), float(m2["loss"]), rtol=5e-3
+        )
+
+    def test_frame_mode_with_box_jitter(self, tmp_path):
+        import dataclasses
+
+        from probpose_pytorch_tpu.ops.augment import AugmentConfig
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(
+            cfg, augment=AugmentConfig(flip_prob=0.0, scale_jitter=0.2,
+                                       shift_jitter=0.1, brightness=0,
+                                       contrast=0)
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        batch = next(iter(_data(cfg)()))
+        H, W = cfg.model.img_size
+        frame_batch = dict(
+            frame=jnp.asarray(batch["image"]),
+            box=jnp.tile(jnp.asarray([[0.0, 0.0, W, H]]), (4, 1)),
+            keypoints=jnp.asarray(batch["keypoints"]),
+            keypoints_visible=jnp.asarray(batch["keypoints_visible"]),
+            keypoints_visibility=jnp.asarray(batch["keypoints_visibility"]),
+        )
+        s, m = trainer.train_step(trainer.state, frame_batch)
+        assert np.isfinite(float(m["loss"]))
