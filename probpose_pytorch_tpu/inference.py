@@ -34,13 +34,18 @@ class TopDownPredictor:
     variables: Any
     codec: Any
     input_size: tuple[int, int]  # (H, W)
-    preprocess_method: str = "bilinear_gather"
+    preprocess_method: str = "bilinear_matmul"
+    mesh: Any = None  # jax.sharding.Mesh for data-parallel serving
 
     def __post_init__(self):
         import jax
 
         self._jitted: dict[tuple, Any] = {}
         self._jax = jax
+        if self.mesh is not None:
+            from probpose_pytorch_tpu.parallel.sharding import shard_params
+
+            self.variables = shard_params(self.variables, self.mesh)
 
     def _fn(self):
         import jax
@@ -78,9 +83,13 @@ class TopDownPredictor:
         key = (frames.shape, boxes.shape)
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
-        out = self._jitted[key](
-            self.variables, jnp.asarray(frames), jnp.asarray(boxes)
-        )
+        frames = jnp.asarray(frames)
+        boxes = jnp.asarray(boxes)
+        if self.mesh is not None:
+            from probpose_pytorch_tpu.parallel.sharding import shard_batch
+
+            frames, boxes = shard_batch((frames, boxes), self.mesh)
+        out = self._jitted[key](self.variables, frames, boxes)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def predict_frame(

@@ -109,3 +109,35 @@ def test_hybrid_mesh_single_slice_fallback():
 
     mesh = make_hybrid_mesh(model_parallel=2)
     assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_data_parallel_serving(tmp_path):
+    """TopDownPredictor over the 8-device mesh matches single-device output."""
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = _cfg(tmp_path)
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (8, 100, 120, 3), dtype=np.uint8)
+    boxes = rng.uniform([0, 0, 40, 50], [50, 40, 70, 60], (8, 4)).astype(
+        np.float32
+    )
+    single = TopDownPredictor(
+        model=trainer.model, variables=variables,
+        codec=trainer.encode_codec, input_size=cfg.model.img_size,
+    )(frames, boxes)
+    mesh = make_mesh(8, model_parallel=2)
+    sharded = TopDownPredictor(
+        model=trainer.model, variables=variables,
+        codec=trainer.encode_codec, input_size=cfg.model.img_size,
+        mesh=mesh,
+    )(frames, boxes)
+    np.testing.assert_allclose(
+        single["keypoints"], sharded["keypoints"], atol=1e-4
+    )

@@ -123,3 +123,52 @@ def test_deconv_layout_conversion_exact():
     np.testing.assert_allclose(
         np.asarray(out).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-5
     )
+
+
+def test_convert_cli_roundtrip(tmp_path):
+    """Build a reference-layout torch head checkpoint, convert it to Orbax,
+    reload it with the predictor loader, and check the imported weights are
+    actually in the restored state."""
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.compat.convert import main as convert_main
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.models.vit import ViTConfig
+    from probpose_pytorch_tpu.train import TrainConfig
+
+    ViTConfig.PRESETS.setdefault(
+        "vit-tiny-conv", dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0)
+    )
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 64), num_keypoints=3, backbone="vit-tiny-conv",
+            compute_dtype="float32", deconv_out_channels=(8, 8),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=None,
+        ),
+        out_dir=str(tmp_path / "unused"),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(cfg_path)
+
+    torch.manual_seed(0)
+    tm = _torch_head(in_ch=16, out_ch=3, deconv=(8, 8), pools=((2, 2), (2, 2)))
+    ckpt_path = tmp_path / "head.pth"
+    torch.save(tm.state_dict(), ckpt_path)
+
+    out = tmp_path / "imported"
+    convert_main([
+        "--torch-checkpoint", str(ckpt_path),
+        "--config", str(cfg_path),
+        "--out", str(out),
+        "--head-only",
+    ])
+
+    from probpose_pytorch_tpu.inference import load_predictor
+
+    predictor = load_predictor(out / "checkpoints", out / "config.json")
+    got = np.asarray(
+        predictor.variables["params"]["head"]["final"]["kernel"]
+    )
+    want = tm.final_layer.weight.detach().numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
