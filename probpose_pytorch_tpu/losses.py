@@ -214,16 +214,33 @@ def pose_pck_accuracy(
     mask: jax.Array,
     thr: float = 0.05,
     normalize: jax.Array | None = None,
+    method: str = "argmax",
+    conv_ops=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """PCK from heatmaps via argmax (reference pose_pck_accuracy,
-    loss.py:767-822, method='argmax'). Returns (per-kpt acc, avg acc, count);
-    counts are traced scalars. Keeps the reference's [H, W] (not [W, H])
-    normalization quirk (loss.py:814)."""
+    """PCK from heatmaps (reference pose_pck_accuracy, loss.py:767-822).
+    Returns (per-kpt acc, avg acc, count); counts are traced scalars. Keeps
+    the reference's [H, W] (not [W, H]) normalization quirk (loss.py:814).
+
+    method='expected' uses the expected-value decoder and needs `conv_ops`
+    from ops.heatmap.build_oks_conv_operators — the reference's 'expected'
+    branch is unreachable (it omits the required sigmas, loss.py:820-821);
+    here it works.
+    """
     N, K, H, W = output.shape
     if normalize is None:
         normalize = jnp.tile(jnp.asarray([[H, W]], jnp.float32), (N, 1))
-    pred, _ = heatmap_maximum(output)
-    gt, _ = heatmap_maximum(target)
+    if method == "expected":
+        if conv_ops is None:
+            raise ValueError("method='expected' requires conv_ops")
+        from probpose_pytorch_tpu.ops.heatmap import expected_value_decode
+
+        pred, _ = expected_value_decode(output, conv_ops)
+        gt, _ = expected_value_decode(target, conv_ops)
+    elif method == "argmax":
+        pred, _ = heatmap_maximum(output)
+        gt, _ = heatmap_maximum(target)
+    else:
+        raise ValueError(f"invalid method {method!r}")
     d = calc_distances(pred, gt, mask, normalize)  # (K, N)
     acc = jax.vmap(lambda row: distance_acc(row, thr))(d)
     valid = acc >= 0
