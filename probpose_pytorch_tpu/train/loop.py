@@ -208,6 +208,10 @@ class Trainer:
     Usage:
         trainer = Trainer.create(cfg, steps_per_epoch)
         trainer.fit(train_batches, val_batches)
+
+    Note: `train_step` donates its input state (buffers are reused for the
+    new state on device) — always continue from the returned state, never
+    reuse the state object passed in.
     """
 
     cfg: TrainConfig
