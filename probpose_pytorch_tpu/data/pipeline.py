@@ -83,7 +83,9 @@ def batch_iterator(
     num_workers: int = 4,
     epoch: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Yield collated numpy batches; samples load in a thread pool."""
+    """Yield collated numpy batches. Datasets exposing `get_batch(indices)`
+    (e.g. CachedCropDataset) are read with one vectorized gather per batch;
+    otherwise samples load in a thread pool."""
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(idx)
@@ -92,6 +94,10 @@ def batch_iterator(
     groups = [idx[i : i + batch_size] for i in range(0, ends, batch_size)]
     if not drop_last and ends < len(idx):
         groups.append(idx[ends:])
+    if hasattr(dataset, "get_batch"):
+        for g in groups:
+            yield dataset.get_batch(g)
+        return
     if num_workers <= 1:
         for g in groups:
             yield _collate([dataset[int(i)] for i in g])
