@@ -69,6 +69,20 @@ def main(argv=None) -> None:
         train_ds = YOLOPoseDataset(cfg.data_root, "train", cfg.model.img_size)
         val_ds = YOLOPoseDataset(cfg.data_root, "valid", cfg.model.img_size)
 
+    if cfg.cache_dir:
+        from probpose_pytorch_tpu.data import (
+            CachedCropDataset,
+            build_crop_cache,
+        )
+
+        root = Path(cfg.cache_dir)
+        train_ds = CachedCropDataset(
+            build_crop_cache(train_ds, root / "train", cfg.num_workers)
+        )
+        val_ds = CachedCropDataset(
+            build_crop_cache(val_ds, root / "val", cfg.num_workers)
+        )
+
     steps_per_epoch = max(len(train_ds) // cfg.train_batch_size, 1)
     trainer = Trainer.create(cfg, steps_per_epoch)
 

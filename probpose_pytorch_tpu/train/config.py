@@ -74,6 +74,9 @@ class TrainConfig:
     data_root: str = "./data/field-synth-2"
     dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic"
     preprocess_method: str = "bilinear_matmul"  # frame-mode crop kernel
+    # Materialize decoded crops into a packed memmap cache once and stream
+    # raw bytes thereafter (data/cache.py); "" disables.
+    cache_dir: str = ""
     num_workers: int = 4
     out_dir: str = "./runs/default"
     resume: bool = True

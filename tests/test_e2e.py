@@ -204,3 +204,29 @@ def test_predict_frame_bucketing(tmp_path):
                        boxes)
     np.testing.assert_allclose(out["keypoints"], direct["keypoints"],
                                atol=1e-4)
+
+
+def test_cli_with_crop_cache(yolo_root, tmp_path):
+    import dataclasses
+
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig
+    from probpose_pytorch_tpu.train.cli import main
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        epochs=1, train_batch_size=2, val_batch_size=2, val_every=1000,
+        data_root=str(yolo_root), dataset_format="yolo", num_workers=1,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(cfg_path)
+    out = tmp_path / "out"
+    main([str(out), "--config", str(cfg_path), "--max-steps", "2"])
+    assert (tmp_path / "cache" / "train" / "meta.json").exists()
+    assert "training/loss" in (out / "metrics.jsonl").read_text()
