@@ -46,6 +46,7 @@ class ModelConfig:
     normalize: float | None = 1.0
     compute_dtype: str = "bfloat16"
     softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
+    attn_impl: str = "einsum"  # "pallas" = fused serving attention (fwd-only)
     remat: bool = False  # jax.checkpoint the ViT blocks
 
     @property
@@ -84,6 +85,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
             patch_size=cfg.patch_size,
             dtype=cfg.dtype,
             softmax_dtype=jnp.dtype(cfg.softmax_dtype),
+            attn_impl=cfg.attn_impl,
             frozen=cfg.frozen_backbone,
             adapter_hidden=cfg.adapter_hidden,
             remat=cfg.remat,

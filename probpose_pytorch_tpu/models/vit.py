@@ -44,6 +44,7 @@ class Attention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     softmax_dtype: jnp.dtype = jnp.float32
+    impl: str = "einsum"  # "einsum" (differentiable) | "pallas" (serving)
 
     @nn.compact
     def __call__(self, x):
@@ -52,6 +53,14 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
+        if self.impl == "pallas":
+            # Fused VMEM attention (ops/pallas/attention_kernel.py): never
+            # materializes the (B, h, N, N) matrix in HBM; f32 scores at
+            # bf16-softmax speed. Forward-only — use for serving.
+            from probpose_pytorch_tpu.ops.pallas import fused_attention
+
+            out = fused_attention(q, k, v, group=16).reshape(B, N, C)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         # f32 softmax is the safe default for training; serving configs set
@@ -69,6 +78,7 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: jnp.dtype = jnp.bfloat16
     softmax_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
@@ -78,6 +88,7 @@ class Block(nn.Module):
             self.num_heads,
             dtype=self.dtype,
             softmax_dtype=self.softmax_dtype,
+            impl=self.attn_impl,
             name="attn",
         )(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
@@ -125,6 +136,7 @@ class ViTBackbone(nn.Module):
     frozen: bool = False
     adapter_hidden: Sequence[int] = ()
     remat: bool = False  # rematerialize blocks (memory <- FLOPs trade)
+    attn_impl: str = "einsum"  # "pallas" = fused serving attention
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -158,6 +170,7 @@ class ViTBackbone(nn.Module):
                 self.mlp_ratio,
                 dtype=self.dtype,
                 softmax_dtype=self.softmax_dtype,
+                attn_impl=self.attn_impl,
                 name=f"block{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

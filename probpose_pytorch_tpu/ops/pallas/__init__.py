@@ -4,3 +4,6 @@ from probpose_pytorch_tpu.ops.pallas.sparsemax_kernel import (  # noqa: F401
 from probpose_pytorch_tpu.ops.pallas.decode_kernel import (  # noqa: F401
     expected_value_decode_pallas,
 )
+from probpose_pytorch_tpu.ops.pallas.attention_kernel import (  # noqa: F401
+    fused_attention,
+)

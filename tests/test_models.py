@@ -185,3 +185,17 @@ class TestConvBackbone:
         variables, (out, _) = _init_and_apply(model, x, train=True)
         W, H = cfg.heatmap_size
         assert out[0].shape == (2, 5, H, W)
+
+
+class TestPallasAttention:
+    def test_vit_pallas_attention_matches_einsum_forward(self):
+        m_e = ViTBackbone(img_size=(64, 48), patch_size=16, embed_dim=64,
+                          depth=2, num_heads=2, dtype=jnp.float32)
+        m_p = ViTBackbone(img_size=(64, 48), patch_size=16, embed_dim=64,
+                          depth=2, num_heads=2, dtype=jnp.float32,
+                          attn_impl="pallas")
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 48, 3))
+        variables = m_e.init(jax.random.PRNGKey(1), x)
+        a = m_e.apply(variables, x)
+        b = m_p.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -1,6 +1,7 @@
 """Pallas kernel tests (CPU interpret mode; real-TPU execution is covered by
 bench/profiling runs)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,3 +64,35 @@ def test_fused_decode_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(vals), np.asarray(vals_ref), atol=1e-6
     )
+
+
+def test_fused_attention_matches_einsum():
+    from probpose_pytorch_tpu.ops.pallas import fused_attention
+
+    rng = np.random.default_rng(0)
+    B, N, H, D = 3, 192, 6, 64
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(D)
+    ref = jax.nn.softmax(ref, axis=-1)
+    ref = jnp.einsum("bhnm,bmhd->bnhd", ref, v)
+    out = fused_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_attention_group_remainder():
+    from probpose_pytorch_tpu.ops.pallas import fused_attention
+
+    rng = np.random.default_rng(1)
+    B, N, H, D = 1, 64, 3, 32  # B*H=3 not a multiple of group
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    out = fused_attention(q, k, v, group=2, interpret=True)
+    ref = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(D)
+    ref = jax.nn.softmax(ref, axis=-1)
+    ref = jnp.einsum("bhnm,bmhd->bnhd", ref, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
