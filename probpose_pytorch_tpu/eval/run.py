@@ -1,0 +1,52 @@
+"""Evaluation CLI: checkpoint -> COCO keypoint AP.
+
+    python -m probpose_pytorch_tpu.eval.run \
+        --checkpoint runs/x/checkpoints [--config runs/x/config.json] \
+        --annotations person_keypoints_val2017.json --images val2017/ \
+        [--batch-size 64] [--max-samples N] [--ema]
+
+Streams the val set through the fused top-down pipeline and prints the COCO
+keypoint summary as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="ProbPose-TPU COCO eval")
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--config", type=Path, default=None)
+    parser.add_argument("--annotations", type=Path, required=True)
+    parser.add_argument("--images", type=Path, required=True)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--max-samples", type=int, default=None)
+    parser.add_argument("--bbox-scale", type=float, default=1.25)
+    parser.add_argument("--ema", action="store_true")
+    args = parser.parse_args(argv)
+
+    from probpose_pytorch_tpu.data.coco import COCOPoseDataset
+    from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
+    from probpose_pytorch_tpu.inference import load_predictor
+
+    predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    dataset = COCOPoseDataset(
+        args.annotations,
+        args.images,
+        predictor.input_size,
+        bbox_scale=args.bbox_scale,
+    )
+    summary = evaluate_topdown(
+        predictor,
+        dataset,
+        batch_size=args.batch_size,
+        max_samples=args.max_samples,
+    )
+    print(json.dumps({k: round(v, 4) for k, v in summary.items()}))
+
+
+if __name__ == "__main__":
+    main()

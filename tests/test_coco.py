@@ -172,3 +172,44 @@ class TestEvalPipeline:
                                sigmas=COCO_SIGMAS)
         assert res["AP"] > 0.95, res
         assert res["AR"] > 0.95, res
+
+
+def test_eval_cli_runs(mini_coco, tmp_path, capsys):
+    """Full eval CLI path: tiny model checkpoint -> COCO AP JSON line."""
+    from probpose_pytorch_tpu.eval.run import main as eval_main
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.models.vit import ViTConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    ViTConfig.PRESETS.setdefault(
+        "vit-tiny-eval", dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0)
+    )
+    ann_file, img_dir = mini_coco
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=17, backbone="vit-tiny-eval",
+            compute_dtype="float32", deconv_out_channels=(8, 8),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir=str(tmp_path / "run"),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    out = tmp_path / "run"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg.save(out / "config.json")
+    ckpt = CheckpointManager(out / "checkpoints", keep=1)
+    ckpt.save(0, trainer.state, force=True)
+    ckpt.close()
+
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rec) >= {"AP", "AP50", "AR"}
+    assert 0.0 <= rec["AP"] <= 1.0 or rec["AP"] == -1.0
