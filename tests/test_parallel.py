@@ -141,3 +141,21 @@ def test_data_parallel_serving(tmp_path):
     np.testing.assert_allclose(
         single["keypoints"], sharded["keypoints"], atol=1e-4
     )
+
+
+def test_trainer_fit_over_mesh(tmp_path):
+    """Trainer.create(mesh=...) + fit(): batches shard automatically, state
+    checkpoints and steps advance."""
+    from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+
+    cfg = _cfg(tmp_path)
+    mesh = make_mesh(8, model_parallel=2)
+    trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
+    ds = SyntheticPoseDataset(16, cfg.model.img_size, cfg.model.num_keypoints)
+
+    def batches():
+        return batch_iterator(ds, 8, num_workers=1)
+
+    state = trainer.fit(batches, max_steps=2)
+    assert int(state.step) == 2
+    assert (tmp_path / "run" / "checkpoints").exists()
