@@ -167,9 +167,12 @@ class ArgMaxProbMap(_ProbMapBase):
     """Argmax + DarkPose/UDP codec (reference ArgMaxProbMap, codec.py:377-543).
 
     Default sigma=-1 keeps per-keypoint OKS spreads in encode (codec.py:426).
+    `udp_max_step` optionally clamps the refinement Newton step (px) — the
+    reference leaves degenerate-Hessian steps unbounded; None preserves that.
     """
 
     sigma: float = -1.0
+    udp_max_step: float | None = None
 
     @property
     def _blur_ops(self) -> GaussianBlurOperators:
@@ -182,7 +185,9 @@ class ArgMaxProbMap(_ProbMapBase):
         if hm.ndim == 3:
             hm = hm[None]
         locs, vals = heatmap_maximum(hm)
-        refined = refine_keypoints_dark_udp(locs, hm, self._blur_ops)
+        refined = refine_keypoints_dark_udp(
+            locs, hm, self._blur_ops, max_step=self.udp_max_step
+        )
         return self._rescale_to_input(refined), vals
 
 

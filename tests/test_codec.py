@@ -98,3 +98,21 @@ def test_single_instance_unbatched_input():
     assert np.asarray(enc["heatmaps"]).shape == (1, K, 32, 32)
     dec, _ = pm.decode(np.asarray(enc["heatmaps"])[0])
     assert dec.shape == (1, K, 2)
+
+
+def test_udp_max_step_clamps_degenerate_refinement():
+    K = 2
+    am_free = ArgMaxProbMap((64, 64), (32, 32), sigmas=np.full(K, 0.05))
+    am_clamped = ArgMaxProbMap(
+        (64, 64), (32, 32), sigmas=np.full(K, 0.05), udp_max_step=1.0
+    )
+    # Flat-ish noisy maps produce degenerate Hessians and wild Newton steps.
+    rng = np.random.default_rng(0)
+    hm = (1e-3 * rng.random((2, K, 32, 32))).astype(np.float32)
+    locs_free, _ = am_free.decode(hm)
+    locs_clamped, _ = am_clamped.decode(hm)
+    raw, _ = __import__("probpose_pytorch_tpu.ops.heatmap", fromlist=["heatmap_maximum"]).heatmap_maximum(jnp.asarray(hm))
+    raw_in = np.asarray(raw) / 31.0 * 64.0
+    step_clamped = np.abs(np.asarray(locs_clamped) - raw_in)
+    # clamp bounds refinement to 1 heatmap px = 64/31 input px
+    assert step_clamped.max() <= 64 / 31 + 1e-3
