@@ -20,3 +20,8 @@ from probpose_pytorch_tpu.ops.udp import (  # noqa: F401
     gaussian_blur_modulate,
     refine_keypoints_dark_udp,
 )
+from probpose_pytorch_tpu.ops.quant import (  # noqa: F401
+    dynamic_quantize_rows,
+    int8_matmul,
+    quantize_weight,
+)
