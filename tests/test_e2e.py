@@ -230,3 +230,49 @@ def test_cli_with_crop_cache(yolo_root, tmp_path):
     main([str(out), "--config", str(cfg_path), "--max-steps", "2"])
     assert (tmp_path / "cache" / "train" / "meta.json").exists()
     assert "training/loss" in (out / "metrics.jsonl").read_text()
+
+
+def test_inference_cli(tmp_path):
+    """Full single-image inference CLI: checkpoint -> heatmap PNGs +
+    rendered output + predictions.json (reference inference.py surface)."""
+    import PIL.Image
+
+    from probpose_pytorch_tpu.inference import main as infer_main
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=4, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(8, 8),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir=str(tmp_path / "run"),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    out = tmp_path / "run"
+    out.mkdir(parents=True, exist_ok=True)
+    cfg.save(out / "config.json")
+    ckpt = CheckpointManager(out / "checkpoints", keep=1)
+    ckpt.save(0, trainer.state, force=True)
+    ckpt.close()
+
+    img_path = tmp_path / "img.png"
+    PIL.Image.fromarray(
+        np.random.default_rng(0).integers(0, 256, (80, 100, 3), dtype=np.uint8)
+    ).save(img_path)
+    result_dir = tmp_path / "result"
+    infer_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--image", str(img_path),
+        "--output", str(result_dir),
+        "--prob-threshold", "0.0",
+    ])
+    assert (result_dir / "output_image.png").exists()
+    assert (result_dir / "heatmap_0.png").exists()
+    assert (result_dir / "predictions.json").exists()
+    rec = json.loads((result_dir / "predictions.json").read_text())
+    assert np.asarray(rec["keypoints"]).shape == (1, 4, 2)
