@@ -1,0 +1,147 @@
+"""Direct parity against the actual reference implementation.
+
+When the upstream PyTorch reference is mounted (as in the build environment,
+read-only at /root/reference), import its modules and compare our ops against
+its functions directly — stronger evidence than the re-derived oracles in
+oracles.py. Skipped cleanly when the reference isn't present.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_REF = Path("/root/reference")
+if not _REF.exists():  # pragma: no cover
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+sys.path.insert(0, str(_REF))
+
+ref_heatmap = pytest.importorskip("probpose.heatmap")
+ref_codec = pytest.importorskip("probpose.codec")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from probpose_pytorch_tpu.codec import ArgMaxProbMap, ProbMap  # noqa: E402
+from probpose_pytorch_tpu.losses import oks_heatmap_loss  # noqa: E402
+from probpose_pytorch_tpu.ops.heatmap import (  # noqa: E402
+    build_oks_conv_operators,
+    expected_value_decode,
+    heatmap_maximum,
+)
+
+
+def _realistic(B, K, H, W, seed=0):
+    rng = np.random.default_rng(seed)
+    kpts = rng.uniform([3, 3], [W - 4, H - 4], (B, K, 2)).astype(np.float32)
+    sigmas = rng.uniform(0.03, 0.12, (K,)).astype(np.float32)
+    maps = np.zeros((B, K, H, W), np.float32)
+    for b in range(B):
+        enc = ref_codec.generate_probmaps((W, H), kpts[b : b + 1],
+                                          np.ones((1, K)), sigmas, -1.0)[0]
+        maps[b] = enc
+    maps = np.clip(maps + 0.04 * rng.random((B, K, H, W), dtype=np.float32),
+                   0, 1).astype(np.float32)
+    return maps, sigmas, kpts
+
+
+class TestVsReference:
+    def test_generate_probmaps_exact(self):
+        rng = np.random.default_rng(1)
+        K, H, W = 6, 64, 48
+        kpts = rng.uniform(-10, 70, (1, K, 2)).astype(np.float32)
+        vis = (rng.random((1, K)) > 0.3).astype(np.float32)
+        sigmas = rng.uniform(0.02, 0.2, (K,)).astype(np.float32)
+        for sigma in (-1.0, 2.0):
+            ref_maps, ref_w = ref_codec.generate_probmaps(
+                (W, H), kpts, vis, sigmas, sigma
+            )
+            from probpose_pytorch_tpu.ops.probmaps import generate_probmaps
+
+            ours, ow = generate_probmaps((W, H), jnp.asarray(kpts),
+                                         jnp.asarray(vis), sigmas, sigma)
+            np.testing.assert_allclose(np.asarray(ours)[0], ref_maps,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ow)[0], ref_w[0])
+
+    def test_expected_value_decode_vs_reference(self):
+        maps, sigmas, _ = _realistic(3, 6, 64, 48)
+        ops = build_oks_conv_operators(sigmas, 64, 48)
+        locs, vals = expected_value_decode(jnp.asarray(maps), ops)
+        for b in range(3):
+            ref_locs, ref_vals = ref_heatmap.get_heatmap_expected_value(
+                maps[b], sigmas
+            )
+            drift = np.abs(np.asarray(locs)[b] - ref_locs).max()
+            assert drift <= 1e-3, f"batch {b}: {drift} px"
+            np.testing.assert_allclose(np.asarray(vals)[b], ref_vals, atol=1e-6)
+
+    def test_heatmap_maximum_vs_reference(self):
+        rng = np.random.default_rng(2)
+        maps = rng.random((2, 5, 32, 24)).astype(np.float32)
+        maps[0, 1] = 0.0
+        locs, vals = heatmap_maximum(jnp.asarray(maps))
+        ref_locs, ref_vals = ref_heatmap.get_heatmap_maximum(maps)
+        np.testing.assert_array_equal(np.asarray(locs), ref_locs)
+        np.testing.assert_allclose(np.asarray(vals), ref_vals)
+
+    def test_argmax_codec_decode_vs_reference(self):
+        maps, sigmas, _ = _realistic(2, 5, 64, 48, seed=3)
+        ours = ArgMaxProbMap((192, 256), (48, 64), sigmas=sigmas)
+        dec, scores = ours.decode(maps)
+        theirs = ref_codec.ArgMaxProbMap((192, 256), (48, 64), sigmas=sigmas)
+        for b in range(2):
+            ref_dec, ref_scores = theirs.decode(maps[b].copy())
+            drift = np.abs(np.asarray(dec)[b] - ref_dec[0]).max()
+            assert drift <= 1e-2, f"batch {b}: {drift} px"
+            np.testing.assert_allclose(np.asarray(scores)[b], ref_scores[0],
+                                       atol=1e-6)
+
+    def test_probmap_codec_encode_decode_vs_reference(self):
+        K = 5
+        sigmas = np.full(K, 0.05, np.float32)
+        rng = np.random.default_rng(4)
+        kpts = rng.uniform(30, 220, (1, K, 2)).astype(np.float32)
+        ours = ProbMap((256, 192), (64, 48), sigmas=sigmas, sigma=2.0)
+        theirs = ref_codec.ProbMap((256, 192), (64, 48), sigmas=sigmas,
+                                   sigma=2.0)
+        enc_o = ours.encode(kpts, np.ones((1, K), np.float32))
+        enc_r = theirs.encode(kpts.copy(), np.ones((1, K), np.float32))
+        np.testing.assert_allclose(np.asarray(enc_o["heatmaps"])[0],
+                                   enc_r["heatmaps"], rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(enc_o["in_image"])[0],
+                                      enc_r["in_image"][0])
+        dec_o, sc_o = ours.decode(np.asarray(enc_o["heatmaps"]))
+        dec_r, sc_r = theirs.decode(enc_r["heatmaps"])
+        assert np.abs(np.asarray(dec_o)[0] - dec_r[0]).max() <= 1e-3
+        np.testing.assert_allclose(np.asarray(sc_o)[0], sc_r[0], atol=1e-6)
+
+    def test_oks_heatmap_loss_vs_reference(self):
+        from probpose.loss import OKSHeatmapLoss
+
+        rng = np.random.default_rng(5)
+        out = rng.random((2, 4, 16, 12)).astype(np.float32)
+        tgt = rng.random((2, 4, 16, 12)).astype(np.float32)
+        w = (rng.random((2, 4)) > 0.3).astype(np.float32)
+        ref_mod = OKSHeatmapLoss(use_target_weight=True,
+                                 smoothing_weight=0.05, oks_type="minus")
+        ref_val = ref_mod(
+            torch.from_numpy(out), torch.from_numpy(tgt), torch.from_numpy(w)
+        ).item()
+        ours = float(
+            oks_heatmap_loss(jnp.asarray(out), jnp.asarray(tgt),
+                             jnp.asarray(w), smoothing_weight=0.05,
+                             oks_type="minus")
+        )
+        np.testing.assert_allclose(ours, ref_val, rtol=1e-5)
+
+        ref_pp = ref_mod(torch.from_numpy(out), torch.from_numpy(tgt),
+                         torch.from_numpy(w), per_pixel=True).numpy()
+        ours_pp = np.asarray(
+            oks_heatmap_loss(jnp.asarray(out), jnp.asarray(tgt),
+                             jnp.asarray(w), smoothing_weight=0.05,
+                             oks_type="minus", per_pixel=True)
+        )
+        np.testing.assert_allclose(ours_pp, ref_pp, rtol=1e-4, atol=1e-6)
