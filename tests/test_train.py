@@ -213,3 +213,25 @@ class TestFrameMode:
         )
         s, m = trainer.train_step(trainer.state, frame_batch)
         assert np.isfinite(float(m["loss"]))
+
+    def test_checkpoint_roundtrip_with_ema(self, tmp_path):
+        import dataclasses
+
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg = dataclasses.replace(cfg, optim=OptimConfig(ema_decay=0.9))
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        batch = next(iter(_data(cfg)()))
+        state, _ = trainer.train_step(trainer.state, batch)
+
+        ckpt = CheckpointManager(tmp_path / "ck", keep=1)
+        ckpt.save(1, state, force=True)
+
+        trainer2 = Trainer.create(cfg, steps_per_epoch=4)
+        restored = ckpt.restore(trainer2.state)
+        ckpt.close()
+        assert int(restored.step) == 1
+        e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
+        e1 = jax.tree_util.tree_leaves(restored.ema_params)[0]
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
