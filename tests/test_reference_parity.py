@@ -145,3 +145,39 @@ class TestVsReference:
                              oks_type="minus", per_pixel=True)
         )
         np.testing.assert_allclose(ours_pp, ref_pp, rtol=1e-4, atol=1e-6)
+
+    def test_gaussian_blur_vs_reference(self):
+        from probpose_pytorch_tpu.ops.udp import (
+            build_gaussian_blur_operators,
+            gaussian_blur_modulate,
+        )
+
+        maps, _, _ = _realistic(1, 4, 64, 48, seed=6)
+        ref = ref_codec.gaussian_blur(maps[0].copy(), 11)
+        ops = build_gaussian_blur_operators(11, 64, 48)
+        ours = np.asarray(gaussian_blur_modulate(jnp.asarray(maps), ops))[0]
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+    def test_codec_facade_decode_vs_reference(self):
+        maps, sigmas, _ = _realistic(2, 4, 64, 48, seed=7)
+        rng = np.random.default_rng(8)
+        scalars = [rng.random((2, 4, 1, 1)).astype(np.float32) for _ in range(4)]
+
+        from probpose_pytorch_tpu.codec import Codec
+
+        ours = Codec(ProbMap((192, 256), (48, 64), sigmas=sigmas, sigma=2.0))
+        (kpts_o, sc_o), prob_o, vis_o, oks_o, err_o = ours.decode(
+            (jnp.asarray(maps), *(jnp.asarray(s) for s in scalars))
+        )
+
+        theirs = ref_codec.Codec(
+            ref_codec.ProbMap((192, 256), (48, 64), sigmas=sigmas, sigma=2.0)
+        )
+        # Reference ProbMap.decode is single-instance; compare per sample.
+        pred_r = theirs.decode(
+            tuple(torch.from_numpy(a) for a in (maps[:1], *[s[:1] for s in scalars]))
+        )
+        (kpts_r, sc_r), prob_r, vis_r, oks_r, err_r = pred_r
+        assert np.abs(np.asarray(kpts_o)[0] - kpts_r[0]).max() <= 1e-3
+        np.testing.assert_allclose(np.asarray(prob_o)[:1], prob_r, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(err_o)[:1], err_r, rtol=1e-5)
