@@ -93,9 +93,19 @@ class TestTrainIntegration:
         s1, m1 = trainer.train_step(trainer.state, batch)
         assert np.isfinite(float(m1["loss"]))
 
-        # Same step index + same batch -> identical loss (fold_in determinism)
-        trainer2 = Trainer.create(cfg, steps_per_epoch=10)
-        _, m2 = trainer2.train_step(trainer2.state, batch)
+        # Same step index + same batch -> identical loss (fold_in
+        # determinism). Rebuild only the initial state (same seed) and reuse
+        # the already-compiled step instead of compiling a second trainer.
+        from probpose_pytorch_tpu.train.state import create_train_state
+
+        H, W = cfg.model.img_size
+        state_b = create_train_state(
+            trainer.model,
+            jax.random.PRNGKey(cfg.seed),
+            jnp.zeros((1, H, W, 3), jnp.float32),
+            trainer.tx,
+        )
+        _, m2 = trainer.train_step(state_b, batch)
         assert float(m1["loss"]) == float(m2["loss"])
 
     def test_config_roundtrip_with_augment(self, tmp_path):
