@@ -80,14 +80,19 @@ def test_sharded_train_step_matches_single_device(tmp_path, model_parallel):
     # Single-device result.
     state1, metrics1 = trainer.train_step(trainer.state, batch)
 
-    # Same step over the mesh. Rebuild because train_step donates its input.
-    trainer2 = Trainer.create(cfg, steps_per_epoch=2)
-    mesh = make_mesh(8, model_parallel=model_parallel)
-    sharded_state = trainer2.state.replace(
-        params=shard_params(trainer2.state.params, mesh)
+    # Same compiled step over the mesh. Rebuild only the initial state (same
+    # seed -> identical params); train_step donated the original.
+    from probpose_pytorch_tpu.train.state import create_train_state
+
+    H, W = cfg.model.img_size
+    fresh = create_train_state(
+        trainer.model, jax.random.PRNGKey(cfg.seed),
+        jnp.zeros((1, H, W, 3), jnp.float32), trainer.tx,
     )
+    mesh = make_mesh(8, model_parallel=model_parallel)
+    sharded_state = fresh.replace(params=shard_params(fresh.params, mesh))
     sharded_batch = shard_batch(batch, mesh)
-    state2, metrics2 = trainer2.train_step(sharded_state, sharded_batch)
+    state2, metrics2 = trainer.train_step(sharded_state, sharded_batch)
 
     np.testing.assert_allclose(
         float(metrics1["loss"]), float(metrics2["loss"]), rtol=1e-5
