@@ -181,3 +181,79 @@ class TestVsReference:
         assert np.abs(np.asarray(kpts_o)[0] - kpts_r[0]).max() <= 1e-3
         np.testing.assert_allclose(np.asarray(prob_o)[:1], prob_r, atol=1e-6)
         np.testing.assert_allclose(np.asarray(err_o)[:1], err_r, rtol=1e-5)
+
+    def test_simple_losses_vs_reference(self):
+        from probpose.loss import BCELoss, L1LogLoss, MSELoss
+
+        from probpose_pytorch_tpu.losses import (
+            binary_cross_entropy,
+            l1_log_loss,
+            mse_loss,
+        )
+
+        rng = np.random.default_rng(9)
+        p = rng.uniform(0.05, 0.95, (4, 6)).astype(np.float32)
+        t = (rng.random((4, 6)) > 0.5).astype(np.float32)
+        w = (rng.random((4, 6)) > 0.3).astype(np.float32)
+
+        ref_bce = BCELoss(use_sigmoid=True)(
+            torch.from_numpy(p), torch.from_numpy(t)
+        ).item()
+        np.testing.assert_allclose(
+            float(binary_cross_entropy(jnp.asarray(p), jnp.asarray(t),
+                                       from_probs=True)),
+            ref_bce, rtol=1e-5,
+        )
+
+        x = rng.random((4, 6)).astype(np.float32)
+        y = rng.random((4, 6)).astype(np.float32)
+        ref_mse = MSELoss(use_target_weight=True)(
+            torch.from_numpy(x), torch.from_numpy(y), torch.from_numpy(w)
+        ).item()
+        np.testing.assert_allclose(
+            float(mse_loss(jnp.asarray(x), jnp.asarray(y), jnp.asarray(w))),
+            ref_mse, rtol=1e-5,
+        )
+
+        e = rng.uniform(0, 5, (4, 6)).astype(np.float32)
+        g = rng.uniform(0, 5, (4, 6)).astype(np.float32)
+        ref_l1 = L1LogLoss(use_target_weight=True)(
+            torch.from_numpy(e), torch.from_numpy(g), torch.from_numpy(w)
+        ).item()
+        np.testing.assert_allclose(
+            float(l1_log_loss(jnp.asarray(e), jnp.asarray(g), jnp.asarray(w))),
+            ref_l1, rtol=1e-5,
+        )
+
+    def test_composite_loss_oks_targets_vs_reference(self):
+        """The in-jit OKS target derivation matches the reference's host
+        compute_oks on decoded coordinates."""
+        from probpose.loss import compute_oks as ref_compute_oks
+
+        from probpose_pytorch_tpu.ops.oks import oks_targets_from_coords
+
+        rng = np.random.default_rng(10)
+        B, K, W, H = 3, 6, 48, 64
+        gt_c = rng.uniform(0, 192, (B, K, 2)).astype(np.float32)
+        dt_c = gt_c + rng.normal(0, 5, (B, K, 2)).astype(np.float32)
+        weight = (rng.random((B, K)) > 0.3).astype(np.float32)
+        sigmas = rng.uniform(0.03, 0.1, (K,)).astype(np.float32)
+
+        ours, ow = oks_targets_from_coords(
+            jnp.asarray(gt_c), jnp.asarray(dt_c), jnp.asarray(weight),
+            sigmas, (W, H),
+        )
+        for b in range(B):
+            w3 = weight[b].reshape(-1, 1)
+            gk = np.concatenate([gt_c[b] * w3, w3 * 2], axis=1)
+            dk = np.concatenate([dt_c[b] * w3, w3 * 2], axis=1)
+            if not (gk[:, 2] > 0).any():
+                continue
+            bbox = np.array([0, 0, H, W])
+            ref = ref_compute_oks(
+                dict(keypoints=gk, bbox=bbox, area=bbox[2] * bbox[3]),
+                dict(keypoints=dk, bbox=bbox, area=bbox[2] * bbox[3]),
+                sigmas=sigmas, use_area=False, per_kpt=True,
+            )
+            np.testing.assert_allclose(np.asarray(ours)[b], ref, rtol=1e-5,
+                                       atol=1e-6)
