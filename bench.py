@@ -13,7 +13,11 @@ between a long and a short loop — this removes compile, dispatch, and
 host<->device transfer latency (which on the tunneled test devices would
 otherwise dominate and under/over-state the chip throughput).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus two
+informational fields ("train_step_ms", "train_crops_per_sec") timing the fused
+training step (on-device target encode -> fwd -> composite loss with in-jit
+OKS decode -> bwd -> AdamW) at the flagship config, so training throughput is
+tracked round-over-round alongside serving (VERDICT r1 item #5).
 """
 
 from __future__ import annotations
@@ -67,6 +71,70 @@ def _build_pipeline():
     return pipeline, variables, cfg
 
 
+def _bench_train_step() -> tuple[float, float]:
+    """Time the fused flagship training step; returns (ms/step, crops/s)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.loop import make_train_step
+
+    B = 128
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(256, 192),
+            num_keypoints=17,
+            backbone="vit-s",
+            compute_dtype="bfloat16",
+            deconv_out_channels=(256, 256),
+            deconv_kernel_sizes=(4, 4),
+            pool_sizes=((4, 3), (2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        train_batch_size=B,
+        out_dir="/tmp/probpose_tpu_bench_train",
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1000)
+    ds = SyntheticPoseDataset(B, cfg.model.img_size, cfg.model.num_keypoints)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(batch_iterator(ds, B, num_workers=1))).items()
+    }
+    step = make_train_step(
+        trainer.model, trainer.encode_codec, trainer.loss_fn, trainer.tx, cfg
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chained(state, batch, n):
+        def body(_, s):
+            s2, _ = step(s, batch)
+            return s2
+
+        final = jax.lax.fori_loop(0, n, body, state)
+        # Param-dependent scalar so the loop body cannot be DCE'd.
+        return sum(
+            jnp.sum(jnp.abs(l).astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(final.params)
+        )
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chained(trainer.state, batch, n))
+        return time.perf_counter() - t0
+
+    short_n, long_n = 1, 5
+    timed(short_n)
+    timed(long_n)
+    best = float("inf")
+    for _ in range(3):
+        per = (timed(long_n) - timed(short_n)) / (long_n - short_n)
+        best = min(best, per)
+    return best * 1e3, B / best
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -110,13 +178,16 @@ def main() -> None:
         best = min(best, per_iter)
 
     crops_per_sec = BATCH / best
+    train_ms, train_cps = _bench_train_step()
     print(
         json.dumps(
             {
-                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode)",
+                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode; serving config: bf16 softmax)",
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / TARGET, 3),
+                "train_step_ms": round(train_ms, 1),
+                "train_crops_per_sec": round(train_cps, 1),
             }
         )
     )

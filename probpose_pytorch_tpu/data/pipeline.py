@@ -82,10 +82,19 @@ def batch_iterator(
     drop_last: bool = True,
     num_workers: int = 4,
     epoch: int = 0,
+    process_index: int | None = None,
+    process_count: int | None = None,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yield collated numpy batches. Datasets exposing `get_batch(indices)`
     (e.g. CachedCropDataset) are read with one vectorized gather per batch;
-    otherwise samples load in a thread pool."""
+    otherwise samples load in a thread pool.
+
+    Multi-host: pass (process_index, process_count) and `batch_size` stays the
+    GLOBAL batch size — every process computes the identical global index
+    permutation (same (seed, epoch) rng) and yields only its contiguous local
+    slice of each global batch, matching the row placement of
+    `jax.make_array_from_process_local_data` on a process-ordered mesh.
+    """
     idx = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng((seed, epoch)).shuffle(idx)
@@ -94,6 +103,20 @@ def batch_iterator(
     groups = [idx[i : i + batch_size] for i in range(0, ends, batch_size)]
     if not drop_last and ends < len(idx):
         groups.append(idx[ends:])
+    if process_count is not None and process_count > 1:
+        if process_index is None:
+            raise ValueError("process_index required with process_count")
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"process_count {process_count}"
+            )
+        local = batch_size // process_count
+        groups = [
+            g[process_index * local : (process_index + 1) * local]
+            for g in groups
+            if len(g) == batch_size  # ragged tail cannot be split evenly
+        ]
     if hasattr(dataset, "get_batch"):
         for g in groups:
             yield dataset.get_batch(g)

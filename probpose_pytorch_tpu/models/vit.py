@@ -108,6 +108,8 @@ class ViTConfig:
         # timm's VisionTransformer(embed_dim=384) default keeps 12 heads —
         # the reference backbone's actual geometry (backbone.py:26-33).
         "vit-s-timm": dict(embed_dim=384, depth=12, num_heads=12, mlp_ratio=4.0),
+        # Tiny debug geometry for CPU smokes / multi-process dryruns.
+        "vit-nano": dict(embed_dim=64, depth=2, num_heads=2, mlp_ratio=2.0),
     }
 
 

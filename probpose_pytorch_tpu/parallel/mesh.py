@@ -62,15 +62,25 @@ def make_hybrid_mesh(
 
     devices = jax.devices()
     n = len(devices)
-    num_slices = max(
-        len({getattr(d, "slice_index", 0) for d in devices}), 1
+    has_slice_attr = all(
+        getattr(d, "slice_index", None) is not None for d in devices
     )
-    if num_slices <= 1:
+    if has_slice_attr:
+        num_granules = len({d.slice_index for d in devices})
+        process_is_granule = False
+    else:
+        # No TPU slice metadata (CPU/GPU-style multi-host cluster): each
+        # process is the DCN granule — its devices talk fast locally, and
+        # only the data-parallel gradient reduce crosses hosts.
+        num_granules = jax.process_count()
+        process_is_granule = True
+    if num_granules <= 1:
         return make_mesh(n, model_parallel, axis_names)
-    per_slice = n // num_slices
+    per_granule = n // num_granules
     grid = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(per_slice // model_parallel, model_parallel),
-        dcn_mesh_shape=(num_slices, 1),
+        mesh_shape=(per_granule // model_parallel, model_parallel),
+        dcn_mesh_shape=(num_granules, 1),
         devices=devices,
+        process_is_granule=process_is_granule,
     )
     return Mesh(grid, axis_names)

@@ -24,6 +24,13 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    # Multi-host: connect to the coordination service BEFORE first device
+    # use, so jax.devices() below is the global device list.
+    maybe_initialize_distributed()
 
     cfg = TrainConfig.load(args.config) if args.config else TrainConfig()
     updates: dict = {"out_dir": str(args.out_dir)}
@@ -83,8 +90,22 @@ def main(argv=None) -> None:
             build_crop_cache(val_ds, root / "val", cfg.num_workers)
         )
 
+    import jax
+
     steps_per_epoch = max(len(train_ds) // cfg.train_batch_size, 1)
-    trainer = Trainer.create(cfg, steps_per_epoch)
+    mesh = None
+    if len(jax.devices()) > 1 or cfg.model_parallel > 1:
+        from probpose_pytorch_tpu.parallel import make_hybrid_mesh
+
+        mesh = make_hybrid_mesh(cfg.model_parallel)
+    trainer = Trainer.create(cfg, steps_per_epoch, mesh=mesh)
+
+    # Each process loads only its local slice of every global batch; the
+    # trainer reassembles global arrays via make_array_from_process_local_data.
+    pidx, pcount = jax.process_index(), jax.process_count()
+    shard_kw = (
+        dict(process_index=pidx, process_count=pcount) if pcount > 1 else {}
+    )
 
     def train_batches():
         return batch_iterator(
@@ -93,11 +114,12 @@ def main(argv=None) -> None:
             shuffle=True,
             seed=cfg.seed,
             num_workers=cfg.num_workers,
+            **shard_kw,
         )
 
     def val_batches():
         return batch_iterator(
-            val_ds, cfg.val_batch_size, num_workers=cfg.num_workers
+            val_ds, cfg.val_batch_size, num_workers=cfg.num_workers, **shard_kw
         )
 
     trainer.fit(train_batches, val_batches, max_steps=args.max_steps)

@@ -17,11 +17,19 @@ __all__ = ["MetricsLogger"]
 
 class MetricsLogger:
     def __init__(self, out_dir: str | Path, tensorboard: bool = True):
+        # Multi-host: only process 0 writes (every process computes the same
+        # replicated metric scalars; duplicate writers would clobber/duplicate
+        # records on a shared filesystem).
+        import jax
+
+        self._primary = jax.process_index() == 0
         self.out_dir = Path(out_dir)
         self.out_dir.mkdir(parents=True, exist_ok=True)
-        self._jsonl = open(self.out_dir / "metrics.jsonl", "a")
+        self._jsonl = (
+            open(self.out_dir / "metrics.jsonl", "a") if self._primary else None
+        )
         self._tb = None
-        if tensorboard:
+        if tensorboard and self._primary:
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
@@ -35,13 +43,15 @@ class MetricsLogger:
             for k, v in scalars.items()
         }
         rec = {"step": int(step), "time": time.time(), **flat}
-        self._jsonl.write(json.dumps(rec) + "\n")
-        self._jsonl.flush()
+        if self._jsonl is not None:
+            self._jsonl.write(json.dumps(rec) + "\n")
+            self._jsonl.flush()
         if self._tb is not None:
             for k, v in flat.items():
                 self._tb.add_scalar(k, v, step)
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
