@@ -30,12 +30,26 @@ def main(argv=None) -> None:
     parser.add_argument("--out", type=Path, required=True)
     parser.add_argument("--head-only", action="store_true",
                         help="checkpoint holds only the head module")
+    parser.add_argument("--radio-checkpoint", type=Path, default=None,
+                        help="RADIO-style backbone state dict (class/register "
+                        "tokens, pos-embed resampled to the pose grid); the "
+                        "model config must set num_prefix_tokens/exact_gelu "
+                        "and frozen_backbone to match")
+    parser.add_argument("--radio-prefix", default="model.",
+                        help="key prefix of the ViT inside the RADIO ckpt")
+    parser.add_argument("--radio-src-grid", type=int, nargs=2, default=None,
+                        help="checkpoint's native patch grid (gh gw); "
+                        "default: square grid inferred from pos_embed")
+    parser.add_argument("--radio-registers", type=int, default=0,
+                        help="number of register tokens in the checkpoint")
     args = parser.parse_args(argv)
 
     import jax
 
     from probpose_pytorch_tpu.compat.torch_import import (
         import_head_params,
+        import_radio_adapter_params,
+        import_radio_vit_params,
         import_timm_vit_params,
         state_dict_from_checkpoint,
     )
@@ -60,7 +74,37 @@ def main(argv=None) -> None:
     params["head"] = head_params
     batch_stats["head"] = head_stats
 
-    if not args.head_only and any(
+    if args.radio_checkpoint is not None:
+        rsd = state_dict_from_checkpoint(str(args.radio_checkpoint))
+        pos_key = f"{args.radio_prefix}pos_embed"
+        n_prefix = cfg.model.num_prefix_tokens
+        if args.radio_src_grid is not None:
+            src_grid = tuple(args.radio_src_grid)
+        else:
+            n_patches = rsd[pos_key].shape[1] - n_prefix
+            side = int(round(n_patches**0.5))
+            src_grid = (side, side)
+        gh = cfg.model.img_size[0] // cfg.model.patch_size
+        gw = cfg.model.img_size[1] // cfg.model.patch_size
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+
+        depth = ViTConfig.PRESETS[cfg.model.backbone]["depth"]
+        backbone = import_radio_vit_params(
+            rsd,
+            depth=depth,
+            src_grid=src_grid,
+            dst_grid=(gh, gw),
+            num_prefix_tokens=n_prefix - args.radio_registers,
+            num_register_tokens=args.radio_registers,
+            prefix=args.radio_prefix,
+        )
+        backbone.update(import_radio_adapter_params(rsd))
+        params["backbone"] = backbone
+        print(
+            f"imported RADIO backbone ({src_grid} -> {(gh, gw)} pos grid, "
+            f"{n_prefix} prefix tokens)"
+        )
+    elif not args.head_only and any(
         k.startswith("backbone.model.") for k in sd
     ):
         params["backbone"] = import_timm_vit_params(

@@ -29,6 +29,10 @@ __all__ = [
     "state_dict_from_checkpoint",
     "import_head_params",
     "import_timm_vit_params",
+    "interpolate_pos_embed",
+    "import_radio_vit_params",
+    "import_radio_adapter_params",
+    "radio_input_stats",
 ]
 
 
@@ -147,23 +151,149 @@ def import_timm_vit_params(
         },
     }
     for i in range(depth):
-        b = f"blocks.{i}."
-        params[f"block{i}"] = {
-            "norm1": {
-                "scale": sd[p(b + "norm1.weight")],
-                "bias": sd[p(b + "norm1.bias")],
-            },
-            "attn": {
-                "qkv": _dense(sd, p(b + "attn.qkv")),
-                "proj": _dense(sd, p(b + "attn.proj")),
-            },
-            "norm2": {
-                "scale": sd[p(b + "norm2.weight")],
-                "bias": sd[p(b + "norm2.bias")],
-            },
-            "mlp": {
-                "fc1": _dense(sd, p(b + "mlp.fc1")),
-                "fc2": _dense(sd, p(b + "mlp.fc2")),
-            },
-        }
+        params[f"block{i}"] = _block(sd, p(f"blocks.{i}."))
     return params
+
+
+def _block(sd, b: str) -> dict:
+    return {
+        "norm1": {
+            "scale": sd[b + "norm1.weight"],
+            "bias": sd[b + "norm1.bias"],
+        },
+        "attn": {
+            "qkv": _dense(sd, b + "attn.qkv"),
+            "proj": _dense(sd, b + "attn.proj"),
+        },
+        "norm2": {
+            "scale": sd[b + "norm2.weight"],
+            "bias": sd[b + "norm2.bias"],
+        },
+        "mlp": {
+            "fc1": _dense(sd, b + "mlp.fc1"),
+            "fc2": _dense(sd, b + "mlp.fc2"),
+        },
+    }
+
+
+def interpolate_pos_embed(
+    pos: np.ndarray,
+    src_grid: tuple[int, int],
+    dst_grid: tuple[int, int],
+) -> np.ndarray:
+    """Bicubic-resample a (1, gh*gw, C) patch positional embedding from the
+    checkpoint's native grid to the pose model's grid (e.g. RADIO's square
+    pretraining resolution -> a 16x12 grid for 256x192 crops)."""
+    if tuple(src_grid) == tuple(dst_grid):
+        return pos
+    import jax
+    import jax.numpy as jnp
+
+    sh, sw = src_grid
+    dh, dw = dst_grid
+    C = pos.shape[-1]
+    grid = jnp.asarray(pos, jnp.float32).reshape(1, sh, sw, C)
+    out = jax.image.resize(grid, (1, dh, dw, C), method="bicubic")
+    return np.asarray(out).reshape(1, dh * dw, C)
+
+
+def import_radio_vit_params(
+    sd: Mapping[str, np.ndarray],
+    depth: int,
+    src_grid: tuple[int, int],
+    dst_grid: tuple[int, int] | None = None,
+    num_prefix_tokens: int = 1,
+    num_register_tokens: int = 0,
+    pos_embed_includes_prefix: bool = True,
+    prefix: str = "",
+) -> dict:
+    """Convert a RADIO-style frozen ViT checkpoint (reference
+    backbone.py:4-21 loads NVlabs/RADIO via torch.hub) to ViTBackbone params
+    with `num_prefix_tokens = num_prefix_tokens + num_register_tokens`.
+
+    Handles what a plain timm import cannot:
+      * class/summary token (`cls_token`) and register tokens (`reg_token`)
+        become our learned `prefix_tokens`; any positional-embedding rows the
+        source adds to them are folded into the token values (both are
+        additive learned constants, so the forward is unchanged);
+      * patch positional embedding is bicubically resampled from the
+        checkpoint grid (`src_grid`) to the pose grid (`dst_grid`);
+      * the patch embedder may be a Conv2d (`patch_embed.proj.weight` of rank
+        4) or RADIO's linear patchifier (rank 2, (C, 3*ph*pw)); the linear
+        form is reshaped to the equivalent convolution.
+
+    Use with ViTBackbone(frozen=True, exact_gelu=True, num_prefix_tokens=P,
+    adapter_hidden=...) — the frozen+adapter contract of backbone.py:10-21.
+    """
+    p = lambda s: f"{prefix}{s}"
+    n_prefix = num_prefix_tokens + num_register_tokens
+    pe = sd[p("patch_embed.proj.weight")]
+    if pe.ndim == 2:  # linear patchifier (C, 3*ph*pw): fold to conv kernel
+        n_patch = int(round(np.sqrt(pe.shape[1] / 3)))
+        pe = pe.reshape(pe.shape[0], 3, n_patch, n_patch)
+    params: dict[str, Any] = {
+        "patch_embed": {
+            "kernel": pe.transpose(2, 3, 1, 0),
+        },
+        "norm": {
+            "scale": sd[p("norm.weight")],
+            "bias": sd[p("norm.bias")],
+        },
+    }
+    if p("patch_embed.proj.bias") in sd:
+        params["patch_embed"]["bias"] = sd[p("patch_embed.proj.bias")]
+
+    pos = sd[p("pos_embed")]
+    if pos_embed_includes_prefix and n_prefix:
+        pos_prefix, pos = pos[:, :n_prefix], pos[:, n_prefix:]
+    else:
+        pos_prefix = 0.0
+    params["pos_embed"] = interpolate_pos_embed(
+        pos, src_grid, dst_grid or src_grid
+    )
+
+    if n_prefix:
+        toks = []
+        if num_prefix_tokens:
+            cls = sd[p("cls_token")].reshape(1, -1, pos.shape[-1])
+            toks.append(cls)
+        if num_register_tokens:
+            reg = sd[p("reg_token")].reshape(1, -1, pos.shape[-1])
+            toks.append(reg)
+        params["prefix_tokens"] = np.concatenate(toks, axis=1) + pos_prefix
+
+    for i in range(depth):
+        params[f"block{i}"] = _block(sd, p(f"blocks.{i}."))
+    return params
+
+
+def import_radio_adapter_params(
+    sd: Mapping[str, np.ndarray], prefix: str = "mlp."
+) -> dict:
+    """Convert the reference RadioBackbone's trainable token-MLP adapter
+    (backbone.py:15-21: an nn.Sequential of Linear/activation over (N, L, C))
+    into ViTBackbone `adapter{j}` Dense params. Returns {} if absent."""
+    linear_indices = sorted(
+        int(k[len(prefix):].split(".")[0])
+        for k in sd
+        if k.startswith(prefix) and k.endswith(".weight")
+    )
+    return {
+        f"adapter{j}": _dense(sd, f"{prefix}{i}")
+        for j, i in enumerate(linear_indices)
+    }
+
+
+def radio_input_stats(
+    sd: Mapping[str, np.ndarray], prefix: str = "input_conditioner."
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """RADIO normalizes inputs with its own mean/std (the hub model's
+    input_conditioner); return (mean, std) to apply in preprocessing, or
+    None if the checkpoint has no conditioner."""
+    mean_k, std_k = f"{prefix}norm_mean", f"{prefix}norm_std"
+    if mean_k not in sd:
+        return None
+    return (
+        np.asarray(sd[mean_k]).reshape(-1),
+        np.asarray(sd[std_k]).reshape(-1),
+    )

@@ -48,6 +48,10 @@ class ModelConfig:
     softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
     attn_impl: str = "einsum"  # "pallas" = fused serving attention (fwd-only)
     remat: bool = False  # jax.checkpoint the ViT blocks
+    # RADIO-import mode (reference backbone.py:4-21): prefix tokens ride
+    # through attention; erf gelu matches the torch checkpoint.
+    num_prefix_tokens: int = 0
+    exact_gelu: bool = False
 
     @property
     def heatmap_size(self) -> tuple[int, int]:
@@ -89,6 +93,8 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
             frozen=cfg.frozen_backbone,
             adapter_hidden=cfg.adapter_hidden,
             remat=cfg.remat,
+            num_prefix_tokens=cfg.num_prefix_tokens,
+            exact_gelu=cfg.exact_gelu,
             **vit_kw,
         )
     head = ProbMapHead(

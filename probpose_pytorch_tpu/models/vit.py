@@ -31,11 +31,14 @@ class MlpBlock(nn.Module):
     hidden_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    # tanh-approximate gelu is the TPU-fast default; imported torch/timm
+    # checkpoints (incl. RADIO) were trained with the exact erf form.
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=not self.exact_gelu)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         return x
 
@@ -79,6 +82,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     softmax_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "einsum"
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -93,7 +97,8 @@ class Block(nn.Module):
         )(y)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(
-            int(C * self.mlp_ratio), C, dtype=self.dtype, name="mlp"
+            int(C * self.mlp_ratio), C, dtype=self.dtype,
+            exact_gelu=self.exact_gelu, name="mlp",
         )(y)
         return x
 
@@ -125,6 +130,15 @@ class ViTBackbone(nn.Module):
             backbone mode, reference backbone.py:10-12); an optional trainable
             MLP adapter over tokens mirrors backbone.py:15-21.
         adapter_hidden: hidden widths of the token MLP adapter ([] = none).
+        num_prefix_tokens: learned non-spatial tokens (class/summary/register)
+            prepended to the patch sequence. They participate in attention in
+            every block and are stripped before the grid reshape — required
+            for faithful RADIO-checkpoint import, whose summary tokens shape
+            the patch features through attention. Any positional embedding
+            the source model adds to its prefix tokens is folded into the
+            learned token values at import time (additive constants compose).
+        exact_gelu: use erf gelu (torch/timm parity) instead of the
+            TPU-fast tanh approximation.
     """
 
     img_size: tuple[int, int] = (256, 192)
@@ -139,6 +153,8 @@ class ViTBackbone(nn.Module):
     adapter_hidden: Sequence[int] = ()
     remat: bool = False  # rematerialize blocks (memory <- FLOPs trade)
     attn_impl: str = "einsum"  # "pallas" = fused serving attention
+    num_prefix_tokens: int = 0
+    exact_gelu: bool = False
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -165,6 +181,20 @@ class ViTBackbone(nn.Module):
             jnp.float32,
         )
         x = x + pos.astype(self.dtype)
+        if self.num_prefix_tokens:
+            prefix = self.param(
+                "prefix_tokens",
+                nn.initializers.truncated_normal(0.02),
+                (1, self.num_prefix_tokens, self.embed_dim),
+                jnp.float32,
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(
+                    prefix.astype(self.dtype),
+                    (B, self.num_prefix_tokens, self.embed_dim),
+                ), x],
+                axis=1,
+            )
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
             x = block_cls(
@@ -173,9 +203,12 @@ class ViTBackbone(nn.Module):
                 dtype=self.dtype,
                 softmax_dtype=self.softmax_dtype,
                 attn_impl=self.attn_impl,
+                exact_gelu=self.exact_gelu,
                 name=f"block{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
+        if self.num_prefix_tokens:
+            x = x[:, self.num_prefix_tokens:]
 
         if self.frozen:
             x = jax.lax.stop_gradient(x)

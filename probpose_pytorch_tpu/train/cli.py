@@ -95,9 +95,19 @@ def main(argv=None) -> None:
     steps_per_epoch = max(len(train_ds) // cfg.train_batch_size, 1)
     mesh = None
     if len(jax.devices()) > 1 or cfg.model_parallel > 1:
-        from probpose_pytorch_tpu.parallel import make_hybrid_mesh
+        import math
 
-        mesh = make_hybrid_mesh(cfg.model_parallel)
+        from probpose_pytorch_tpu.parallel import make_hybrid_mesh, make_mesh
+
+        # The data axis must divide every batch it shards; tiny debug batches
+        # (e.g. B=2 on an 8-device host) would otherwise fail at device_put.
+        max_dp = math.gcd(cfg.train_batch_size, cfg.val_batch_size)
+        n_dev = len(jax.devices())
+        if max_dp * cfg.model_parallel >= n_dev:
+            mesh = make_hybrid_mesh(cfg.model_parallel)
+        else:
+            dp = math.gcd(max_dp, n_dev // cfg.model_parallel)
+            mesh = make_mesh(dp * cfg.model_parallel, cfg.model_parallel)
     trainer = Trainer.create(cfg, steps_per_epoch, mesh=mesh)
 
     # Each process loads only its local slice of every global batch; the

@@ -172,3 +172,187 @@ def test_convert_cli_roundtrip(tmp_path):
     )
     want = tm.final_layer.weight.detach().numpy().transpose(2, 3, 1, 0)
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# RADIO-style ViT import (reference backbone.py:4-21: frozen torch-hub RADIO
+# with class/register tokens + optional trainable token-MLP adapter)
+# ---------------------------------------------------------------------------
+
+
+class _TorchViTBlock(nn.Module):
+    def __init__(self, dim, heads):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.qkv = nn.Linear(dim, 3 * dim)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1 = nn.Linear(dim, 4 * dim)
+        self.mlp.fc2 = nn.Linear(4 * dim, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        B, N, C = x.shape
+        h, d = self.heads, C // self.heads
+        y = self.norm1(x)
+        qkv = self.attn.qkv(y).reshape(B, N, 3, h, d).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * d**-0.5
+        a = a.softmax(dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(B, N, C)
+        x = x + self.attn.proj(y)
+        y = self.norm2(x)
+        y = self.mlp.fc2(torch.nn.functional.gelu(self.mlp.fc1(y)))
+        return x + y
+
+
+class _TorchRadioViT(nn.Module):
+    """RADIO-checkpoint-layout oracle: timm-style ViT with a class token and
+    register tokens that participate in attention, pos_embed covering
+    prefix+patches, exact-erf gelu."""
+
+    def __init__(self, img=32, patch=8, dim=32, depth=2, heads=2, regs=2):
+        super().__init__()
+        n = (img // patch) ** 2
+        self.patch_embed = nn.Module()
+        self.patch_embed.proj = nn.Conv2d(3, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.reg_token = nn.Parameter(torch.randn(1, regs, dim) * 0.02)
+        self.pos_embed = nn.Parameter(
+            torch.randn(1, 1 + regs + n, dim) * 0.02
+        )
+        self.blocks = nn.ModuleList(
+            _TorchViTBlock(dim, heads) for _ in range(depth)
+        )
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.regs = regs
+
+    def forward(self, x):
+        B = x.shape[0]
+        x = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        x = torch.cat(
+            [
+                self.cls_token.expand(B, -1, -1),
+                self.reg_token.expand(B, -1, -1),
+                x,
+            ],
+            dim=1,
+        )
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        return x[:, 1 + self.regs :]  # patch tokens only
+
+
+def test_radio_import_matches_torch_forward():
+    from probpose_pytorch_tpu.compat.torch_import import (
+        import_radio_adapter_params,
+        import_radio_vit_params,
+    )
+    from probpose_pytorch_tpu.models.vit import ViTBackbone
+
+    torch.manual_seed(0)
+    tm = _TorchRadioViT()
+    adapter = nn.Sequential(nn.Linear(32, 24), nn.ReLU(), nn.Linear(24, 32))
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    sd.update(
+        {f"mlp.{k}": v.detach().numpy() for k, v in adapter.state_dict().items()}
+    )
+
+    params = import_radio_vit_params(
+        sd,
+        depth=2,
+        src_grid=(4, 4),
+        num_prefix_tokens=1,
+        num_register_tokens=2,
+    )
+    params.update(import_radio_adapter_params(sd))
+
+    vit = ViTBackbone(
+        img_size=(32, 32),
+        patch_size=8,
+        embed_dim=32,
+        depth=2,
+        num_heads=2,
+        dtype=jnp.float32,
+        frozen=True,
+        num_prefix_tokens=3,
+        exact_gelu=True,
+        adapter_hidden=(24, 32),
+    )
+    x = np.random.default_rng(0).normal(size=(2, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(vit.apply({"params": params}, jnp.asarray(x)))
+
+    with torch.no_grad():
+        feats = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))  # (B, N, C)
+        feats = adapter(feats)
+    want = feats.numpy().reshape(2, 4, 4, 32)
+
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-5)
+    # the frozen+adapter contract mirrors backbone.py:10-21
+    corr = np.corrcoef(ours.ravel(), want.ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_radio_import_linear_patchifier_and_no_registers():
+    """RADIO's ViTPatchGenerator uses a linear patch embedder (C, 3*p*p);
+    the importer folds it into the equivalent convolution."""
+    from probpose_pytorch_tpu.compat.torch_import import import_radio_vit_params
+    from probpose_pytorch_tpu.models.vit import ViTBackbone
+
+    torch.manual_seed(1)
+    tm = _TorchRadioViT(regs=1)  # keep a register so state dict is uniform
+    tm.eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    # rewrite the conv patchifier as its linear form
+    w = sd.pop("patch_embed.proj.weight")  # (C, 3, p, p)
+    sd["patch_embed.proj.weight"] = w.reshape(w.shape[0], -1)
+
+    params = import_radio_vit_params(
+        sd, depth=2, src_grid=(4, 4),
+        num_prefix_tokens=1, num_register_tokens=1,
+    )
+    vit = ViTBackbone(
+        img_size=(32, 32), patch_size=8, embed_dim=32, depth=2, num_heads=2,
+        dtype=jnp.float32, frozen=True, num_prefix_tokens=2, exact_gelu=True,
+    )
+    x = np.random.default_rng(1).normal(size=(1, 32, 32, 3)).astype(np.float32)
+    ours = np.asarray(vit.apply({"params": params}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        ours, want.reshape(1, 4, 4, 32), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pos_embed_interpolation():
+    from probpose_pytorch_tpu.compat.torch_import import interpolate_pos_embed
+
+    rng = np.random.default_rng(2)
+    pos = rng.normal(size=(1, 6 * 6, 8)).astype(np.float32)
+    out = interpolate_pos_embed(pos, (6, 6), (12, 9))
+    assert out.shape == (1, 12 * 9, 8)
+    # identity when grids match
+    same = interpolate_pos_embed(pos, (6, 6), (6, 6))
+    np.testing.assert_array_equal(same, pos)
+    # a constant embedding stays constant under resampling
+    const = np.ones((1, 36, 8), np.float32)
+    np.testing.assert_allclose(
+        interpolate_pos_embed(const, (6, 6), (10, 7)), 1.0, rtol=1e-5
+    )
+
+
+def test_radio_input_stats():
+    from probpose_pytorch_tpu.compat.torch_import import radio_input_stats
+
+    sd = {
+        "input_conditioner.norm_mean": np.array([[[0.48]], [[0.46]], [[0.41]]]),
+        "input_conditioner.norm_std": np.array([[[0.27]], [[0.26]], [[0.28]]]),
+    }
+    mean, std = radio_input_stats(sd)
+    assert mean.shape == (3,) and std.shape == (3,)
+    assert radio_input_stats({}) is None
