@@ -48,7 +48,8 @@ def _build_pipeline():
         deconv_kernel_sizes=(4, 4),
         pool_sizes=((4, 3), (2, 2), (2, 2)),
         normalize=1.0,
-        softmax_dtype="bfloat16",
+        softmax_dtype="bfloat16",  # only affects the einsum fallback path
+        attn_impl="fused",  # packed Pallas attention (f32 softmax in VMEM)
     )
     model = build_model(cfg)
     W, H = cfg.heatmap_size
@@ -93,6 +94,7 @@ def _bench_train_step() -> tuple[float, float]:
             deconv_kernel_sizes=(4, 4),
             pool_sizes=((4, 3), (2, 2), (2, 2)),
             normalize=1.0,
+            attn_impl="fused",
         ),
         train_batch_size=B,
         out_dir="/tmp/probpose_tpu_bench_train",
@@ -182,7 +184,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode; serving config: bf16 softmax)",
+                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode; packed Pallas attention, f32 softmax in VMEM)",
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / TARGET, 3),

@@ -123,4 +123,9 @@ class COCOPoseDataset:
             bbox=box,
             image_id=np.int64(rec["image_id"]),
             area=np.float32(rec["area"]),
+            # Original annotation (frame space, raw v): evaluation must score
+            # against this, not a crop-space reconstruction — keypoints the
+            # crop clipped and the 0/1/2 visibility levels survive here.
+            keypoints_frame=rec["keypoints"].astype(np.float32),
+            bbox_frame=np.asarray(rec["bbox"], np.float32),
         )

@@ -2,25 +2,34 @@
 
 Greenfield subsystem (SURVEY.md §2.4: the reference has no AP evaluation,
 only training-time PCK/OKS metrics). Implements the standard COCO keypoint
-evaluation: per-image greedy matching of score-sorted detections to ground
-truths by OKS, AP/AR averaged over OKS thresholds 0.50:0.05:0.95, with the
-medium/large area-range splits.
+evaluation protocol exactly — per-image greedy matching of score-sorted
+detections to ground truths by OKS with the ignored-GT rules (a detection
+falls back to an ignored GT only when no live GT matches, taken ignored GTs
+are consumed, unmatched out-of-range detections are ignored rather than
+counted as false positives), AP/AR averaged over OKS thresholds
+0.50:0.05:0.95 with 101-point interpolated precision, and the medium/large
+area-range splits.
+
+Verified equivalent to the reference pycocotools COCOeval algorithm by a
+structurally independent transcription of that protocol in
+tests/test_coco_protocol.py (pycocotools itself is not a dependency).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
 
 import numpy as np
 
-__all__ = ["oks_matrix", "COCOKeypointEvaluator"]
+__all__ = ["oks_matrix", "detection_areas", "COCOKeypointEvaluator"]
 
 _THRESHOLDS = np.round(np.arange(0.5, 1.0, 0.05), 2)
+# Inclusive [lo, hi] bounds, exactly the protocol's areaRng values (an
+# instance is ignored when area < lo or area > hi; "all" is capped at 1e10).
 _AREA_RANGES = {
-    "all": (0.0, np.inf),
+    "all": (0.0**2, 1e5**2),
     "medium": (32.0**2, 96.0**2),
-    "large": (96.0**2, np.inf),
+    "large": (96.0**2, 1e5**2),
 }
 
 
@@ -62,6 +71,14 @@ def oks_matrix(
     return out
 
 
+def detection_areas(dt_kpts: np.ndarray) -> np.ndarray:
+    """Per-detection area from the keypoint bounding box, as the COCO results
+    loader derives it for keypoint detections (used to ignore unmatched
+    detections outside an area-range split)."""
+    x, y = dt_kpts[..., 0], dt_kpts[..., 1]
+    return (x.max(-1) - x.min(-1)) * (y.max(-1) - y.min(-1))
+
+
 @dataclass
 class COCOKeypointEvaluator:
     """Streaming evaluator: feed per-image (detections, ground truths) as the
@@ -70,7 +87,7 @@ class COCOKeypointEvaluator:
 
     sigmas: np.ndarray
     max_dets: int = 20
-    _matches: list = field(default_factory=list)
+    _images: list = field(default_factory=list)
 
     def add_image(
         self,
@@ -82,92 +99,118 @@ class COCOKeypointEvaluator:
         gt_ignore: np.ndarray | None = None,
     ) -> None:
         """dt_kpts (D, K, 3), dt_scores (D,), gt_kpts (G, K, 3),
-        gt_areas (G,)."""
-        D, G = len(dt_kpts), len(gt_kpts)
-        order = np.argsort(-np.asarray(dt_scores))[: self.max_dets]
+        gt_areas (G,); gt_ignore marks annotations that are ignore-regions
+        (crowds, zero-keypoint instances)."""
+        G = len(gt_kpts)
+        # Stable score sort, truncated to max_dets (the protocol's per-image
+        # detection cap).
+        order = np.argsort(-np.asarray(dt_scores), kind="stable")[: self.max_dets]
         dt_kpts = np.asarray(dt_kpts)[order]
         dt_scores = np.asarray(dt_scores)[order]
         if gt_ignore is None:
             gt_ignore = np.zeros(G, bool)
         ious = (
             oks_matrix(dt_kpts, gt_kpts, gt_areas, self.sigmas, gt_boxes)
-            if D and G
+            if len(dt_kpts) and G
             else np.zeros((len(dt_kpts), G))
         )
-        self._matches.append(
+        self._images.append(
             dict(
                 ious=ious,
                 dt_scores=dt_scores,
+                dt_areas=detection_areas(dt_kpts)
+                if len(dt_kpts)
+                else np.zeros(0),
                 gt_areas=np.asarray(gt_areas, np.float64),
                 gt_ignore=np.asarray(gt_ignore, bool),
             )
         )
 
-    def _evaluate_range(self, area_range: tuple[float, float]) -> dict[str, float]:
-        T = len(_THRESHOLDS)
-        per_thr_scores: list[list[np.ndarray]] = [[] for _ in range(T)]
-        per_thr_tp: list[list[np.ndarray]] = [[] for _ in range(T)]
-        n_gt = 0
-        lo, hi = area_range
-        for m in self._matches:
-            ious, scores = m["ious"], m["dt_scores"]
-            in_range = (m["gt_areas"] >= lo) & (m["gt_areas"] < hi)
-            use = in_range & ~m["gt_ignore"]
-            n_gt += int(use.sum())
-            D, G = ious.shape
-            for t, thr in enumerate(_THRESHOLDS):
-                taken = np.zeros(G, bool)
-                tp = np.zeros(D, bool)
-                ignore_dt = np.zeros(D, bool)
-                for d in range(D):  # detections already score-sorted
-                    best, best_g = thr, -1
-                    for g in range(G):
-                        if taken[g] or not use[g]:
-                            continue
-                        if ious[d, g] >= best:
-                            best, best_g = ious[d, g], g
-                    if best_g >= 0:
-                        taken[best_g] = True
-                        tp[d] = True
-                    else:
-                        # unmatched detections could still match ignored /
-                        # out-of-range gts -> ignore rather than count FP
-                        for g in range(G):
-                            if not use[g] and ious[d, g] >= thr:
-                                ignore_dt[d] = True
-                                break
-                keep = ~ignore_dt
-                per_thr_scores[t].append(scores[keep])
-                per_thr_tp[t].append(tp[keep])
-        if n_gt == 0:
-            return {"AP": -1.0, "AR": -1.0}
+    def _match_image(
+        self, img: dict, lo: float, hi: float
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Protocol-exact greedy matching for one image over all thresholds.
 
-        # Accumulate PR per threshold over the whole dataset.
+        Returns (tp (T, D), dt_ignore (T, D), dt_scores (D,), n_gt_live).
+        GTs out of the area range are treated as ignored; live GTs are
+        offered to each detection before ignored ones; a GT (ignored or not)
+        can be taken once; a detection matched to an ignored GT — or left
+        unmatched with its own area outside the range — is excluded from
+        both TP and FP counts.
+        """
+        ious = img["ious"]
+        D, G = ious.shape
+        gt_ig = img["gt_ignore"] | (img["gt_areas"] < lo) | (img["gt_areas"] > hi)
+        # live GTs first, ignored last (stable), as the protocol sorts them
+        gt_order = np.argsort(gt_ig, kind="stable")
+        gt_ig_sorted = gt_ig[gt_order]
+        ious_s = ious[:, gt_order] if G else ious
+        T = len(_THRESHOLDS)
+        tp = np.zeros((T, D), bool)
+        dt_ig = np.zeros((T, D), bool)
+        out_of_range = (img["dt_areas"] < lo) | (img["dt_areas"] > hi)
+        for t, thr in enumerate(_THRESHOLDS):
+            taken = np.zeros(G, bool)
+            for d in range(D):
+                best = min(thr, 1 - 1e-10)
+                m = -1
+                for g in range(G):
+                    if taken[g]:
+                        continue
+                    # once matched to a live GT, never fall through to the
+                    # ignored tail
+                    if m > -1 and not gt_ig_sorted[m] and gt_ig_sorted[g]:
+                        break
+                    if ious_s[d, g] < best:
+                        continue
+                    best = ious_s[d, g]
+                    m = g
+                if m == -1:
+                    # unmatched detection outside the split's area range is
+                    # ignored, not a false positive
+                    dt_ig[t, d] = out_of_range[d]
+                    continue
+                taken[m] = True
+                dt_ig[t, d] = gt_ig_sorted[m]
+                tp[t, d] = not gt_ig_sorted[m]
+        n_live = int((~gt_ig).sum())
+        return tp, dt_ig, img["dt_scores"], n_live
+
+    def _evaluate_range(self, area_range: tuple[float, float]) -> dict[str, float]:
+        lo, hi = area_range
+        T = len(_THRESHOLDS)
+        all_tp, all_ig, all_scores = [], [], []
+        n_gt = 0
+        for img in self._images:
+            tp, dt_ig, scores, n_live = self._match_image(img, lo, hi)
+            all_tp.append(tp)
+            all_ig.append(dt_ig)
+            all_scores.append(scores)
+            n_gt += n_live
+        if n_gt == 0:
+            return {"AP": -1.0, "AP50": -1.0, "AP75": -1.0, "AR": -1.0}
+        tp = np.concatenate(all_tp, axis=1) if all_tp else np.zeros((T, 0), bool)
+        ig = np.concatenate(all_ig, axis=1) if all_ig else np.zeros((T, 0), bool)
+        scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
+        # global stable sort by score across the dataset
+        order = np.argsort(-scores, kind="stable")
+        tp, ig = tp[:, order], ig[:, order]
+
         aps, ars = [], []
+        rec_thrs = np.linspace(0.0, 1.0, 101)
         for t in range(T):
-            scores_t = (
-                np.concatenate(per_thr_scores[t])
-                if per_thr_scores[t]
-                else np.zeros(0)
-            )
-            tps_t = (
-                np.concatenate(per_thr_tp[t])
-                if per_thr_tp[t]
-                else np.zeros(0, bool)
-            )
-            order = np.argsort(-scores_t)
-            tps_t = tps_t[order]
-            tp_cum = np.cumsum(tps_t)
-            fp_cum = np.cumsum(~tps_t)
+            keep = ~ig[t]
+            tps = tp[t][keep]
+            tp_cum = np.cumsum(tps)
+            fp_cum = np.cumsum(~tps)
             recall = tp_cum / n_gt
-            precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
-            # 101-point interpolated AP
+            precision = tp_cum / (tp_cum + fp_cum + np.spacing(1))
             prec_interp = np.zeros(101)
             if len(precision):
                 pr = precision.copy()
                 for i in range(len(pr) - 1, 0, -1):
                     pr[i - 1] = max(pr[i - 1], pr[i])
-                idx = np.searchsorted(recall, np.linspace(0, 1, 101), side="left")
+                idx = np.searchsorted(recall, rec_thrs, side="left")
                 valid = idx < len(pr)
                 prec_interp[valid] = pr[idx[valid]]
             aps.append(prec_interp.mean())

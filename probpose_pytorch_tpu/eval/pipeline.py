@@ -68,26 +68,41 @@ def evaluate_topdown(
             frame_kp[:, 0] = kp[:, 0] / W * bw + x0
             frame_kp[:, 1] = kp[:, 1] / H * bh + y0
             dt = np.concatenate([frame_kp, sc.reshape(-1, 1)], axis=1)
-            gt_xy = np.empty_like(s["keypoints"])
-            gt_xy[:, 0] = s["keypoints"][:, 0] / W * bw + x0
-            gt_xy[:, 1] = s["keypoints"][:, 1] / H * bh + y0
-            gt = np.concatenate(
-                [gt_xy, s["keypoints_visible"].reshape(-1, 1) * 2], axis=1
-            )
+            if "keypoints_frame" in s:
+                # Score against the original annotation: crop-clipped
+                # keypoints and the raw 0/1/2 visibility levels intact.
+                gt = np.asarray(s["keypoints_frame"], np.float64)
+            else:
+                gt_xy = np.empty_like(s["keypoints"])
+                gt_xy[:, 0] = s["keypoints"][:, 0] / W * bw + x0
+                gt_xy[:, 1] = s["keypoints"][:, 1] / H * bh + y0
+                gt = np.concatenate(
+                    [gt_xy, s["keypoints_visible"].reshape(-1, 1) * 2], axis=1
+                )
             rec = per_image[int(s["image_id"])]
             rec["dt"].append(dt)
+            # Standard top-down instance score: detector/box confidence is
+            # unavailable here, so use mean keypoint score weighted by
+            # predicted presence (validated against the COCOeval-protocol
+            # oracle in tests/test_coco_protocol.py).
             rec["scores"].append(float(np.mean(sc * pr)))
             rec["gt"].append(gt)
             rec["areas"].append(float(s["area"]))
-            rec["boxes"].append(np.asarray(s["bbox"], np.float64))
+            rec["boxes"].append(
+                np.asarray(s.get("bbox_frame", s["bbox"]), np.float64)
+            )
 
     evaluator = COCOKeypointEvaluator(np.asarray(sigmas))
     for rec in per_image.values():
+        gt = np.stack(rec["gt"])
         evaluator.add_image(
             np.stack(rec["dt"]),
             np.asarray(rec["scores"]),
-            np.stack(rec["gt"]),
+            gt,
             np.asarray(rec["areas"]),
             np.stack(rec["boxes"]),
+            # COCO protocol: instances with no labeled keypoints are
+            # ignore-regions, not targets.
+            gt_ignore=(gt[:, :, 2] > 0).sum(axis=1) == 0,
         )
     return evaluator.summarize()

@@ -47,13 +47,28 @@ class Attention(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.bfloat16
     softmax_dtype: jnp.dtype = jnp.float32
-    impl: str = "einsum"  # "einsum" (differentiable) | "pallas" (serving)
+    # "fused": packed-layout Pallas kernel with recompute VJP (training +
+    # serving; f32 softmax in VMEM, no (B,h,N,N) HBM traffic, no transposes).
+    # "einsum": XLA formulation. "pallas": legacy flat-layout kernel
+    # (forward-only, needs transposes; kept for comparison).
+    impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        if self.impl == "fused" and jax.default_backend() == "tpu":
+            # Packed-layout VMEM kernel with recompute VJP: f32 softmax at
+            # better-than-bf16-einsum speed (54.9% MFU fwd / 64.7% fwd+bwd at
+            # ViT-S B=256 vs 39.5%/39.8% einsum — docs/PERF.md). Off-TPU (and
+            # thus on the virtual CPU mesh) the einsum path below runs
+            # instead; the kernel is not GSPMD-partitionable, so
+            # model-parallel mesh configs should keep impl='einsum'.
+            from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+            out = packed_attention(qkv, self.num_heads)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         if self.impl == "pallas":

@@ -6,4 +6,5 @@ from probpose_pytorch_tpu.ops.pallas.decode_kernel import (  # noqa: F401
 )
 from probpose_pytorch_tpu.ops.pallas.attention_kernel import (  # noqa: F401
     fused_attention,
+    packed_attention,
 )

@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention"]
+__all__ = ["fused_attention", "packed_attention"]
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -83,3 +83,166 @@ def fused_attention(
         flat(q), flat(k), flat(v), group=group, interpret=interpret
     )
     return jnp.transpose(out.reshape(B, H, N, D), (0, 2, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout fused attention with a recompute backward (training-capable)
+# ---------------------------------------------------------------------------
+#
+# The first kernel above still pays for layout: the ViT produces qkv as
+# (B, N, 3C) and flattening to (B*H, N, d) costs transpose round-trips through
+# HBM that eat the fusion win (docs/PERF.md: 0.57 ms kernel vs 0.77 ms einsum,
+# e2e neutral). This version consumes the qkv projection's natural layout
+# directly — HBM sees one read of qkv and one write of the context, nothing
+# else — and slices heads inside VMEM. The backward recomputes scores from
+# qkv (flash-style, no residual attention matrix) and emits dqkv in the same
+# packed layout, so the only retained residual is the layer input itself.
+
+
+def _packed_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
+    G, N, C3 = qkv_ref.shape
+    C = C3 // 3
+    d = C // heads
+    for g in range(G):
+        x = qkv_ref[g]  # (N, 3C)
+        for h in range(heads):
+            q = x[:, h * d:(h + 1) * d]
+            k = x[:, C + h * d:C + (h + 1) * d]
+            v = x[:, 2 * C + h * d:2 * C + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[g, :, h * d:(h + 1) * d] = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads: int, scale: float):
+    G, N, C3 = qkv_ref.shape
+    C = C3 // 3
+    d = C // heads
+    for g in range(G):
+        x = qkv_ref[g]
+        for h in range(heads):
+            q = x[:, h * d:(h + 1) * d]
+            k = x[:, C + h * d:C + (h + 1) * d]
+            v = x[:, 2 * C + h * d:2 * C + (h + 1) * d]
+            do = do_ref[g][:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            pb = p.astype(do.dtype)
+            # dV = P^T dO
+            dv = jax.lax.dot_general(
+                pb, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = dO V^T ; dS = P * (dP - rowsum(dP * P)) * scale
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - dsum) * scale).astype(do.dtype)
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[g, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, C + h * d:C + (h + 1) * d] = dk.astype(
+                dqkv_ref.dtype
+            )
+            dqkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d] = dv.astype(
+                dqkv_ref.dtype
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "group", "interpret")
+)
+def _packed_fwd(qkv, heads, group, interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    scale = 1.0 / np.sqrt(C // heads)
+    spec = pl.BlockSpec((group, N, C3), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((group, N, C), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, heads=heads, scale=scale),
+        grid=(pl.cdiv(B, group),),
+        in_specs=[spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("heads", "group", "interpret")
+)
+def _packed_bwd(qkv, do, heads, group, interpret):
+    B, N, C3 = qkv.shape
+    C = C3 // 3
+    scale = 1.0 / np.sqrt(C // heads)
+    qkv_spec = pl.BlockSpec((group, N, C3), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((group, N, C), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, heads=heads, scale=scale),
+        grid=(pl.cdiv(B, group),),
+        in_specs=[qkv_spec, do_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        interpret=interpret,
+    )(qkv, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def packed_attention(
+    qkv: jax.Array, heads: int, group: int = 8, interpret: bool | None = None
+) -> jax.Array:
+    """Fused multi-head attention on the qkv projection's packed layout.
+
+    qkv: (B, N, 3C) ordered [q | k | v] with heads h-major inside each C
+    (exactly `Dense(3C)` followed by `reshape(B, N, 3, H, d)` semantics, so
+    checkpoints import unchanged). Returns the (B, N, C) context. Scores and
+    softmax are f32 in VMEM; HBM never sees the (B, H, N, N) matrix, in either
+    the forward or the recompute backward — differentiable, so it serves both
+    training and serving (unlike `fused_attention`, which needs layout
+    transposes and has no VJP).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _packed_fwd(qkv, heads, group, interpret)
+
+
+def _packed_attention_fwd(qkv, heads, group, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _packed_fwd(qkv, heads, group, interpret), qkv
+
+
+def _packed_attention_bwd(heads, group, interpret, qkv, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # The backward holds qkv + dO in and dqkv out per block (7/3 the forward's
+    # footprint); halve the group to stay inside the ~16 MB VMEM budget.
+    return (_packed_bwd(qkv, g, heads, max(group // 2, 1), interpret),)
+
+
+packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)

@@ -17,6 +17,7 @@ cfg = TrainConfig(
         compute_dtype="bfloat16",
         deconv_out_channels=(256, 256), deconv_kernel_sizes=(4, 4),
         pool_sizes=((4, 3), (2, 2), (2, 2)), normalize=1.0,
+        attn_impl="fused",
     ),
     train_batch_size=B,
     out_dir="/tmp/train_speed",

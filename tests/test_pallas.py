@@ -96,3 +96,74 @@ def test_fused_attention_group_remainder():
     ref = jax.nn.softmax(ref, axis=-1)
     ref = jnp.einsum("bhnm,bmhd->bnhd", ref, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestPackedAttention:
+    """packed_attention: fused qkv-layout attention with recompute VJP
+    (ops/pallas/attention_kernel.py). Interpret mode here; measured on
+    hardware in docs/PERF.md."""
+
+    def _ref(self, qkv, heads):
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        d = C // heads
+        q, k, v = jnp.moveaxis(qkv.reshape(B, N, 3, heads, d), 2, 0)
+        a = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(d)
+        a = jax.nn.softmax(a.astype(jnp.float32), -1).astype(qkv.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, C)
+
+    def test_forward_matches_einsum(self):
+        from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(rng.normal(size=(4, 32, 3 * 48)).astype(np.float32))
+        out = packed_attention(qkv, 3, group=2, interpret=True)
+        ref = self._ref(qkv, 3)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+        )
+
+    def test_grad_matches_einsum(self):
+        from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+        rng = np.random.default_rng(1)
+        qkv = jnp.asarray(rng.normal(size=(2, 16, 3 * 32)).astype(np.float32))
+        t = jnp.asarray(rng.normal(size=(2, 16, 32)).astype(np.float32))
+
+        g_ref = jax.grad(lambda x: jnp.sum(self._ref(x, 2) * t))(qkv)
+        g_our = jax.grad(
+            lambda x: jnp.sum(packed_attention(x, 2, group=1, interpret=True) * t)
+        )(qkv)
+        np.testing.assert_allclose(
+            np.asarray(g_our), np.asarray(g_ref), rtol=2e-4, atol=1e-5
+        )
+
+    def test_ragged_batch(self):
+        from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+        rng = np.random.default_rng(2)
+        qkv = jnp.asarray(rng.normal(size=(5, 8, 3 * 16)).astype(np.float32))
+        out = packed_attention(qkv, 2, group=2, interpret=True)
+        ref = self._ref(qkv, 2)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6
+        )
+
+    def test_vit_fused_impl_falls_back_off_tpu(self):
+        """Off-TPU the 'fused' impl must trace the einsum path (identical
+        params tree), so flagship configs run everywhere."""
+        from probpose_pytorch_tpu.models.vit import ViTBackbone
+
+        kw = dict(img_size=(32, 32), patch_size=16, embed_dim=32,
+                  depth=1, num_heads=2, dtype=jnp.float32)
+        vit_f = ViTBackbone(attn_impl="fused", **kw)
+        vit_e = ViTBackbone(attn_impl="einsum", **kw)
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(1, 32, 32, 3)),
+            jnp.float32,
+        )
+        pf = jax.jit(vit_f.init)(jax.random.PRNGKey(0), x)
+        out_f = vit_f.apply(pf, x)
+        out_e = vit_e.apply(pf, x)
+        if jax.default_backend() != "tpu":
+            np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_e))
