@@ -1,9 +1,12 @@
 # Common entry points (see docs/STATUS.md for the round summary).
 
-.PHONY: test bench train-synth eval profile parity
+.PHONY: test bench train-synth eval profile parity native
 
 test:
 	python -m pytest tests/ -q
+
+native:           ## build the C++ data plane (JPEG decode + crop pre-stage)
+	python -c "from probpose_pytorch_tpu import native; assert native.native_available(), native._build_error; print('native data plane ready')"
 
 bench:            ## one-chip serving throughput (real TPU)
 	python bench.py

@@ -22,6 +22,7 @@ tracked round-over-round alongside serving (VERDICT r1 item #5).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -50,6 +51,8 @@ def _build_pipeline():
         normalize=1.0,
         softmax_dtype="bfloat16",  # only affects the einsum fallback path
         attn_impl="fused",  # packed Pallas attention (f32 softmax in VMEM)
+        # mlp_impl stays "dense": the fused LN+MLP kernel wins its microbench
+        # but regresses e2e serving 9.4k -> 8.7k crops/s (docs/PERF.md).
     )
     model = build_model(cfg)
     W, H = cfg.heatmap_size
@@ -59,8 +62,10 @@ def _build_pipeline():
         sigmas=np.full(cfg.num_keypoints, 0.05, np.float32),
         sigma=2.0,
     )
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.img_size, 3)), train=False
+    # jit the init: eager tracing would compile every Pallas kernel call
+    # individually (~80s for 12 fused-attn + 12 fused-MLP blocks).
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.img_size, 3))
     )
 
     def pipeline(variables, frames, boxes):

@@ -58,8 +58,23 @@ def build_crop_cache(
         vis[i] = s["keypoints_visible"]
         visibility[i] = s["keypoints_visibility"]
 
-    with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
-        list(pool.map(fill, range(n)))
+    if hasattr(dataset, "get_batch"):
+        # Chunked batched ingestion — with the native data plane behind
+        # get_batch (data/yolo.py) this is one threaded C++ decode+crop call
+        # per chunk instead of n Python samples.
+        chunk = 256
+        for start in range(0, n, chunk):
+            idx = range(start, min(n, start + chunk))
+            b = dataset.get_batch(idx)
+            frames[start : start + len(b["image"])] = b["image"]
+            kpts[start : start + len(b["image"])] = b["keypoints"]
+            vis[start : start + len(b["image"])] = b["keypoints_visible"]
+            visibility[start : start + len(b["image"])] = b[
+                "keypoints_visibility"
+            ]
+    else:
+        with cf.ThreadPoolExecutor(max_workers=num_workers) as pool:
+            list(pool.map(fill, range(n)))
     frames.flush()
     np.savez(
         cache_dir / _LABELS,

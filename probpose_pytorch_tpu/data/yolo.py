@@ -99,7 +99,7 @@ class YOLOPoseDataset:
     split: str
     input_size: tuple[int, int]  # (H, W)
     target_single_class: int | None = None
-    resample: str = "lanczos"
+    resample: str = "lanczos"  # "native" = C++ data plane, device convention
 
     def __post_init__(self):
         self.records = parse_yolo_annotations(
@@ -109,11 +109,27 @@ class YOLOPoseDataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    def _labels(self, rec) -> dict[str, np.ndarray]:
+        H, W = self.input_size
+        x0, y0, bw, bh = rec["bbox"]
+        kps = rec["keypoints"].copy()
+        xy = kps[:, :2]
+        xy[:, 0] = (xy[:, 0] - x0) / bw * W
+        xy[:, 1] = (xy[:, 1] - y0) / bh * H
+        v = kps[:, 2]
+        return dict(
+            keypoints=xy.astype(np.float32),
+            keypoints_visible=(v == 2).astype(np.float32),
+            keypoints_visibility=np.minimum(v, 1).astype(np.float32),
+        )
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         import PIL.Image
 
         rec = self.records[idx]
         H, W = self.input_size
+        if self.resample == "native":
+            return {k: v[0] for k, v in self.get_batch([idx]).items()}
         x0, y0, bw, bh = rec["bbox"]
         with PIL.Image.open(rec["image_path"]) as im:
             im = im.convert("RGB")
@@ -123,14 +139,64 @@ class YOLOPoseDataset:
                 if self.resample == "lanczos"
                 else PIL.Image.BILINEAR,
             )
-        kps = rec["keypoints"].copy()
-        xy = kps[:, :2]
-        xy[:, 0] = (xy[:, 0] - x0) / bw * W
-        xy[:, 1] = (xy[:, 1] - y0) / bh * H
-        v = kps[:, 2]
+        return dict(image=np.asarray(crop, np.uint8), **self._labels(rec))
+
+    def get_batch(self, indices) -> dict[str, np.ndarray]:
+        """Batched read. With resample="native", JPEG records decode + crop
+        + bilinear-resize in one threaded C++ call (native/dataplane.cpp)
+        using the same sampling convention as the on-device preprocess
+        (ops/preprocess.py "bilinear_gather") — the native-equivalent of the
+        reference's Python DataLoader worker loop (dataset.py:71-90,117-121).
+        Non-JPEG records decode via PIL then crop through the same native
+        resampler, so pixels are convention-identical across formats.
+        """
+        indices = [int(i) for i in indices]
+        if self.resample != "native":
+            import concurrent.futures as cf
+
+            from probpose_pytorch_tpu.data.pipeline import _collate
+
+            with cf.ThreadPoolExecutor(max_workers=8) as pool:
+                return _collate(list(pool.map(self.__getitem__, indices)))
+
+        from probpose_pytorch_tpu import native
+
+        if not native.native_available():
+            raise RuntimeError(
+                "resample='native' requires the C++ data plane "
+                "(`make native`); build failed or PROBPOSE_NO_NATIVE is set"
+            )
+        import PIL.Image
+
+        H, W = self.input_size
+        recs = [self.records[i] for i in indices]
+        out = np.empty((len(recs), H, W, 3), np.uint8)
+        jpeg_pos, bufs, jboxes = [], [], []
+        for j, rec in enumerate(recs):
+            path = Path(rec["image_path"])
+            if path.suffix.lower() in (".jpg", ".jpeg"):
+                jpeg_pos.append(j)
+                bufs.append(path.read_bytes())
+                jboxes.append(rec["bbox"])
+            else:
+                with PIL.Image.open(path) as im:
+                    frame = np.asarray(im.convert("RGB"), np.uint8)
+                out[j] = native.crop_resize_batch(
+                    frame[None],
+                    np.asarray([rec["bbox"]], np.float32),
+                    (H, W),
+                )[0]
+        if jpeg_pos:
+            crops, _failed = native.decode_crop_resize_batch(
+                bufs, np.asarray(jboxes, np.float32), (H, W)
+            )
+            out[jpeg_pos] = crops
+        labels = [self._labels(rec) for rec in recs]
         return dict(
-            image=np.asarray(crop, np.uint8),
-            keypoints=xy.astype(np.float32),
-            keypoints_visible=(v == 2).astype(np.float32),
-            keypoints_visibility=np.minimum(v, 1).astype(np.float32),
+            image=out,
+            **{
+                k: np.stack([lb[k] for lb in labels])
+                for k in ("keypoints", "keypoints_visible",
+                          "keypoints_visibility")
+            },
         )

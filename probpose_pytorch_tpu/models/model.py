@@ -46,7 +46,8 @@ class ModelConfig:
     normalize: float | None = 1.0
     compute_dtype: str = "bfloat16"
     softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
-    attn_impl: str = "einsum"  # "pallas" = fused serving attention (fwd-only)
+    attn_impl: str = "einsum"  # "fused" = packed Pallas attention on TPU
+    mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     remat: bool = False  # jax.checkpoint the ViT blocks
     # RADIO-import mode (reference backbone.py:4-21): prefix tokens ride
     # through attention; erf gelu matches the torch checkpoint.
@@ -90,6 +91,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
             dtype=cfg.dtype,
             softmax_dtype=jnp.dtype(cfg.softmax_dtype),
             attn_impl=cfg.attn_impl,
+            mlp_impl=cfg.mlp_impl,
             frozen=cfg.frozen_backbone,
             adapter_hidden=cfg.adapter_hidden,
             remat=cfg.remat,

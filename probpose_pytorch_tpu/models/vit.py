@@ -91,12 +91,56 @@ class Attention(nn.Module):
         return nn.Dense(C, dtype=self.dtype, name="proj")(out)
 
 
+class _LayerNormParams(nn.Module):
+    """Declares LayerNorm params without computing — used by the fused
+    LN+MLP kernel path so its parameter tree stays byte-identical to the
+    nn.LayerNorm/nn.Dense modules of the XLA path (checkpoints interchange)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32),
+            self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32),
+        )
+
+
+class _DenseParams(nn.Module):
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (self.din, self.dout),
+                jnp.float32,
+            ),
+            self.param("bias", nn.initializers.zeros, (self.dout,), jnp.float32),
+        )
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        k1, b1 = _DenseParams(self.dim, self.hidden, name="fc1")()
+        k2, b2 = _DenseParams(self.hidden, self.dim, name="fc2")()
+        return k1, b1, k2, b2
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
     dtype: jnp.dtype = jnp.bfloat16
     softmax_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "einsum"
+    mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     exact_gelu: bool = False
 
     @nn.compact
@@ -110,6 +154,28 @@ class Block(nn.Module):
             impl=self.attn_impl,
             name="attn",
         )(y)
+        if self.mlp_impl == "fused" and jax.default_backend() == "tpu":
+            # One VMEM pass for LN2 -> fc1 -> gelu -> fc2 -> +x: the (R, 4C)
+            # hidden state and the f32 LN output never touch HBM
+            # (ops/pallas/mlp_kernel.py; recompute backward via custom_vjp).
+            from probpose_pytorch_tpu.ops.pallas import fused_ln_mlp
+
+            scale, bias = _LayerNormParams(C, name="norm2")()
+            k1, b1, k2, b2 = _MlpParams(
+                C, int(C * self.mlp_ratio), name="mlp"
+            )()
+            B, N, _ = x.shape
+            out = fused_ln_mlp(
+                x.reshape(B * N, C),
+                scale,
+                bias,
+                k1.astype(self.dtype),
+                b1,
+                k2.astype(self.dtype),
+                b2,
+                self.exact_gelu,
+            )
+            return out.reshape(B, N, C)
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(
             int(C * self.mlp_ratio), C, dtype=self.dtype,
@@ -167,7 +233,8 @@ class ViTBackbone(nn.Module):
     frozen: bool = False
     adapter_hidden: Sequence[int] = ()
     remat: bool = False  # rematerialize blocks (memory <- FLOPs trade)
-    attn_impl: str = "einsum"  # "pallas" = fused serving attention
+    attn_impl: str = "einsum"  # "fused" = packed Pallas attention on TPU
+    mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     num_prefix_tokens: int = 0
     exact_gelu: bool = False
 
@@ -218,6 +285,7 @@ class ViTBackbone(nn.Module):
                 dtype=self.dtype,
                 softmax_dtype=self.softmax_dtype,
                 attn_impl=self.attn_impl,
+                mlp_impl=self.mlp_impl,
                 exact_gelu=self.exact_gelu,
                 name=f"block{i}",
             )(x)

@@ -8,3 +8,6 @@ from probpose_pytorch_tpu.ops.pallas.attention_kernel import (  # noqa: F401
     fused_attention,
     packed_attention,
 )
+from probpose_pytorch_tpu.ops.pallas.mlp_kernel import (  # noqa: F401
+    fused_ln_mlp,
+)

@@ -8,6 +8,7 @@ EMA, gradient accumulation, and a checkpointable opt/step state for resume.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -100,7 +101,11 @@ def create_train_state(
     tx: optax.GradientTransformation,
     ema: bool = False,
 ) -> TrainState:
-    variables = model.init(rng, sample_input, train=True)
+    # jit the init: eager tracing compiles every Pallas kernel call in the
+    # backbone individually (~80s for a fused-attn + fused-MLP ViT-S).
+    variables = jax.jit(functools.partial(model.init, train=True))(
+        rng, sample_input
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(

@@ -167,3 +167,83 @@ class TestPackedAttention:
         out_e = vit_e.apply(pf, x)
         if jax.default_backend() != "tpu":
             np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_e))
+
+
+class TestFusedLnMlp:
+    """fused_ln_mlp: VMEM LayerNorm+MLP+residual with in-kernel-vjp backward
+    (ops/pallas/mlp_kernel.py). Interpret mode; hardware numbers in
+    docs/PERF.md."""
+
+    def _ref(self, x, scale, bias, w1, b1, w2, b2):
+        mu = jnp.mean(x, -1, keepdims=True)
+        xc = x - mu
+        var = jnp.mean(xc * xc, -1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + 1e-6) * scale + bias
+        h = jax.nn.gelu(y @ w1 + b1, approximate=True)
+        return h @ w2 + b2 + x
+
+    def _args(self, seed=0, R=48, C=32, HID=64):
+        rng = np.random.default_rng(seed)
+        return tuple(
+            jnp.asarray(a.astype(np.float32))
+            for a in (
+                rng.normal(size=(R, C)),
+                rng.normal(1, 0.1, C),
+                rng.normal(0, 0.1, C),
+                rng.normal(0, 0.1, (C, HID)),
+                rng.normal(0, 0.01, HID),
+                rng.normal(0, 0.1, (HID, C)),
+                rng.normal(0, 0.01, C),
+            )
+        )
+
+    def test_forward_matches_xla(self):
+        from probpose_pytorch_tpu.ops.pallas import fused_ln_mlp
+
+        args = self._args()
+        out = fused_ln_mlp(*args, False, 16, True)
+        ref = self._ref(*args)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5
+        )
+
+    def test_all_grads_match_xla(self):
+        from probpose_pytorch_tpu.ops.pallas import fused_ln_mlp
+
+        args = self._args(seed=1)
+        t = jnp.asarray(
+            np.random.default_rng(2).normal(size=args[0].shape),
+            jnp.float32,
+        )
+        g_our = jax.grad(
+            lambda *a: jnp.sum(fused_ln_mlp(*a, False, 16, True) * t),
+            argnums=range(7),
+        )(*args)
+        g_ref = jax.grad(
+            lambda *a: jnp.sum(self._ref(*a) * t), argnums=range(7)
+        )(*args)
+        for ours, want in zip(g_our, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(want), rtol=1e-4, atol=1e-4
+            )
+
+    def test_block_param_tree_matches_dense_path(self):
+        """The fused path's declared params must be byte-compatible with the
+        nn.LayerNorm/Dense tree so checkpoints interchange between impls."""
+        from probpose_pytorch_tpu.models.vit import Block
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 8, 32)), jnp.float32
+        )
+        dense = Block(2, 2.0, dtype=jnp.float32, mlp_impl="dense")
+        fused = Block(2, 2.0, dtype=jnp.float32, mlp_impl="fused")
+        pd = jax.jit(dense.init)(jax.random.PRNGKey(0), x)
+        pf = jax.jit(fused.init)(jax.random.PRNGKey(0), x)
+        sd = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), pd)
+        sf = jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), pf)
+        assert sd == sf
+        if jax.default_backend() != "tpu":
+            # off-TPU both impls trace the same dense path
+            np.testing.assert_array_equal(
+                np.asarray(dense.apply(pd, x)), np.asarray(fused.apply(pd, x))
+            )
