@@ -22,6 +22,23 @@ from typing import Any, Sequence
 import numpy as np
 
 
+def tuned_serving_batch(default: int = 64) -> int:
+    """Best serving batch for this host's device kind, from the persisted
+    autotune sweep (scripts/autotune_serving.py -> configs/
+    autotune_serving.json). Falls back to `default` when no sweep has been
+    recorded for this hardware."""
+    path = Path(__file__).parents[1] / "configs" / "autotune_serving.json"
+    if not path.exists():
+        return default
+    try:
+        import jax
+
+        tuned = json.loads(path.read_text())
+        return int(tuned[jax.devices()[0].device_kind]["batch"])
+    except (KeyError, ValueError, RuntimeError):
+        return default
+
+
 @dataclasses.dataclass
 class TopDownPredictor:
     """Batched top-down pose predictor: frames + person boxes -> keypoints.
@@ -96,11 +113,18 @@ class TopDownPredictor:
         self,
         frame: np.ndarray,
         boxes: np.ndarray,
-        buckets: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64),
+        buckets: tuple[int, ...] | None = None,
     ) -> dict:
         """Variable-count detector boxes on one frame: pads the box list to
         the next bucket size (bounding recompilation to len(buckets) programs)
-        and strips the padding from the outputs."""
+        and strips the padding from the outputs. Default buckets are powers
+        of two up to the autotuned per-hardware serving batch
+        (`tuned_serving_batch`)."""
+        if buckets is None:
+            top = tuned_serving_batch()
+            buckets = tuple(
+                b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512) if b < top
+            ) + (top,)
         n = len(boxes)
         if n == 0:
             return {}

@@ -78,6 +78,14 @@ class TrainConfig:
     # raw bytes thereafter (data/cache.py); "" disables.
     cache_dir: str = ""
     num_workers: int = 4
+    # Failure containment (SURVEY.md §5.3: the reference has none). Two
+    # layers: optax apply_if_finite skips individual bad updates
+    # (OptimConfig.max_nonfinite_skips); this host-side monitor catches
+    # persistent divergence — two consecutive non-finite losses at log
+    # points restore the last checkpoint — without adding any device syncs
+    # (it reads the metrics the log step already transfers).
+    recover_on_nonfinite: bool = True
+    max_recoveries: int = 3
     out_dir: str = "./runs/default"
     resume: bool = True
     model_parallel: int = 1

@@ -10,6 +10,7 @@ step 5-6; BASELINE config #5).
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable
@@ -310,6 +311,8 @@ class Trainer:
         step_idx = start_step
         t0 = time.time()
         done = False
+        strikes = 0  # consecutive non-finite losses observed at log points
+        recoveries = 0
         for epoch in range(cfg.epochs):
             if done:
                 break
@@ -324,6 +327,40 @@ class Trainer:
                     )
                     t0 = time.time()
                     logger.log(step_idx, host, prefix="training")
+                    # Failure containment (config.py:recover_on_nonfinite):
+                    # persistent divergence -> restore last checkpoint. Uses
+                    # the loss the log step already transferred — no extra
+                    # device sync on the hot path.
+                    if cfg.recover_on_nonfinite and not math.isfinite(
+                        host.get("loss", 0.0)
+                    ):
+                        strikes += 1
+                        if strikes >= 2:
+                            if recoveries >= cfg.max_recoveries:
+                                raise RuntimeError(
+                                    f"loss non-finite at step {step_idx} "
+                                    f"after {recoveries} checkpoint "
+                                    "recoveries; aborting"
+                                )
+                            strikes = 0
+                            recoveries += 1
+                            restore_step = ckpt.latest_step()
+                            if restore_step is not None:
+                                self.state = ckpt.restore(self.state)
+                                print(
+                                    f"[trainer] non-finite loss at step "
+                                    f"{step_idx}; restored checkpoint step "
+                                    f"{restore_step} (recovery {recoveries}/"
+                                    f"{cfg.max_recoveries})"
+                                )
+                            else:
+                                print(
+                                    "[trainer] non-finite loss with no "
+                                    "checkpoint yet; relying on the "
+                                    "optimizer's non-finite skip guard"
+                                )
+                    else:
+                        strikes = 0
                 if (
                     val_batches is not None
                     and step_idx % cfg.val_every == 0

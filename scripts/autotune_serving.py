@@ -1,0 +1,125 @@
+"""Serving autotune: per-hardware batch-size sweep, persisted for deployment.
+
+ROADMAP #5: the serving pipeline's best batch is hardware-dependent (VMEM
+headroom, HBM bandwidth, MXU occupancy all shift between chip generations).
+This sweeps the flagship pipeline across batch sizes with the chained-in-jit
+methodology (utils/profiling.py:measure_fn_time), prints a table, and
+persists the winner to `configs/autotune_serving.json` keyed by device kind —
+`inference.TopDownPredictor` and deployment wrappers can read it instead of
+hardcoding a batch.
+
+The reference has no counterpart (its inference.py runs one whole image at a
+time, reference inference.py:74-86); this is a production-serving subsystem.
+
+Usage: python scripts/autotune_serving.py [--batches 128,256,384,512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
+
+
+def build_pipeline(batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.codec import ProbMap
+    from probpose_pytorch_tpu.models.model import ModelConfig, build_model
+    from probpose_pytorch_tpu.ops.preprocess import crop_resize
+
+    cfg = ModelConfig(
+        img_size=(256, 192),
+        num_keypoints=17,
+        backbone="vit-s",
+        compute_dtype="bfloat16",
+        deconv_out_channels=(256, 256),
+        deconv_kernel_sizes=(4, 4),
+        pool_sizes=((4, 3), (2, 2), (2, 2)),
+        normalize=1.0,
+        softmax_dtype="bfloat16",
+        attn_impl="fused",
+    )
+    model = build_model(cfg)
+    W, H = cfg.heatmap_size
+    codec = ProbMap(
+        (cfg.img_size[1], cfg.img_size[0]),
+        (W, H),
+        sigmas=np.full(cfg.num_keypoints, 0.05, np.float32),
+        sigma=2.0,
+    )
+    import functools
+
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, *cfg.img_size, 3))
+    )
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 256, size=(batch, 320, 256, 3), dtype=np.uint8)
+    )
+    boxes = jnp.asarray(
+        rng.uniform([0, 0, 120, 180], [60, 60, 196, 260], (batch, 4)).astype(
+            np.float32
+        )
+    )
+
+    def pipeline(inp):
+        frames, boxes = inp
+        crops = crop_resize(frames, boxes, cfg.img_size, "bilinear_matmul")
+        heatmaps, probs, *_ = model.apply(variables, crops, train=False)
+        coords, scores = codec.decode(heatmaps)
+        return jnp.concatenate(
+            [coords.reshape(-1), scores.reshape(-1), probs.reshape(-1)]
+        )
+
+    return pipeline, (frames.astype(jnp.float32), boxes)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="128,256,384,512")
+    ap.add_argument(
+        "--out", default=str(Path(__file__).parents[1] / "configs" /
+                            "autotune_serving.json")
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    from probpose_pytorch_tpu.utils.profiling import measure_fn_time
+
+    device_kind = jax.devices()[0].device_kind
+    rows = []
+    for b in (int(x) for x in args.batches.split(",")):
+        pipeline, dep = build_pipeline(b)
+        sec = measure_fn_time(pipeline, dep, short_n=2, long_n=12)
+        cps = b / sec
+        rows.append({"batch": b, "ms_per_batch": sec * 1e3,
+                     "crops_per_sec": cps})
+        print(f"batch {b:4d}: {sec * 1e3:7.2f} ms  {cps:9.0f} crops/s")
+
+    best = max(rows, key=lambda r: r["crops_per_sec"])
+    out = Path(args.out)
+    tuned = json.loads(out.read_text()) if out.exists() else {}
+    tuned[device_kind] = {
+        "batch": best["batch"],
+        "crops_per_sec": round(best["crops_per_sec"], 1),
+        "sweep": [
+            {k: round(v, 2) if isinstance(v, float) else v
+             for k, v in r.items()}
+            for r in rows
+        ],
+    }
+    out.write_text(json.dumps(tuned, indent=2) + "\n")
+    print(f"best batch for {device_kind}: {best['batch']} "
+          f"({best['crops_per_sec']:.0f} crops/s) -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -19,8 +19,29 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
+# Persistent XLA compilation cache: this host has one CPU core and the suite
+# is compile-dominated (tiny-model init 10.2s cold -> 0.96s warm). The cache
+# dir lives in the repo so it survives across runs. Env vars propagate it to
+# the multihost subprocess workers (which start fresh interpreters); for
+# THIS process jax is already imported by sitecustomize, so the env defaults
+# were already read — jax.config.update below actually activates it here.
+# The CPU AOT loader logs a benign machine-feature pseudo-mismatch
+# (+prefer-no-scatter) on every cache load — TF_CPP_MIN_LOG_LEVEL=3
+# silences it in subprocesses; in-process loads land in pytest's captured
+# stderr.
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_cache_dir = os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_repo, ".cache", "jax")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

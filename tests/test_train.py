@@ -102,6 +102,54 @@ class TestTrainer:
         trainer2.fit(_data(cfg), max_steps=1)
         assert int(trainer2.state.step) == 3
 
+    def test_nonfinite_loss_recovers_from_checkpoint(self, tmp_path, capsys):
+        """Failure containment (train/loop.py fit): NaN-poisoned batches
+        corrupt the params (no optax guard: max_nonfinite_skips=0); two
+        consecutive non-finite losses at log points must restore the last
+        checkpoint and training must finish with finite params."""
+        cfg = _tiny_cfg(
+            tmp_path, epochs=3, checkpoint_every_epochs=1, max_recoveries=3
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+
+        good = list(_data(cfg)())[:2]
+        poisoned = [
+            {**b, "keypoints": np.full_like(b["keypoints"], np.nan)}
+            for b in good
+        ]
+        epoch_plans = iter([good, poisoned, good])
+
+        def batches():
+            return next(epoch_plans)
+
+        state = trainer.fit(batches)
+        out = capsys.readouterr().out
+        assert "restored checkpoint step 2" in out
+        assert all(
+            np.isfinite(np.asarray(leaf)).all()
+            for leaf in jax.tree_util.tree_leaves(state.params)
+        )
+        # epoch-2 progress was rolled back: final step = ckpt step + epoch 3
+        assert int(state.step) == 4
+
+    def test_nonfinite_loss_aborts_after_max_recoveries(self, tmp_path):
+        cfg = _tiny_cfg(
+            tmp_path, epochs=4, checkpoint_every_epochs=1, max_recoveries=1
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        good = list(_data(cfg)())[:2]
+        poisoned = [
+            {**b, "keypoints": np.full_like(b["keypoints"], np.nan)}
+            for b in good
+        ]
+        plans = iter([good, poisoned, poisoned, poisoned])
+
+        def batches():
+            return next(plans)
+
+        with pytest.raises(RuntimeError, match="non-finite"):
+            trainer.fit(batches)
+
     def test_metrics_jsonl_written(self, tmp_path):
         cfg = _tiny_cfg(tmp_path)
         trainer = Trainer.create(cfg, steps_per_epoch=2)
