@@ -36,6 +36,12 @@ def _build_pipeline():
     import jax
     import jax.numpy as jnp
 
+    from probpose_pytorch_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
     from probpose_pytorch_tpu.codec import ProbMap
     from probpose_pytorch_tpu.models.model import ModelConfig, build_model
     from probpose_pytorch_tpu.ops.preprocess import crop_resize

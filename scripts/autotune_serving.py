@@ -92,31 +92,39 @@ def main() -> None:
 
     import jax
 
+    from probpose_pytorch_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
     from probpose_pytorch_tpu.utils.profiling import measure_fn_time
 
+    enable_compilation_cache()
     device_kind = jax.devices()[0].device_kind
-    rows = []
+    out = Path(args.out)
+
+    # Incremental: each invocation merges its rows into the persisted sweep
+    # (one batch size per run fits this environment's compile budget —
+    # the host has a single CPU core and compiles are minutes each).
+    tuned = json.loads(out.read_text()) if out.exists() else {}
+    entry = tuned.setdefault(device_kind, {"sweep": []})
+    rows = {r["batch"]: r for r in entry.get("sweep", [])}
+
     for b in (int(x) for x in args.batches.split(",")):
         pipeline, dep = build_pipeline(b)
         sec = measure_fn_time(pipeline, dep, short_n=2, long_n=12)
         cps = b / sec
-        rows.append({"batch": b, "ms_per_batch": sec * 1e3,
-                     "crops_per_sec": cps})
-        print(f"batch {b:4d}: {sec * 1e3:7.2f} ms  {cps:9.0f} crops/s")
+        rows[b] = {"batch": b, "ms_per_batch": round(sec * 1e3, 2),
+                   "crops_per_sec": round(cps, 1)}
+        print(f"batch {b:4d}: {sec * 1e3:7.2f} ms  {cps:9.0f} crops/s",
+              flush=True)
+        best = max(rows.values(), key=lambda r: r["crops_per_sec"])
+        entry.update(
+            batch=best["batch"],
+            crops_per_sec=best["crops_per_sec"],
+            sweep=sorted(rows.values(), key=lambda r: r["batch"]),
+        )
+        out.write_text(json.dumps(tuned, indent=2) + "\n")
 
-    best = max(rows, key=lambda r: r["crops_per_sec"])
-    out = Path(args.out)
-    tuned = json.loads(out.read_text()) if out.exists() else {}
-    tuned[device_kind] = {
-        "batch": best["batch"],
-        "crops_per_sec": round(best["crops_per_sec"], 1),
-        "sweep": [
-            {k: round(v, 2) if isinstance(v, float) else v
-             for k, v in r.items()}
-            for r in rows
-        ],
-    }
-    out.write_text(json.dumps(tuned, indent=2) + "\n")
+    best = max(rows.values(), key=lambda r: r["crops_per_sec"])
     print(f"best batch for {device_kind}: {best['batch']} "
           f"({best['crops_per_sec']:.0f} crops/s) -> {out}")
 
