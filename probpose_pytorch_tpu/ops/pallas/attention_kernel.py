@@ -212,9 +212,26 @@ def _packed_bwd(qkv, do, heads, group, interpret):
     )(qkv, do)
 
 
+def _auto_group(qkv_shape, requested: int | None) -> int:
+    """Batch-group size that keeps the forward block inside VMEM.
+
+    Per group item the forward holds the (N, 3C) qkv block and the (N, C)
+    context out (double-buffered across grid steps) plus per-head f32
+    score/softmax intermediates. Budgeting ~5 MB for the double-buffered
+    blocks keeps the total under the ~16 MB scoped-vmem limit at every ViT
+    geometry (group 8 at ViT-S C=384 — the measured-fastest size — scaling
+    down automatically for ViT-B/L where a fixed 8 OOMs the compiler)."""
+    if requested is not None:
+        return requested
+    _, N, C3 = qkv_shape
+    per_item = N * (C3 + C3 // 3) * 2  # bf16 qkv in + context out
+    return max(1, min(8, (5 << 20) // per_item))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def packed_attention(
-    qkv: jax.Array, heads: int, group: int = 8, interpret: bool | None = None
+    qkv: jax.Array, heads: int, group: int | None = None,
+    interpret: bool | None = None
 ) -> jax.Array:
     """Fused multi-head attention on the qkv projection's packed layout.
 
@@ -224,17 +241,21 @@ def packed_attention(
     softmax are f32 in VMEM; HBM never sees the (B, H, N, N) matrix, in either
     the forward or the recompute backward — differentiable, so it serves both
     training and serving (unlike `fused_attention`, which needs layout
-    transposes and has no VJP).
+    transposes and has no VJP). `group=None` auto-sizes the batch group to
+    the geometry's VMEM budget.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _packed_fwd(qkv, heads, group, interpret)
+    return _packed_fwd(qkv, heads, _auto_group(qkv.shape, group), interpret)
 
 
 def _packed_attention_fwd(qkv, heads, group, interpret):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _packed_fwd(qkv, heads, group, interpret), qkv
+    return (
+        _packed_fwd(qkv, heads, _auto_group(qkv.shape, group), interpret),
+        qkv,
+    )
 
 
 def _packed_attention_bwd(heads, group, interpret, qkv, g):
@@ -242,7 +263,12 @@ def _packed_attention_bwd(heads, group, interpret, qkv, g):
         interpret = jax.default_backend() != "tpu"
     # The backward holds qkv + dO in and dqkv out per block (7/3 the forward's
     # footprint); halve the group to stay inside the ~16 MB VMEM budget.
-    return (_packed_bwd(qkv, g, heads, max(group // 2, 1), interpret),)
+    return (
+        _packed_bwd(
+            qkv, g, heads,
+            max(_auto_group(qkv.shape, group) // 2, 1), interpret,
+        ),
+    )
 
 
 packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
