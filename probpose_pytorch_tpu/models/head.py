@@ -33,6 +33,18 @@ __all__ = ["ProbMapHead"]
 _conv_init = nn.initializers.normal(stddev=0.001)
 
 
+class _ConvTransposeParams(nn.Module):
+    """Declares the ConvTranspose kernel without computing, so the shuffle
+    deconv path's param tree stays byte-identical to nn.ConvTranspose
+    (checkpoints and torch imports interchange)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", _conv_init, self.shape)
+
+
 class _ScalarBranch(nn.Module):
     """[3x3 conv (C->C), BN, maxpool(k), relu] x len(pool_sizes) -> 1x1 conv
     (C->K) -> activation. Mirrors head.py:255-405."""
@@ -117,6 +129,10 @@ class ProbMapHead(nn.Module):
     detach_probability: bool = True
     detach_visibility: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # "fastvjp" keeps XLA's optimal conv_transpose forward but installs the
+    # MXU-friendly custom backward (ops/deconv.py) — numerically identical,
+    # same param tree; "lax" keeps plain nn.ConvTranspose (autodiff bwd).
+    deconv_impl: str = "lax"
 
     @nn.compact
     def __call__(
@@ -150,16 +166,26 @@ class ProbMapHead(nn.Module):
         ):
             if k not in (2, 3, 4):
                 raise ValueError(f"unsupported deconv kernel size {k}")
-            x = nn.ConvTranspose(
-                ch,
-                (k, k),
-                strides=(2, 2),
-                padding="SAME",
-                use_bias=False,
-                kernel_init=_conv_init,
-                dtype=self.dtype,
-                name=f"deconv{i}",
-            )(x)
+            if self.deconv_impl == "fastvjp":
+                from probpose_pytorch_tpu.ops.deconv import conv_transpose2
+
+                kernel = _ConvTransposeParams(
+                    (k, k, x.shape[-1], ch), name=f"deconv{i}"
+                )()
+                x = conv_transpose2(
+                    x.astype(self.dtype), kernel.astype(self.dtype)
+                )
+            else:
+                x = nn.ConvTranspose(
+                    ch,
+                    (k, k),
+                    strides=(2, 2),
+                    padding="SAME",
+                    use_bias=False,
+                    kernel_init=_conv_init,
+                    dtype=self.dtype,
+                    name=f"deconv{i}",
+                )(x)
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,

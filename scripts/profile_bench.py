@@ -1,6 +1,11 @@
 """Component-level timing of the serving pipeline on the real chip, using the
 same chained-loop differencing methodology as bench.py."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 from functools import partial
 

@@ -1,0 +1,144 @@
+"""Component-level timing of the fused training step on the real chip.
+
+Decomposes the flagship train step (bench.py `train_step_ms`) into:
+backbone fwd+bwd, backbone+head fwd+bwd, full model+loss fwd+bwd (incl. the
+in-jit OKS-target decode), and the optimizer update — each measured with the
+chained-in-jit methodology (utils/profiling.py) so differences between rows
+locate the cost of each stage.
+
+Usage: python -u scripts/profile_train_step.py [batch]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+from probpose_pytorch_tpu.models.model import ModelConfig
+from probpose_pytorch_tpu.train import TrainConfig, Trainer
+from probpose_pytorch_tpu.train.loop import _encode_targets, make_train_step
+from probpose_pytorch_tpu.utils.compilation_cache import (
+    enable_compilation_cache,
+)
+from probpose_pytorch_tpu.utils.profiling import measure_fn_time
+
+enable_compilation_cache()
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+cfg = TrainConfig(
+    model=ModelConfig(
+        img_size=(256, 192), num_keypoints=17, backbone="vit-s",
+        compute_dtype="bfloat16",
+        deconv_out_channels=(256, 256), deconv_kernel_sizes=(4, 4),
+        pool_sizes=((4, 3), (2, 2), (2, 2)), normalize=1.0,
+        attn_impl="fused",
+    ),
+    train_batch_size=B,
+    out_dir="/tmp/profile_train_step",
+)
+trainer = Trainer.create(cfg, steps_per_epoch=1000)
+ds = SyntheticPoseDataset(B, cfg.model.img_size, 17)
+batch = {
+    k: jnp.asarray(v)
+    for k, v in next(iter(batch_iterator(ds, B, num_workers=1))).items()
+}
+
+model = trainer.model
+state = trainer.state
+params = state.params
+images = jnp.asarray(batch["image"], jnp.float32) / 255.0
+gt = _encode_targets(trainer.encode_codec, batch)
+weights = cfg.loss_weights.as_dict()
+
+
+def _consume(tree):
+    # Sum every leaf so XLA cannot dead-code-eliminate any branch of the
+    # computation (returning one leaf lets it prune unused grad outputs).
+    return sum(
+        jnp.sum(jnp.abs(l).astype(jnp.float32))
+        for l in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def run(label, fn, dep):
+    sec = measure_fn_time(fn, dep, short_n=1, long_n=5)
+    print(f"{label:38s} {sec * 1e3:7.2f} ms", flush=True)
+    return sec
+
+
+step = make_train_step(
+    model, trainer.encode_codec, trainer.loss_fn, trainer.tx, cfg
+)
+
+
+def full_step(dep):
+    s, _ = step(state.replace(params=dep), batch)
+    return _consume(s.params)
+
+
+def backbone_fb(dep):
+    def f(p):
+        feats = model.backbone.apply(
+            {"params": p["backbone"]}, images, train=True
+        )
+        return jnp.sum(feats.astype(jnp.float32) ** 2) * 1e-6
+
+    g = jax.grad(f)(dep)
+    return _consume(g)
+
+
+def model_fb(dep):
+    def f(p):
+        (hm, prob, vis, oks, err), _ = model.apply(
+            {"params": p, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        return (
+            jnp.sum(hm.astype(jnp.float32) ** 2)
+            + jnp.sum(prob.astype(jnp.float32))
+            + jnp.sum(vis.astype(jnp.float32))
+            + jnp.sum(oks.astype(jnp.float32))
+            + jnp.sum(err.astype(jnp.float32))
+        ) * 1e-6
+
+    g = jax.grad(f)(dep)
+    return _consume(g)
+
+
+def loss_fb(dep):
+    def f(p):
+        pred, _ = model.apply(
+            {"params": p, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+        )
+        losses = trainer.loss_fn(
+            gt, pred, learn_heatmaps_from_zeros=cfg.learn_heatmaps_from_zeros
+        )
+        return sum(losses[k] * w for k, w in weights.items())
+
+    g = jax.grad(f)(dep)
+    return _consume(g)
+
+
+def opt_update(dep):
+    updates, _ = trainer.tx.update(dep, state.opt_state, dep)
+    return _consume(updates)
+
+
+def encode_only(dep):
+    gt2 = _encode_targets(
+        trainer.encode_codec, dict(batch, keypoints=dep)
+    )
+    return gt2["heatmaps"]
+
+
+run("full train step", full_step, params)
+run("backbone fwd+bwd", backbone_fb, params)
+run("backbone+head fwd+bwd (no loss)", model_fb, params)
+run("model+loss fwd+bwd (incl. decode)", loss_fb, params)
+run("optimizer update (AdamW+clip)", opt_update, params)
+run("target encode (OKS maps)", encode_only, batch["keypoints"])

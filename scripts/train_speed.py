@@ -1,5 +1,11 @@
 """Training-step throughput on the real chip + attention implementation
-comparison."""
+comparison. Usage: python -u scripts/train_speed.py [batch]"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 
 import numpy as np
 import jax
@@ -8,9 +14,12 @@ import jax.numpy as jnp
 from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
 from probpose_pytorch_tpu.models.model import ModelConfig
 from probpose_pytorch_tpu.train import TrainConfig, Trainer
+from probpose_pytorch_tpu.utils.compilation_cache import enable_compilation_cache
 from probpose_pytorch_tpu.utils.profiling import measure_fn_time
 
-B = 128
+enable_compilation_cache()
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 cfg = TrainConfig(
     model=ModelConfig(
         img_size=(256, 192), num_keypoints=17, backbone="vit-s",

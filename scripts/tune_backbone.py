@@ -1,5 +1,10 @@
 """Experiment: backbone timing variants on the real chip."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 from functools import partial
 
