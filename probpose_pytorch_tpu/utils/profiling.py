@@ -75,7 +75,19 @@ def measure_fn_time(
     @partial(jax.jit, static_argnums=(1,))
     def chained(dep, n):
         def body(_, carry):
-            out = fn(jax.tree_util.tree_map(lambda x: x + carry * 1e-6, dep))
+            # Perturb float leaves only — integer leaves (e.g. int8 serving
+            # weights) ride through unchanged. Pass large params inside
+            # `dep` rather than closing over them: closed-over arrays are
+            # baked into the HLO as constants (a ViT-B's 344 MB of params
+            # exceeds the remote-compile payload limit).
+            out = fn(
+                jax.tree_util.tree_map(
+                    lambda x: x + carry * 1e-6
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+                    else x,
+                    dep,
+                )
+            )
             return jnp.mean(out) * 1e-6
 
         return jax.lax.fori_loop(0, n, body, 0.0)
