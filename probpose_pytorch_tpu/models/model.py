@@ -48,6 +48,8 @@ class ModelConfig:
     softmax_dtype: str = "float32"  # serving configs may use "bfloat16"
     attn_impl: str = "einsum"  # "fused" = packed Pallas attention on TPU
     mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
+    scalar_impl: str = "separate"  # head scalar branches ("fused" measured slower on v5e)
+    deconv_impl: str = "lax"  # head deconvs: "lax" | "fastvjp"
     remat: bool = False  # jax.checkpoint the ViT blocks
     # RADIO-import mode (reference backbone.py:4-21): prefix tokens ride
     # through attention; erf gelu matches the torch checkpoint.
@@ -109,5 +111,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
         final_layer_kernel_size=cfg.final_layer_kernel_size,
         normalize=cfg.normalize,
         dtype=cfg.dtype,
+        scalar_impl=cfg.scalar_impl,
+        deconv_impl=cfg.deconv_impl,
     )
     return ProbPoseModel(backbone=backbone, head=head)

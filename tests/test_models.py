@@ -199,3 +199,67 @@ class TestPallasAttention:
         a = m_e.apply(variables, x)
         b = m_p.apply(variables, x)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestFusedScalarBranches:
+    """scalar_impl="fused" (3 grouped convs) vs "separate" (12 per-branch
+    modules): identical param/batch_stats trees (same init values — same
+    param paths drive the same RNG folds) and equal outputs in train and
+    eval, including the running-stat updates."""
+
+    def _heads(self):
+        from probpose_pytorch_tpu.models.head import ProbMapHead
+
+        kw = dict(
+            out_channels=5,
+            deconv_out_channels=(16,),
+            deconv_kernel_sizes=(4,),
+            pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+            dtype=jnp.float32,
+        )
+        return (
+            ProbMapHead(scalar_impl="fused", **kw),
+            ProbMapHead(scalar_impl="separate", **kw),
+        )
+
+    def test_trees_and_outputs_match(self):
+        fused, sep = self._heads()
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(3, 8, 6, 32)), jnp.float32
+        )
+        vf = jax.jit(fused.init)(jax.random.PRNGKey(0), x)
+        vs = jax.jit(sep.init)(jax.random.PRNGKey(0), x)
+        tf = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), vf)
+        ts = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), vs)
+        assert tf == ts
+        for lf, ls in zip(
+            jax.tree_util.tree_leaves(vf), jax.tree_util.tree_leaves(vs)
+        ):
+            np.testing.assert_allclose(np.asarray(lf), np.asarray(ls))
+        # eval-mode outputs equal on the same params
+        of = fused.apply(vs, x, train=False)
+        os_ = sep.apply(vs, x, train=False)
+        for a, b in zip(of, os_):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
+
+    def test_train_mode_outputs_and_stat_updates_match(self):
+        fused, sep = self._heads()
+        x = jnp.asarray(
+            np.random.default_rng(1).normal(size=(4, 8, 6, 32)), jnp.float32
+        )
+        v = jax.jit(sep.init)(jax.random.PRNGKey(0), x)
+        of, mf = fused.apply(v, x, train=True, mutable=["batch_stats"])
+        os_, ms = sep.apply(v, x, train=True, mutable=["batch_stats"])
+        for a, b in zip(of, os_):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            )
+        for lf, ls in zip(
+            jax.tree_util.tree_leaves(mf), jax.tree_util.tree_leaves(ms)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(lf), np.asarray(ls), rtol=1e-5, atol=1e-6
+            )
