@@ -38,6 +38,7 @@ FAMILIES = {
     "vit-b-fusedmlp": dict(
         backbone="vit-b", attn_impl="fused", mlp_impl="fused"
     ),
+    "vit-l": dict(backbone="vit-l", attn_impl="fused"),
 }
 
 B = 256
