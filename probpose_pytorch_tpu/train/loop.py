@@ -233,6 +233,26 @@ class Trainer:
         steps_per_epoch: int,
         mesh: Mesh | None = None,
     ) -> "Trainer":
+        if (
+            mesh is not None
+            and mesh.shape.get("model", 1) > 1
+            and cfg.model.attn_impl == "fused"
+        ):
+            # A pallas_call is not GSPMD-partitionable: under tensor
+            # parallelism the packed-attention kernel cannot be sharded over
+            # the model axis. Downgrade to the einsum formulation (identical
+            # math; Megatron-style shardings apply) instead of failing at
+            # compile time.
+            import dataclasses
+
+            print(
+                "[trainer] attn_impl='fused' is single-device-per-replica "
+                "only; using 'einsum' on the model-parallel mesh"
+            )
+            cfg = dataclasses.replace(
+                cfg,
+                model=dataclasses.replace(cfg.model, attn_impl="einsum"),
+            )
         model = build_model(cfg.model)
         encode_codec, fast_codec = build_codecs(cfg)
         loss_fn = ProbPoseLoss(

@@ -164,3 +164,42 @@ def test_trainer_fit_over_mesh(tmp_path):
     state = trainer.fit(batches, max_steps=2)
     assert int(state.step) == 2
     assert (tmp_path / "run" / "checkpoints").exists()
+
+
+def test_fused_attention_downgrades_on_model_parallel_mesh(tmp_path, capsys):
+    """attn_impl='fused' (a pallas_call, not GSPMD-partitionable) must
+    auto-downgrade to einsum when Trainer.create gets a model-parallel mesh,
+    instead of failing at compile time (train/loop.py Trainer.create)."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.parallel import make_mesh
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.models.model import ModelConfig
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48),
+            num_keypoints=5,
+            backbone="vit-nano",
+            compute_dtype="float32",
+            deconv_out_channels=(32, 32),
+            deconv_kernel_sizes=(4, 4),
+            pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+            attn_impl="fused",
+        ),
+        train_batch_size=4,
+        out_dir=str(tmp_path / "run"),
+    )
+    mesh = make_mesh(4, model_parallel=2)
+    trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
+    assert trainer.cfg.model.attn_impl == "einsum"
+    assert "einsum" in capsys.readouterr().out
+    # a data-parallel-only mesh keeps the fused kernel config
+    mesh_dp = make_mesh(4, model_parallel=1)
+    trainer_dp = Trainer.create(
+        dataclasses.replace(cfg, out_dir=str(tmp_path / "run2")),
+        steps_per_epoch=2,
+        mesh=mesh_dp,
+    )
+    assert trainer_dp.cfg.model.attn_impl == "fused"
