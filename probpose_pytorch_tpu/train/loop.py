@@ -235,19 +235,20 @@ class Trainer:
     ) -> "Trainer":
         if (
             mesh is not None
-            and mesh.shape.get("model", 1) > 1
+            and mesh.size > 1
             and cfg.model.attn_impl == "fused"
         ):
-            # A pallas_call is not GSPMD-partitionable: under tensor
-            # parallelism the packed-attention kernel cannot be sharded over
-            # the model axis. Downgrade to the einsum formulation (identical
-            # math; Megatron-style shardings apply) instead of failing at
-            # compile time.
+            # A pallas_call has no GSPMD partitioning rule: on a
+            # multi-device mesh the partitioner would replicate its operands
+            # (all-gather the sharded batch) rather than split it — wrong
+            # perf under dp, unshardable under tp. Downgrade to the einsum
+            # formulation (identical math; batch and Megatron shardings
+            # apply) instead of silently degrading or failing at compile.
             import dataclasses
 
             print(
-                "[trainer] attn_impl='fused' is single-device-per-replica "
-                "only; using 'einsum' on the model-parallel mesh"
+                "[trainer] attn_impl='fused' is single-device only; "
+                "using 'einsum' on the multi-device mesh"
             )
             cfg = dataclasses.replace(
                 cfg,

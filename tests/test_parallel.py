@@ -168,8 +168,9 @@ def test_trainer_fit_over_mesh(tmp_path):
 
 def test_fused_attention_downgrades_on_model_parallel_mesh(tmp_path, capsys):
     """attn_impl='fused' (a pallas_call, not GSPMD-partitionable) must
-    auto-downgrade to einsum when Trainer.create gets a model-parallel mesh,
-    instead of failing at compile time (train/loop.py Trainer.create)."""
+    auto-downgrade to einsum when Trainer.create gets a multi-device mesh,
+    instead of failing (tp) or silently replicating (dp) at compile time
+    (train/loop.py Trainer.create)."""
     import dataclasses
 
     from probpose_pytorch_tpu.parallel import make_mesh
@@ -195,11 +196,18 @@ def test_fused_attention_downgrades_on_model_parallel_mesh(tmp_path, capsys):
     trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
     assert trainer.cfg.model.attn_impl == "einsum"
     assert "einsum" in capsys.readouterr().out
-    # a data-parallel-only mesh keeps the fused kernel config
+    # any multi-device mesh downgrades (GSPMD would replicate the
+    # pallas_call's operands even under pure data parallelism)
     mesh_dp = make_mesh(4, model_parallel=1)
     trainer_dp = Trainer.create(
         dataclasses.replace(cfg, out_dir=str(tmp_path / "run2")),
         steps_per_epoch=2,
         mesh=mesh_dp,
     )
-    assert trainer_dp.cfg.model.attn_impl == "fused"
+    assert trainer_dp.cfg.model.attn_impl == "einsum"
+    # no mesh: the fused kernel config is untouched
+    trainer_1 = Trainer.create(
+        dataclasses.replace(cfg, out_dir=str(tmp_path / "run3")),
+        steps_per_epoch=2,
+    )
+    assert trainer_1.cfg.model.attn_impl == "fused"
