@@ -212,20 +212,23 @@ def _packed_bwd(qkv, do, heads, group, interpret):
     )(qkv, do)
 
 
-def _auto_group(qkv_shape, requested: int | None) -> int:
+def _auto_group(qkv_shape, requested: int | None, cap: int = 4) -> int:
     """Batch-group size that keeps the forward block inside VMEM.
 
     Per group item the forward holds the (N, 3C) qkv block and the (N, C)
     context out (double-buffered across grid steps) plus per-head f32
     score/softmax intermediates. Budgeting ~5 MB for the double-buffered
     blocks keeps the total under the ~16 MB scoped-vmem limit at every ViT
-    geometry (group 8 at ViT-S C=384 — the measured-fastest size — scaling
-    down automatically for ViT-B/L where a fixed 8 OOMs the compiler)."""
+    geometry, scaling down automatically for ViT-B/L where a fixed 8 OOMs
+    the compiler. The forward cap is 4 — paired e2e A/B at ViT-S measured
+    group 4 consistently faster than 8 (27.5/27.6 vs 28.7/28.0 ms serving
+    batch); the backward keeps its independently-verified size (cap 8
+    halved)."""
     if requested is not None:
         return requested
     _, N, C3 = qkv_shape
     per_item = N * (C3 + C3 // 3) * 2  # bf16 qkv in + context out
-    return max(1, min(8, (5 << 20) // per_item))
+    return max(1, min(cap, (5 << 20) // per_item))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -262,11 +265,12 @@ def _packed_attention_bwd(heads, group, interpret, qkv, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # The backward holds qkv + dO in and dqkv out per block (7/3 the forward's
-    # footprint); halve the group to stay inside the ~16 MB VMEM budget.
+    # footprint); halve the cap-8 group to stay inside the ~16 MB VMEM
+    # budget (4 at ViT-S — the size the 64.7%-MFU train step was measured at).
     return (
         _packed_bwd(
             qkv, g, heads,
-            max(_auto_group(qkv.shape, group) // 2, 1), interpret,
+            max(_auto_group(qkv.shape, group, cap=8) // 2, 1), interpret,
         ),
     )
 
