@@ -24,18 +24,23 @@ import numpy as np
 
 def tuned_serving_batch(default: int = 64) -> int:
     """Best serving batch for this host's device kind, from the persisted
-    autotune sweep (scripts/autotune_serving.py -> configs/
-    autotune_serving.json). Falls back to `default` when no sweep has been
-    recorded for this hardware."""
-    path = Path(__file__).parents[1] / "configs" / "autotune_serving.json"
-    if not path.exists():
-        return default
+    autotune sweep (scripts/autotune_serving.py ->
+    probpose_pytorch_tpu/configs/autotune_serving.json — package data, so it
+    resolves in wheel installs too). Falls back to `default` when no sweep
+    has been recorded for this hardware."""
     try:
+        from importlib.resources import files
+
+        text = (
+            files("probpose_pytorch_tpu")
+            .joinpath("configs/autotune_serving.json")
+            .read_text()
+        )
         import jax
 
-        tuned = json.loads(path.read_text())
+        tuned = json.loads(text)
         return int(tuned[jax.devices()[0].device_kind]["batch"])
-    except (KeyError, ValueError, RuntimeError):
+    except (KeyError, ValueError, RuntimeError, OSError):
         return default
 
 
@@ -53,6 +58,10 @@ class TopDownPredictor:
     input_size: tuple[int, int]  # (H, W)
     preprocess_method: str = "bilinear_matmul"
     mesh: Any = None  # jax.sharding.Mesh for data-parallel serving
+    # Include raw (B, K, Hh, Wh) heatmaps in the output dict. Off by default:
+    # heatmaps dominate the device->host transfer (~50x the keypoint bytes),
+    # so only debug/visualization callers (the CLI) should pay for them.
+    return_heatmaps: bool = False
 
     def __post_init__(self):
         import jax
@@ -81,7 +90,7 @@ class TopDownPredictor:
             (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
             H, W = self.input_size
             kpts = untransform_keypoints(kpts, boxes, (H, W))
-            return dict(
+            out = dict(
                 keypoints=kpts,
                 scores=scores,
                 probabilities=probs,
@@ -89,6 +98,9 @@ class TopDownPredictor:
                 oks=oks,
                 errors=errs,
             )
+            if self.return_heatmaps:
+                out["heatmaps"] = pred[0]
+            return out
 
         return run
 
@@ -97,7 +109,7 @@ class TopDownPredictor:
         numpy arrays with frame-space keypoints."""
         import jax.numpy as jnp
 
-        key = (frames.shape, boxes.shape)
+        key = (frames.shape, boxes.shape, self.return_heatmaps)
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
         frames = jnp.asarray(frames)
@@ -199,6 +211,7 @@ def main(argv: Sequence[str] | None = None) -> None:
     from probpose_pytorch_tpu.viz import draw_keypoints
 
     predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    predictor.return_heatmaps = True  # one forward serves decode + PNG dump
     if args.input_size:
         h, w = (int(v) for v in args.input_size.split(","))
         predictor.input_size = (h, w)
@@ -213,19 +226,9 @@ def main(argv: Sequence[str] | None = None) -> None:
     out = predictor(frame, box)
 
     args.output.mkdir(parents=True, exist_ok=True)
-    # Per-keypoint heatmap PNG dump (inference.py:92-105).
-    import jax.numpy as jnp
-
-    from probpose_pytorch_tpu.ops.preprocess import crop_resize
-
-    crops = crop_resize(
-        jnp.asarray(frame), jnp.asarray(box), predictor.input_size,
-        predictor.preprocess_method,
-    )
-    heatmaps = predictor.model.apply(
-        predictor.variables, crops, train=False
-    )[0]
-    hm = np.asarray(heatmaps)[0]
+    # Per-keypoint heatmap PNG dump (inference.py:92-105) from the same
+    # forward that produced the keypoints.
+    hm = out.pop("heatmaps")[0].astype(np.float32)
     from matplotlib import colormaps
 
     for i in range(hm.shape[0]):

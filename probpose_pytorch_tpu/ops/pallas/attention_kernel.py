@@ -265,14 +265,15 @@ def _packed_attention_bwd(heads, group, interpret, qkv, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # The backward holds qkv + dO in and dqkv out per block (7/3 the forward's
-    # footprint); halve the cap-8 group to stay inside the ~16 MB VMEM
-    # budget (4 at ViT-S — the size the 64.7%-MFU train step was measured at).
-    return (
-        _packed_bwd(
-            qkv, g, heads,
-            max(_auto_group(qkv.shape, group, cap=8) // 2, 1), interpret,
-        ),
+    # footprint); halve the auto-sized cap-8 group to stay inside the ~16 MB
+    # VMEM budget (4 at ViT-S — the size the 64.7%-MFU train step was
+    # measured at). An explicitly requested group is honored as-is.
+    bwd_group = (
+        group
+        if group is not None
+        else max(_auto_group(qkv.shape, None, cap=8) // 2, 1)
     )
+    return (_packed_bwd(qkv, g, heads, bwd_group, interpret),)
 
 
 packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)

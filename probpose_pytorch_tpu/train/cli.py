@@ -101,12 +101,17 @@ def main(argv=None) -> None:
 
         # The data axis must divide every batch it shards; tiny debug batches
         # (e.g. B=2 on an 8-device host) would otherwise fail at device_put.
+        # Use the full hybrid mesh only when its data axis actually divides
+        # the batch gcd (magnitude alone is not enough: B=12 on 8 devices has
+        # gcd 12 >= 8 but 12 % 8 != 0); otherwise fall back to a gcd-sized
+        # sub-mesh.
         max_dp = math.gcd(cfg.train_batch_size, cfg.val_batch_size)
         n_dev = len(jax.devices())
-        if max_dp * cfg.model_parallel >= n_dev:
+        full_dp = n_dev // cfg.model_parallel
+        if full_dp > 0 and max_dp % full_dp == 0:
             mesh = make_hybrid_mesh(cfg.model_parallel)
         else:
-            dp = math.gcd(max_dp, n_dev // cfg.model_parallel)
+            dp = math.gcd(max_dp, full_dp)
             mesh = make_mesh(dp * cfg.model_parallel, cfg.model_parallel)
     trainer = Trainer.create(cfg, steps_per_epoch, mesh=mesh)
 

@@ -4,7 +4,7 @@ ROADMAP #5: the serving pipeline's best batch is hardware-dependent (VMEM
 headroom, HBM bandwidth, MXU occupancy all shift between chip generations).
 This sweeps the flagship pipeline across batch sizes with the chained-in-jit
 methodology (utils/profiling.py:measure_fn_time), prints a table, and
-persists the winner to `configs/autotune_serving.json` keyed by device kind —
+persists the winner to `probpose_pytorch_tpu/configs/autotune_serving.json` (package data) keyed by device kind —
 `inference.TopDownPredictor` and deployment wrappers can read it instead of
 hardcoding a batch.
 
@@ -85,8 +85,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="128,256,384,512")
     ap.add_argument(
-        "--out", default=str(Path(__file__).parents[1] / "configs" /
-                            "autotune_serving.json")
+        "--out", default=str(Path(__file__).parents[1] / "probpose_pytorch_tpu"
+                            / "configs" / "autotune_serving.json")
     )
     args = ap.parse_args()
 
