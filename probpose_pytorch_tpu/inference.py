@@ -72,6 +72,18 @@ class TopDownPredictor:
             from probpose_pytorch_tpu.parallel.sharding import shard_params
 
             self.variables = shard_params(self.variables, self.mesh)
+            # Rebuild the backbone with the mesh so fused Pallas attention
+            # rides shard_map over the data axis instead of being replicated
+            # by GSPMD (params are untouched — mesh is static metadata).
+            backbone = getattr(self.model, "backbone", None)
+            if (
+                backbone is not None
+                and getattr(backbone, "attn_impl", None) == "fused"
+                and getattr(backbone, "mesh", None) is None
+            ):
+                self.model = self.model.clone(
+                    backbone=backbone.clone(mesh=self.mesh)
+                )
 
     def _fn(self):
         import jax

@@ -70,7 +70,10 @@ class ModelConfig:
         return jnp.dtype(self.compute_dtype)
 
 
-def build_model(cfg: ModelConfig) -> ProbPoseModel:
+def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
+    """Build the model; `mesh` (a jax.sharding.Mesh) lets the fused Pallas
+    attention ride shard_map over the mesh's data axis under data
+    parallelism — it does not affect parameters or numerics."""
     if cfg.backbone.startswith("conv"):
         from probpose_pytorch_tpu.models.convnet import (
             CONV_PRESETS,
@@ -99,6 +102,7 @@ def build_model(cfg: ModelConfig) -> ProbPoseModel:
             remat=cfg.remat,
             num_prefix_tokens=cfg.num_prefix_tokens,
             exact_gelu=cfg.exact_gelu,
+            mesh=mesh,
             **vit_kw,
         )
     head = ProbMapHead(

@@ -16,8 +16,9 @@ grid with no class token and no pooling. Design differences for TPU:
 
 from __future__ import annotations
 
+import os
 from dataclasses import field
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,17 @@ import numpy as np
 from flax import linen as nn
 
 __all__ = ["ViTBackbone", "ViTConfig"]
+
+
+def _fused_kernels_enabled() -> bool:
+    """The Pallas kernels run natively on TPU; off-TPU they are exercised in
+    interpret mode only when PROBPOSE_PALLAS_INTERPRET=1 (tests and the
+    driver's virtual-mesh dryrun set it — interpret mode is far too slow to
+    be a default CPU path)."""
+    return (
+        jax.default_backend() == "tpu"
+        or os.environ.get("PROBPOSE_PALLAS_INTERPRET", "") == "1"
+    )
 
 
 class MlpBlock(nn.Module):
@@ -52,22 +64,43 @@ class Attention(nn.Module):
     # "einsum": XLA formulation. "pallas": legacy flat-layout kernel
     # (forward-only, needs transposes; kept for comparison).
     impl: str = "einsum"
+    # Device mesh for the fused kernel under data parallelism: shard_map
+    # runs the kernel per-device on its local batch shard (a bare pallas_call
+    # has no GSPMD rule and would be fed a replicated batch). None =
+    # single-device. Tensor parallelism (model axis > 1) must use "einsum".
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        if self.impl == "fused" and jax.default_backend() == "tpu":
+        if self.impl == "fused" and _fused_kernels_enabled():
             # Packed-layout VMEM kernel with recompute VJP: f32 softmax at
             # better-than-bf16-einsum speed (54.9% MFU fwd / 64.7% fwd+bwd at
-            # ViT-S B=256 vs 39.5%/39.8% einsum — docs/PERF.md). Off-TPU (and
-            # thus on the virtual CPU mesh) the einsum path below runs
-            # instead; the kernel is not GSPMD-partitionable, so
-            # model-parallel mesh configs should keep impl='einsum'.
-            from probpose_pytorch_tpu.ops.pallas import packed_attention
+            # ViT-S B=256 vs 39.5%/39.8% einsum — docs/PERF.md). On a
+            # data-parallel mesh the kernel rides shard_map over the batch
+            # axis; model-parallel configs keep impl='einsum' (the qkv
+            # activations are channel-sharded there).
+            from probpose_pytorch_tpu.ops.pallas import (
+                packed_attention,
+                sharded_packed_attention,
+            )
 
-            out = packed_attention(qkv, self.num_heads)
+            data_size = (
+                dict(self.mesh.shape).get("data", 1)
+                if self.mesh is not None
+                else 1
+            )
+            # Batches that don't divide the data axis (model.init's B=1
+            # sample, sub-mesh serving buckets) take the plain kernel —
+            # B is static, so this resolves at trace time.
+            if data_size > 1 and B % data_size == 0:
+                out = sharded_packed_attention(
+                    qkv, self.num_heads, self.mesh, axis="data"
+                )
+            else:
+                out = packed_attention(qkv, self.num_heads)
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
@@ -142,6 +175,7 @@ class Block(nn.Module):
     attn_impl: str = "einsum"
     mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     exact_gelu: bool = False
+    mesh: Any = None  # for shard_map-wrapped fused attention under dp
 
     @nn.compact
     def __call__(self, x):
@@ -152,6 +186,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             softmax_dtype=self.softmax_dtype,
             impl=self.attn_impl,
+            mesh=self.mesh,
             name="attn",
         )(y)
         if self.mlp_impl == "fused" and jax.default_backend() == "tpu":
@@ -237,6 +272,9 @@ class ViTBackbone(nn.Module):
     mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     num_prefix_tokens: int = 0
     exact_gelu: bool = False
+    # Device mesh for shard_map-wrapping the fused attention kernel under
+    # data parallelism (build_model threads it from Trainer.create).
+    mesh: Any = None
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -287,6 +325,7 @@ class ViTBackbone(nn.Module):
                 attn_impl=self.attn_impl,
                 mlp_impl=self.mlp_impl,
                 exact_gelu=self.exact_gelu,
+                mesh=self.mesh,
                 name=f"block{i}",
             )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

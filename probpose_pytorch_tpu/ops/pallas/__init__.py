@@ -7,6 +7,7 @@ from probpose_pytorch_tpu.ops.pallas.decode_kernel import (  # noqa: F401
 from probpose_pytorch_tpu.ops.pallas.attention_kernel import (  # noqa: F401
     fused_attention,
     packed_attention,
+    sharded_packed_attention,
 )
 from probpose_pytorch_tpu.ops.pallas.mlp_kernel import (  # noqa: F401
     fused_ln_mlp,

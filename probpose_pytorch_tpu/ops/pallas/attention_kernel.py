@@ -23,7 +23,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention", "packed_attention"]
+__all__ = ["fused_attention", "packed_attention", "sharded_packed_attention"]
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -277,3 +277,41 @@ def _packed_attention_bwd(heads, group, interpret, qkv, g):
 
 
 packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
+
+
+def sharded_packed_attention(
+    qkv: jax.Array,
+    heads: int,
+    mesh,
+    axis: str = "data",
+    group: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """`packed_attention` on a multi-device mesh: shard_map over the batch
+    axis, each device running the VMEM kernel on its local batch shard.
+
+    A bare pallas_call has no GSPMD partitioning rule — the partitioner would
+    all-gather a sharded batch onto every device instead of splitting it.
+    shard_map pins the division of labor explicitly: in/out are
+    P(axis, None, None) (batch-sharded, weights untouched — the qkv
+    projection's output is already batch-sharded under data parallelism, so
+    no resharding happens on entry). The recompute VJP differentiates through
+    shard_map, so this serves training and serving alike.
+
+    Only the data axis is mapped; the kernel itself is replicated w.r.t. any
+    model axis. Under tensor parallelism (model axis > 1) the qkv activations
+    are sharded on the channel dim and this wrapper would force an
+    all-gather — keep attn_impl='einsum' there (Trainer.create enforces
+    this) until a head-split kernel variant exists.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axis, None, None)
+    fn = jax.shard_map(
+        lambda x: packed_attention(x, heads, group, interpret),
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,  # custom_vjp inside; no collectives to check
+    )
+    return fn(qkv)

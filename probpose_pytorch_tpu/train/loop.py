@@ -235,26 +235,28 @@ class Trainer:
     ) -> "Trainer":
         if (
             mesh is not None
-            and mesh.size > 1
+            and dict(mesh.shape).get("model", 1) > 1
             and cfg.model.attn_impl == "fused"
         ):
-            # A pallas_call has no GSPMD partitioning rule: on a
-            # multi-device mesh the partitioner would replicate its operands
-            # (all-gather the sharded batch) rather than split it — wrong
-            # perf under dp, unshardable under tp. Downgrade to the einsum
-            # formulation (identical math; batch and Megatron shardings
-            # apply) instead of silently degrading or failing at compile.
+            # Under tensor parallelism the qkv activations are channel-
+            # sharded (Megatron layout, parallel/sharding.py) — the packed
+            # kernel's h-major [q|k|v] layout has no head-split variant yet,
+            # so downgrade to the einsum formulation (identical math; the
+            # Megatron shardings apply). Pure data parallelism keeps the
+            # kernel: build_model(mesh=...) wraps it in shard_map over the
+            # data axis (ops/pallas/attention_kernel.py:
+            # sharded_packed_attention).
             import dataclasses
 
             print(
-                "[trainer] attn_impl='fused' is single-device only; "
-                "using 'einsum' on the multi-device mesh"
+                "[trainer] attn_impl='fused' has no tensor-parallel variant; "
+                "using 'einsum' on the model-parallel mesh"
             )
             cfg = dataclasses.replace(
                 cfg,
                 model=dataclasses.replace(cfg.model, attn_impl="einsum"),
             )
-        model = build_model(cfg.model)
+        model = build_model(cfg.model, mesh=mesh)
         encode_codec, fast_codec = build_codecs(cfg)
         loss_fn = ProbPoseLoss(
             fast_codec,

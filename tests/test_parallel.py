@@ -166,18 +166,11 @@ def test_trainer_fit_over_mesh(tmp_path):
     assert (tmp_path / "run" / "checkpoints").exists()
 
 
-def test_fused_attention_downgrades_on_model_parallel_mesh(tmp_path, capsys):
-    """attn_impl='fused' (a pallas_call, not GSPMD-partitionable) must
-    auto-downgrade to einsum when Trainer.create gets a multi-device mesh,
-    instead of failing (tp) or silently replicating (dp) at compile time
-    (train/loop.py Trainer.create)."""
-    import dataclasses
-
-    from probpose_pytorch_tpu.parallel import make_mesh
-    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+def _fused_cfg(tmp_path, **model_kw):
     from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig
 
-    cfg = TrainConfig(
+    return TrainConfig(
         model=ModelConfig(
             img_size=(64, 48),
             num_keypoints=5,
@@ -188,26 +181,115 @@ def test_fused_attention_downgrades_on_model_parallel_mesh(tmp_path, capsys):
             pool_sizes=((2, 2), (2, 2)),
             normalize=1.0,
             attn_impl="fused",
+            **model_kw,
         ),
         train_batch_size=4,
         out_dir=str(tmp_path / "run"),
     )
+
+
+def test_fused_attention_mesh_policy(tmp_path, capsys):
+    """attn_impl='fused' has no tensor-parallel variant: Trainer.create must
+    downgrade it to einsum on a model-parallel mesh. Data-parallel meshes
+    KEEP the kernel — it rides shard_map over the data axis
+    (ops/pallas/attention_kernel.py:sharded_packed_attention)."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.parallel import make_mesh
+    from probpose_pytorch_tpu.train import Trainer
+
+    cfg = _fused_cfg(tmp_path)
     mesh = make_mesh(4, model_parallel=2)
     trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
     assert trainer.cfg.model.attn_impl == "einsum"
     assert "einsum" in capsys.readouterr().out
-    # any multi-device mesh downgrades (GSPMD would replicate the
-    # pallas_call's operands even under pure data parallelism)
+    # dp-only mesh: fused survives, and the backbone carries the mesh so
+    # attention wraps itself in shard_map.
     mesh_dp = make_mesh(4, model_parallel=1)
     trainer_dp = Trainer.create(
         dataclasses.replace(cfg, out_dir=str(tmp_path / "run2")),
         steps_per_epoch=2,
         mesh=mesh_dp,
     )
-    assert trainer_dp.cfg.model.attn_impl == "einsum"
+    assert trainer_dp.cfg.model.attn_impl == "fused"
+    assert trainer_dp.model.backbone.mesh is mesh_dp
     # no mesh: the fused kernel config is untouched
     trainer_1 = Trainer.create(
         dataclasses.replace(cfg, out_dir=str(tmp_path / "run3")),
         steps_per_epoch=2,
     )
     assert trainer_1.cfg.model.attn_impl == "fused"
+    assert trainer_1.model.backbone.mesh is None
+
+
+def test_sharded_packed_attention_matches_einsum():
+    """shard_map-wrapped kernel == plain einsum attention, forward and
+    gradient, on the 8-device dp mesh (interpret mode on CPU)."""
+    from probpose_pytorch_tpu.ops.pallas import sharded_packed_attention
+
+    B, N, H, d = 8, 12, 2, 16
+    C = H * d
+    rng = np.random.default_rng(3)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)).astype(np.float32))
+    mesh = make_mesh(8, model_parallel=1)
+
+    def einsum_ref(x):
+        q, k, v = jnp.split(x, 3, axis=-1)
+        q, k, v = (t.reshape(B, N, H, d) for t in (q, k, v))
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(d)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(B, N, C)
+
+    def kernel(x):
+        return sharded_packed_attention(x, H, mesh, interpret=True)
+
+    sharded_in = jax.device_put(
+        qkv, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    )
+    out = jax.jit(kernel)(sharded_in)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(einsum_ref(qkv)), atol=1e-5
+    )
+    # the output stays batch-sharded — no all-gather snuck in
+    assert out.sharding.spec == jax.sharding.PartitionSpec("data")
+
+    g_k = jax.jit(jax.grad(lambda x: jnp.sum(jnp.sin(kernel(x)))))(sharded_in)
+    g_r = jax.grad(lambda x: jnp.sum(jnp.sin(einsum_ref(x))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), atol=1e-5)
+
+
+def test_fused_train_step_on_dp_mesh_matches_single_device(
+    tmp_path, monkeypatch
+):
+    """Full train step with the fused attention kernel under shard_map on the
+    8-device dp mesh == the single-device fused step (interpret mode)."""
+    monkeypatch.setenv("PROBPOSE_PALLAS_INTERPRET", "1")
+    from probpose_pytorch_tpu.train import Trainer
+
+    cfg = _fused_cfg(tmp_path)
+    ds = SyntheticPoseDataset(8, cfg.model.img_size, cfg.model.num_keypoints)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(batch_iterator(ds, 8, num_workers=1))).items()
+    }
+
+    trainer1 = Trainer.create(cfg, steps_per_epoch=2)
+    assert trainer1.cfg.model.attn_impl == "fused"
+    _, metrics1 = trainer1.train_step(trainer1.state, batch)
+
+    import dataclasses
+
+    mesh = make_mesh(8, model_parallel=1)
+    trainer8 = Trainer.create(
+        dataclasses.replace(cfg, out_dir=str(tmp_path / "dp")),
+        steps_per_epoch=2,
+        mesh=mesh,
+    )
+    assert trainer8.cfg.model.attn_impl == "fused"
+    state8, metrics8 = trainer8.train_step(
+        trainer8.state, shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-5
+    )
+    jax.block_until_ready(state8.params)
