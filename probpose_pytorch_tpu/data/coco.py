@@ -32,20 +32,43 @@ def parse_coco_annotations(
     annotation_file: str | Path,
     image_root: str | Path,
     min_keypoints: int = 1,
-) -> list[dict[str, Any]]:
+    include_ignore: bool = False,
+) -> Any:
     """Parse a COCO person-keypoints JSON into crop records:
     {image_path, category_id, bbox xywh, keypoints (K, 3), image_id, ann_id,
-    area}."""
+    area}.
+
+    `iscrowd` and sub-`min_keypoints` annotations are not pose targets, but
+    the COCO protocol uses them as ignore-regions that absorb detections
+    during evaluation. With include_ignore=True, returns
+    (records, ignore_records); ignore records carry
+    {image_id, bbox, area, iscrowd, keypoints} for
+    COCOKeypointEvaluator's gt_ignore/gt_crowd/box-fallback machinery.
+    """
     raw = json.loads(Path(annotation_file).read_text())
     images = {im["id"]: im for im in raw["images"]}
-    records = []
+    records, ignores = [], []
     for ann in raw["annotations"]:
-        if ann.get("iscrowd", 0):
-            continue
-        if ann.get("num_keypoints", 0) < min_keypoints:
+        kps_flat = ann.get("keypoints")
+        if ann.get("iscrowd", 0) or ann.get("num_keypoints", 0) < min_keypoints:
+            ignores.append(
+                dict(
+                    image_id=ann["image_id"],
+                    bbox=np.asarray(ann["bbox"], np.float32),
+                    area=float(
+                        ann.get("area", ann["bbox"][2] * ann["bbox"][3])
+                    ),
+                    iscrowd=bool(ann.get("iscrowd", 0)),
+                    keypoints=(
+                        np.asarray(kps_flat, np.float32).reshape(-1, 3)
+                        if kps_flat is not None
+                        else np.zeros((len(COCO_SIGMAS), 3), np.float32)
+                    ),
+                )
+            )
             continue
         im = images[ann["image_id"]]
-        kps = np.asarray(ann["keypoints"], np.float32).reshape(-1, 3)
+        kps = np.asarray(kps_flat, np.float32).reshape(-1, 3)
         records.append(
             dict(
                 image_path=str(Path(image_root) / im["file_name"]),
@@ -57,6 +80,8 @@ def parse_coco_annotations(
                 area=float(ann.get("area", ann["bbox"][2] * ann["bbox"][3])),
             )
         )
+    if include_ignore:
+        return records, ignores
     return records
 
 
@@ -88,9 +113,20 @@ class COCOPoseDataset:
     resample: str = "bilinear"
 
     def __post_init__(self):
-        self.records = parse_coco_annotations(
-            self.annotation_file, self.image_root, self.min_keypoints
+        self.records, ignores = parse_coco_annotations(
+            self.annotation_file,
+            self.image_root,
+            self.min_keypoints,
+            include_ignore=True,
         )
+        # Ignore-regions (crowds, sub-min-keypoint instances) grouped by
+        # image: not crop samples, but the eval pipeline threads them to the
+        # evaluator so detections they absorb are not false positives.
+        self.ignores_by_image: dict[int, list[dict]] = {}
+        for rec in ignores:
+            self.ignores_by_image.setdefault(int(rec["image_id"]), []).append(
+                rec
+            )
 
     def __len__(self) -> int:
         return len(self.records)

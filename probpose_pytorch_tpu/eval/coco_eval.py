@@ -4,8 +4,9 @@ Greenfield subsystem (SURVEY.md §2.4: the reference has no AP evaluation,
 only training-time PCK/OKS metrics). Implements the standard COCO keypoint
 evaluation protocol exactly — per-image greedy matching of score-sorted
 detections to ground truths by OKS with the ignored-GT rules (a detection
-falls back to an ignored GT only when no live GT matches, taken ignored GTs
-are consumed, unmatched out-of-range detections are ignored rather than
+falls back to an ignored GT only when no live GT matches; non-crowd GTs are
+consumed once while crowd GTs absorb any number of detections, pycocotools'
+iscrowd exception; unmatched out-of-range detections are ignored rather than
 counted as false positives), AP/AR averaged over OKS thresholds
 0.50:0.05:0.95 with 101-point interpolated precision, and the medium/large
 area-range splits.
@@ -97,10 +98,13 @@ class COCOKeypointEvaluator:
         gt_areas: np.ndarray,
         gt_boxes: np.ndarray | None = None,
         gt_ignore: np.ndarray | None = None,
+        gt_crowd: np.ndarray | None = None,
     ) -> None:
         """dt_kpts (D, K, 3), dt_scores (D,), gt_kpts (G, K, 3),
         gt_areas (G,); gt_ignore marks annotations that are ignore-regions
-        (crowds, zero-keypoint instances)."""
+        (crowds, zero-keypoint instances). gt_crowd marks iscrowd
+        annotations, which are always ignored AND may absorb multiple
+        detections (the protocol's iscrowd re-match exception)."""
         G = len(gt_kpts)
         # Stable score sort, truncated to max_dets (the protocol's per-image
         # detection cap).
@@ -109,6 +113,9 @@ class COCOKeypointEvaluator:
         dt_scores = np.asarray(dt_scores)[order]
         if gt_ignore is None:
             gt_ignore = np.zeros(G, bool)
+        if gt_crowd is None:
+            gt_crowd = np.zeros(G, bool)
+        gt_ignore = np.asarray(gt_ignore, bool) | np.asarray(gt_crowd, bool)
         ious = (
             oks_matrix(dt_kpts, gt_kpts, gt_areas, self.sigmas, gt_boxes)
             if len(dt_kpts) and G
@@ -122,7 +129,8 @@ class COCOKeypointEvaluator:
                 if len(dt_kpts)
                 else np.zeros(0),
                 gt_areas=np.asarray(gt_areas, np.float64),
-                gt_ignore=np.asarray(gt_ignore, bool),
+                gt_ignore=gt_ignore,
+                gt_crowd=np.asarray(gt_crowd, bool),
             )
         )
 
@@ -133,8 +141,9 @@ class COCOKeypointEvaluator:
 
         Returns (tp (T, D), dt_ignore (T, D), dt_scores (D,), n_gt_live).
         GTs out of the area range are treated as ignored; live GTs are
-        offered to each detection before ignored ones; a GT (ignored or not)
-        can be taken once; a detection matched to an ignored GT — or left
+        offered to each detection before ignored ones; a non-crowd GT can be
+        taken once while a crowd GT absorbs any number of detections (the
+        iscrowd exception); a detection matched to an ignored GT — or left
         unmatched with its own area outside the range — is excluded from
         both TP and FP counts.
         """
@@ -144,6 +153,7 @@ class COCOKeypointEvaluator:
         # live GTs first, ignored last (stable), as the protocol sorts them
         gt_order = np.argsort(gt_ig, kind="stable")
         gt_ig_sorted = gt_ig[gt_order]
+        crowd_sorted = img["gt_crowd"][gt_order] if G else img["gt_crowd"]
         ious_s = ious[:, gt_order] if G else ious
         T = len(_THRESHOLDS)
         tp = np.zeros((T, D), bool)
@@ -155,7 +165,7 @@ class COCOKeypointEvaluator:
                 best = min(thr, 1 - 1e-10)
                 m = -1
                 for g in range(G):
-                    if taken[g]:
+                    if taken[g] and not crowd_sorted[g]:
                         continue
                     # once matched to a live GT, never fall through to the
                     # ignored tail

@@ -92,17 +92,42 @@ def evaluate_topdown(
                 np.asarray(s.get("bbox_frame", s["bbox"]), np.float64)
             )
 
+    # Ignore-regions the dataset excluded from crop sampling (crowds,
+    # zero-keypoint instances) still participate in evaluation: the protocol
+    # uses them to absorb detections (a detection on a crowd is not a false
+    # positive). COCOPoseDataset exposes them grouped by image.
+    ignores_by_image = getattr(dataset, "ignores_by_image", {})
+
     evaluator = COCOKeypointEvaluator(np.asarray(sigmas))
-    for rec in per_image.values():
+    for image_id, rec in per_image.items():
         gt = np.stack(rec["gt"])
+        areas = list(rec["areas"])
+        boxes = list(rec["boxes"])
+        # Live instances with no labeled keypoints are themselves
+        # ignore-regions, not targets.
+        ignore = list((gt[:, :, 2] > 0).sum(axis=1) == 0)
+        crowd = [False] * len(ignore)
+        extra = ignores_by_image.get(image_id, [])
+        if extra:
+            K = gt.shape[1]
+            pads = []
+            for ig in extra:
+                kp = np.asarray(ig["keypoints"], np.float64)
+                if kp.shape[0] != K:  # category mismatch; pad/trim
+                    kp = np.zeros((K, 3), np.float64)
+                pads.append(kp)
+                areas.append(float(ig["area"]))
+                boxes.append(np.asarray(ig["bbox"], np.float64))
+                ignore.append(True)
+                crowd.append(bool(ig["iscrowd"]))
+            gt = np.concatenate([gt, np.stack(pads)], axis=0)
         evaluator.add_image(
             np.stack(rec["dt"]),
             np.asarray(rec["scores"]),
             gt,
-            np.asarray(rec["areas"]),
-            np.stack(rec["boxes"]),
-            # COCO protocol: instances with no labeled keypoints are
-            # ignore-regions, not targets.
-            gt_ignore=(gt[:, :, 2] > 0).sum(axis=1) == 0,
+            np.asarray(areas),
+            np.stack(boxes),
+            gt_ignore=np.asarray(ignore, bool),
+            gt_crowd=np.asarray(crowd, bool),
         )
     return evaluator.summarize()

@@ -44,6 +44,22 @@ def mini_coco(tmp_path):
                 iscrowd=0,
             )
         )
+    # Ignore-region annotations: a crowd on image 0 and a zero-keypoint
+    # instance on image 1 — not crop samples, but eval must see them.
+    annotations.append(
+        dict(
+            id=200, image_id=0, category_id=1,
+            keypoints=[0.0] * 51, num_keypoints=0,
+            bbox=[5.0, 5.0, 40.0, 40.0], area=1600.0, iscrowd=1,
+        )
+    )
+    annotations.append(
+        dict(
+            id=201, image_id=1, category_id=1,
+            keypoints=[0.0] * 51, num_keypoints=0,
+            bbox=[100.0, 10.0, 30.0, 30.0], area=900.0, iscrowd=0,
+        )
+    )
     ann_file = tmp_path / "ann.json"
     ann_file.write_text(json.dumps(dict(images=images, annotations=annotations)))
     return ann_file, img_dir
@@ -59,6 +75,22 @@ class TestCOCOData:
         assert s["image"].shape == (256, 192, 3)
         assert s["keypoints"].shape == (17, 2)
         assert s["keypoints_visible"].shape == (17,)
+
+    def test_ignore_regions_survive_parsing(self, mini_coco):
+        """Crowds and zero-keypoint instances are excluded from crop samples
+        but preserved as per-image ignore records for evaluation."""
+        ann_file, img_dir = mini_coco
+        recs, ignores = parse_coco_annotations(
+            ann_file, img_dir, include_ignore=True
+        )
+        assert len(recs) == 3 and len(ignores) == 2
+        ds = COCOPoseDataset(ann_file, img_dir, (64, 48))
+        assert len(ds) == 3  # ignore records are not samples
+        assert set(ds.ignores_by_image) == {0, 1}
+        crowd = ds.ignores_by_image[0][0]
+        assert crowd["iscrowd"] and crowd["area"] == 1600.0
+        assert not ds.ignores_by_image[1][0]["iscrowd"]
+        assert crowd["keypoints"].shape == (17, 3)
 
     def test_expand_bbox_aspect(self):
         box = expand_bbox(np.array([0, 0, 100, 50], np.float32), 1.25, 0.75)

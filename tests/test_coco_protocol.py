@@ -54,10 +54,14 @@ def compute_oks_oracle(dts, gts, sigmas):
 
 def evaluate_img_oracle(dts, gts, ious_full, a_rng, max_dets):
     """evaluateImg as published: greedy per-threshold matching with the
-    ignored-GT fallthrough and dt-area ignoring."""
+    ignored-GT fallthrough, the iscrowd re-match exception
+    (`if gtm>0 and not iscrowd: continue`), and dt-area ignoring."""
     for g in gts:
         g["_ignore"] = (
-            g.get("ignore", 0) or g["area"] < a_rng[0] or g["area"] > a_rng[1]
+            g.get("ignore", 0)
+            or g.get("iscrowd", 0)
+            or g["area"] < a_rng[0]
+            or g["area"] > a_rng[1]
         )
     gtind = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
     gts = [gts[i] for i in gtind]
@@ -70,6 +74,7 @@ def evaluate_img_oracle(dts, gts, ious_full, a_rng, max_dets):
     )
 
     T, G, D = len(IOU_THRS), len(gts), len(dts)
+    iscrowd = [int(g.get("iscrowd", 0)) for g in gts]
     gtm = np.zeros((T, G))
     dtm = np.zeros((T, D))
     gt_ig = np.array([g["_ignore"] for g in gts])
@@ -80,7 +85,7 @@ def evaluate_img_oracle(dts, gts, ious_full, a_rng, max_dets):
                 iou = min([t, 1 - 1e-10])
                 m = -1
                 for gind, g in enumerate(gts):
-                    if gtm[tind, gind] > 0:
+                    if gtm[tind, gind] > 0 and not iscrowd[gind]:
                         continue
                     if m > -1 and gt_ig[m] == 0 and gt_ig[gind] == 1:
                         break
@@ -192,6 +197,9 @@ def _random_dataset(seed, n_images=20, k=17):
             )
             if rng.random() < 0.15:
                 kpts[:, 2] = 0  # unlabeled -> box-fallback OKS path
+            iscrowd = int(rng.random() < 0.15)
+            if iscrowd:
+                kpts[:, 2] = 0  # crowd annotations carry no labeled kpts
             area = float(
                 rng.choice(
                     [500.0, 1024.0, 5000.0, 9216.0, 20000.0, 1e5, 96.0**2]
@@ -203,6 +211,7 @@ def _random_dataset(seed, n_images=20, k=17):
                     area=area,
                     bbox=[c[0] - spread, c[1] - spread, 2 * spread, 2 * spread],
                     ignore=int(rng.random() < 0.15),
+                    iscrowd=iscrowd,
                 )
             )
             # detections near this GT
@@ -269,6 +278,9 @@ def test_evaluator_matches_protocol_oracle(seed):
             np.array([g["area"] for g in img["gts"]]),
             np.array([g["bbox"] for g in img["gts"]]).reshape(G, 4),
             gt_ignore=np.array([g["ignore"] for g in img["gts"]], bool),
+            gt_crowd=np.array(
+                [g.get("iscrowd", 0) for g in img["gts"]], bool
+            ),
         )
     got = ev.summarize()
     for key in ("AP", "AP50", "AP75", "AR", "AP_medium", "AP_large"):
@@ -277,6 +289,85 @@ def test_evaluator_matches_protocol_oracle(seed):
             got,
             want,
         )
+
+
+def test_crowd_absorbs_multiple_detections():
+    """pycocotools' iscrowd exception: a crowd region can be matched by any
+    number of detections, all of them ignored. A single-match ignore region
+    would let the second detection fall through to a false positive."""
+    k = 17
+    sigmas = np.full(k, 0.05)
+    live = np.concatenate(
+        [np.full((k, 2), 300.0), np.full((k, 1), 2.0)], axis=1
+    )
+    crowd = np.zeros((k, 3))  # unlabeled -> box-fallback OKS
+    crowd_box = np.array([40.0, 40.0, 60.0, 60.0])
+    # two detections inside the crowd box (box-fallback OKS = 1) scoring
+    # ABOVE the live detection, so an unabsorbed one would be a false
+    # positive ahead of the true positive in the PR sweep
+    dt_live = np.concatenate([live[:, :2], np.ones((k, 1))], axis=1)
+    dt_crowd1 = np.concatenate(
+        [np.full((k, 2), 60.0), np.ones((k, 1))], axis=1
+    )
+    dt_crowd2 = np.concatenate(
+        [np.full((k, 2), 75.0), np.ones((k, 1))], axis=1
+    )
+
+    def run(gt_crowd_flag):
+        ev = COCOKeypointEvaluator(sigmas)
+        ev.add_image(
+            np.stack([dt_live, dt_crowd1, dt_crowd2]),
+            np.array([0.8, 0.9, 0.85]),
+            np.stack([live, crowd]),
+            np.array([5000.0, 3600.0]),
+            np.array([[250.0, 250.0, 100.0, 100.0], crowd_box]),
+            gt_ignore=np.array([False, True]),
+            gt_crowd=np.array([False, gt_crowd_flag]),
+        )
+        return ev.summarize()
+
+    with_crowd = run(True)
+    assert with_crowd["AP"] == pytest.approx(1.0), with_crowd
+    # same fixture with a single-match ignore region: the second crowd
+    # detection becomes a false positive and drags AP below 1
+    without_crowd = run(False)
+    assert without_crowd["AP"] < 1.0, without_crowd
+
+    # the oracle transcription agrees on the crowd fixture
+    images = [
+        dict(
+            gts=[
+                dict(
+                    keypoints=live,
+                    area=5000.0,
+                    bbox=[250.0, 250.0, 100.0, 100.0],
+                    ignore=0,
+                    iscrowd=0,
+                ),
+                dict(
+                    keypoints=crowd,
+                    area=3600.0,
+                    bbox=crowd_box.tolist(),
+                    ignore=0,
+                    iscrowd=1,
+                ),
+            ],
+            dts=[
+                dict(
+                    keypoints=d,
+                    score=s,
+                    area=float(detection_areas(d[None, :, :])[0]),
+                )
+                for d, s in [
+                    (dt_live, 0.8),
+                    (dt_crowd1, 0.9),
+                    (dt_crowd2, 0.85),
+                ]
+            ],
+        )
+    ]
+    want = cocoeval_oracle(images, sigmas)
+    assert want["AP"] == pytest.approx(with_crowd["AP"])
 
 
 def test_perfect_predictions_ap_one():
