@@ -5,19 +5,42 @@ frame-space keypoints -> streaming AP.
 Greenfield subsystem (SURVEY.md §2.4: the reference has no val-AP path).
 The device side (crop -> forward -> decode -> untransform) is one jitted
 program per batch shape; the AP accumulation stays on host, outside the step.
+Host loading rides the shared batch_iterator (vectorized `get_batch` for
+cached datasets, thread-pool otherwise) behind a Prefetcher, so sample
+decode overlaps device compute instead of starving the chip inside the
+batch loop.
 """
 
 from __future__ import annotations
 
+import time
 from collections import defaultdict
-from typing import Any, Iterable
+from typing import Any
 
 import numpy as np
 
 from probpose_pytorch_tpu.data.coco import COCO_SIGMAS
+from probpose_pytorch_tpu.data.pipeline import Prefetcher, batch_iterator
 from probpose_pytorch_tpu.eval.coco_eval import COCOKeypointEvaluator
 
 __all__ = ["evaluate_topdown"]
+
+
+def _limit(dataset: Any, n: int) -> Any:
+    """Length-limited view preserving a vectorized get_batch if present."""
+    if n >= len(dataset):
+        return dataset
+
+    class _View:
+        def __len__(self):
+            return n
+
+        def __getitem__(self, i):
+            return dataset[i]
+
+    if hasattr(dataset, "get_batch"):
+        _View.get_batch = staticmethod(dataset.get_batch)
+    return _View()
 
 
 def evaluate_topdown(
@@ -27,59 +50,90 @@ def evaluate_topdown(
     sigmas: np.ndarray = COCO_SIGMAS,
     score_key: str = "scores",
     max_samples: int | None = None,
+    num_workers: int = 4,
+    prefetch_depth: int = 2,
+    verbose: bool = False,
 ) -> dict[str, float]:
     """Run top-down evaluation over a COCO-style crop dataset.
 
     The dataset must yield samples with `image` (crop), `bbox` (frame-space
     xywh used for the crop), `image_id`, `area`, and frame-space GT implied by
     the crop keypoints. Detections for each image_id are pooled, then fed to
-    the streaming evaluator.
+    the streaming evaluator. Datasets exposing `ignores_by_image` (crowds /
+    zero-keypoint instances, COCOPoseDataset) have those regions threaded to
+    the evaluator so the detections they absorb are not false positives.
 
     Returns the COCO keypoint summary (AP, AP50, AP75, AP_medium, AP_large,
     AR).
     """
-    n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
+    # Resolve ignore-regions from the original dataset before any view wrap.
+    ignores_by_image = getattr(dataset, "ignores_by_image", {})
+    if max_samples is not None:
+        dataset = _limit(dataset, max_samples)
+    n = len(dataset)
     per_image: dict[int, dict[str, list]] = defaultdict(
         lambda: dict(dt=[], scores=[], gt=[], areas=[], boxes=[])
     )
 
     H, W = predictor.input_size
-    for start in range(0, n, batch_size):
-        idxs = range(start, min(start + batch_size, n))
-        samples = [dataset[i] for i in idxs]
-        # Pad the tail batch so the jitted shape stays constant.
-        pad = batch_size - len(samples)
-        batch = samples + [samples[-1]] * pad
-        crops = np.stack([s["image"] for s in batch])
-        boxes = np.stack([s["bbox"] for s in batch])
+    batches = Prefetcher(
+        batch_iterator(
+            dataset,
+            batch_size,
+            shuffle=False,
+            drop_last=False,
+            num_workers=num_workers,
+        ),
+        depth=prefetch_depth,
+    )
+    t0 = time.perf_counter()
+    done = 0
+    for batch in batches:
+        bs = len(batch["image"])
+        if bs < batch_size:
+            # Pad the tail so the jitted shape stays constant.
+            batch = {
+                k: np.concatenate(
+                    [v, np.repeat(v[-1:], batch_size - bs, axis=0)]
+                )
+                for k, v in batch.items()
+            }
+        crops = batch["image"]
+        boxes = batch["bbox"]
         # The predictor re-crops from frames; here samples are already crops,
         # so feed identity boxes and un-map with the true boxes.
         ident = np.tile(
-            np.array([0, 0, W, H], np.float32), (len(batch), 1)
+            np.array([0, 0, W, H], np.float32), (batch_size, 1)
         )
         out = predictor(crops, ident)
-        kpts = out["keypoints"][: len(samples)]  # crop space
-        scores = out[score_key][: len(samples)]
-        probs = out["probabilities"][: len(samples), 0]
+        kpts = out["keypoints"][:bs]  # crop space
+        scores = out[score_key][:bs]
+        probs = out["probabilities"][:bs, 0]
 
-        for s, kp, sc, pr in zip(samples, kpts, scores, probs):
-            x0, y0, bw, bh = s["bbox"]
+        for i in range(bs):
+            kp, sc, pr = kpts[i], scores[i], probs[i]
+            x0, y0, bw, bh = batch["bbox"][i]
             frame_kp = np.empty_like(kp)
             frame_kp[:, 0] = kp[:, 0] / W * bw + x0
             frame_kp[:, 1] = kp[:, 1] / H * bh + y0
             dt = np.concatenate([frame_kp, sc.reshape(-1, 1)], axis=1)
-            if "keypoints_frame" in s:
+            if "keypoints_frame" in batch:
                 # Score against the original annotation: crop-clipped
                 # keypoints and the raw 0/1/2 visibility levels intact.
-                gt = np.asarray(s["keypoints_frame"], np.float64)
+                gt = np.asarray(batch["keypoints_frame"][i], np.float64)
             else:
-                gt_xy = np.empty_like(s["keypoints"])
-                gt_xy[:, 0] = s["keypoints"][:, 0] / W * bw + x0
-                gt_xy[:, 1] = s["keypoints"][:, 1] / H * bh + y0
+                src = batch["keypoints"][i]
+                gt_xy = np.empty_like(src)
+                gt_xy[:, 0] = src[:, 0] / W * bw + x0
+                gt_xy[:, 1] = src[:, 1] / H * bh + y0
                 gt = np.concatenate(
-                    [gt_xy, s["keypoints_visible"].reshape(-1, 1) * 2], axis=1
+                    [
+                        gt_xy,
+                        batch["keypoints_visible"][i].reshape(-1, 1) * 2,
+                    ],
+                    axis=1,
                 )
-            rec = per_image[int(s["image_id"])]
+            rec = per_image[int(batch["image_id"][i])]
             rec["dt"].append(dt)
             # Standard top-down instance score: detector/box confidence is
             # unavailable here, so use mean keypoint score weighted by
@@ -87,16 +141,26 @@ def evaluate_topdown(
             # oracle in tests/test_coco_protocol.py).
             rec["scores"].append(float(np.mean(sc * pr)))
             rec["gt"].append(gt)
-            rec["areas"].append(float(s["area"]))
+            rec["areas"].append(float(batch["area"][i]))
             rec["boxes"].append(
-                np.asarray(s.get("bbox_frame", s["bbox"]), np.float64)
+                np.asarray(
+                    batch.get("bbox_frame", batch["bbox"])[i], np.float64
+                )
             )
-
-    # Ignore-regions the dataset excluded from crop sampling (crowds,
-    # zero-keypoint instances) still participate in evaluation: the protocol
-    # uses them to absorb detections (a detection on a crowd is not a false
-    # positive). COCOPoseDataset exposes them grouped by image.
-    ignores_by_image = getattr(dataset, "ignores_by_image", {})
+        done += bs
+        if verbose and done % (batch_size * 16) < batch_size:
+            dt_s = time.perf_counter() - t0
+            print(
+                f"[eval] {done}/{n} crops, {done / dt_s:.0f} crops/s",
+                flush=True,
+            )
+    if verbose:
+        dt_s = time.perf_counter() - t0
+        print(
+            f"[eval] stream done: {done} crops in {dt_s:.1f}s "
+            f"({done / max(dt_s, 1e-9):.0f} crops/s incl. compile)",
+            flush=True,
+        )
 
     evaluator = COCOKeypointEvaluator(np.asarray(sigmas))
     for image_id, rec in per_image.items():

@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding, PartitionSpec
 
 __all__ = ["CheckpointManager"]
 
@@ -40,14 +41,40 @@ class CheckpointManager:
 
     def restore(self, target_state: Any, step: int | None = None) -> Any:
         """Restore into the structure/shardings of `target_state` (an
-        initialized TrainState — shapes/dtypes/shardings are taken from it)."""
+        initialized TrainState — shapes/dtypes/shardings are taken from it).
+
+        Mesh targets: leaves the caller never explicitly sharded (the step
+        scalar, optimizer state, BN stats) restore REPLICATED over the same
+        mesh as the explicitly-sharded params, not committed to one device —
+        a mixed committed placement would make the next jitted step fail
+        with 'incompatible devices' (covered by
+        tests/test_parallel.py::test_checkpoint_restore_onto_mesh)."""
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        abstract = jax.tree_util.tree_map(
-            ocp.utils.to_shape_dtype_struct, target_state
-        )
+        mesh = None
+        for leaf in jax.tree_util.tree_leaves(target_state):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
+                mesh = sh.mesh
+                break
+
+        def to_abstract(leaf):
+            s = ocp.utils.to_shape_dtype_struct(leaf)
+            if (
+                mesh is not None
+                and isinstance(leaf, jax.Array)
+                and not isinstance(leaf.sharding, NamedSharding)
+            ):
+                s = jax.ShapeDtypeStruct(
+                    s.shape,
+                    s.dtype,
+                    sharding=NamedSharding(mesh, PartitionSpec()),
+                )
+            return s
+
+        abstract = jax.tree_util.tree_map(to_abstract, target_state)
         return self._mgr.restore(
             step, args=ocp.args.StandardRestore(abstract)
         )

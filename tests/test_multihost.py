@@ -45,7 +45,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
-def test_two_process_feeding_matches_single_process():
+def test_two_process_feeding_matches_single_process(tmp_path):
     single = subprocess.run(
         [sys.executable, WORKER, "single"],
         env=_child_env(8),
@@ -57,9 +57,10 @@ def test_two_process_feeding_matches_single_process():
     loss_single = _extract_loss(single.stdout)
 
     port = _free_port()
+    ckdir = str(tmp_path / "mp_ckpt")  # shared by both processes
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, "multi", str(port), str(pid)],
+            [sys.executable, WORKER, "multi", str(port), str(pid), ckdir],
             env=_child_env(4),
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
@@ -79,3 +80,15 @@ def test_two_process_feeding_matches_single_process():
     # ...and it equals the single-process whole-batch result.
     assert np.isfinite(loss_single)
     assert loss_single == pytest.approx(losses_multi[0], rel=2e-5, abs=2e-6)
+
+    # Phase 2: the 2-process Orbax save + restore round trip is exact, keeps
+    # mesh shardings, and the restored state steps again on both processes.
+    for out in outs:
+        m = re.search(r"^RESTORED_DIFF ([\d.e+-]+)$", out, re.MULTILINE)
+        assert m, f"no RESTORED_DIFF in worker output:\n{out}"
+        assert float(m.group(1)) == 0.0
+        assert re.search(r"^RESTORED_SHARDINGS ok$", out, re.MULTILINE), out
+        m = re.search(
+            r"^RESTORED_STEP_LOSS ([-\d.naninf]+)$", out, re.MULTILINE
+        )
+        assert m and np.isfinite(float(m.group(1))), out

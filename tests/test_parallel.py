@@ -188,6 +188,69 @@ def _fused_cfg(tmp_path, **model_kw):
     )
 
 
+def test_checkpoint_restore_onto_mesh(tmp_path):
+    """Orbax restore onto a mesh-sharded TrainState preserves both numerics
+    and shardings (train/checkpoint.py CheckpointManager.restore takes the
+    target state's shardings) — the resume-on-mesh path where silent
+    resharding bugs live."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    cfg = _cfg(tmp_path)
+    mesh = make_mesh(8, model_parallel=2)
+    trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
+    batch = shard_batch(
+        {k: jnp.asarray(v) for k, v in _batch(cfg).items()}, mesh
+    )
+    state, _ = trainer.train_step(trainer.state, batch)
+
+    ckpt = CheckpointManager(tmp_path / "ck", keep=1)
+    ckpt.save(1, state)
+
+    # Fresh trainer with a DIFFERENT seed: restore must overwrite its params
+    # while keeping the mesh shardings of the target state.
+    trainer2 = Trainer.create(
+        dataclasses.replace(
+            cfg, seed=cfg.seed + 1, out_dir=str(tmp_path / "run2")
+        ),
+        steps_per_epoch=2,
+        mesh=mesh,
+    )
+    restored = ckpt.restore(trainer2.state)
+    ckpt.close()
+
+    assert int(restored.step) == 1
+    saved_leaves = jax.tree_util.tree_leaves_with_path(state.params)
+    restored_leaves = jax.tree_util.tree_leaves_with_path(restored.params)
+    assert len(saved_leaves) == len(restored_leaves)
+    n_model_sharded = 0
+    for (path_s, leaf_s), (path_r, leaf_r) in zip(
+        saved_leaves, restored_leaves
+    ):
+        assert path_s == path_r
+        # numerics survive the round trip exactly
+        np.testing.assert_array_equal(np.asarray(leaf_s), np.asarray(leaf_r))
+        # shardings survive (restore did not silently replicate);
+        # compare specs modulo trailing-None normalization
+        def _norm(spec):
+            t = tuple(spec)
+            while t and t[-1] is None:
+                t = t[:-1]
+            return t
+
+        assert _norm(leaf_r.sharding.spec) == _norm(leaf_s.sharding.spec), (
+            path_r
+        )
+        if "model" in str(leaf_r.sharding.spec):
+            n_model_sharded += 1
+    assert n_model_sharded > 0  # tp shardings present, not all-replicated
+
+    # the restored state trains on the mesh
+    state2, metrics = trainer2.train_step(restored, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_fused_attention_mesh_policy(tmp_path, capsys):
     """attn_impl='fused' has no tensor-parallel variant: Trainer.create must
     downgrade it to einsum on a model-parallel mesh. Data-parallel meshes
