@@ -11,12 +11,20 @@ dependency (each iteration's boxes are perturbed by the previous decode, so
 XLA cannot hoist or elide work), and per-iteration time is the difference
 between a long and a short loop — this removes compile, dispatch, and
 host<->device transfer latency (which on the tunneled test devices would
-otherwise dominate and under/over-state the chip throughput).
+otherwise dominate and under/over-state the chip throughput). The tunneled
+device has ~±7% session-to-session noise, so the headline is the MEDIAN of
+REPEATS chained-differencing measurements, with min/max spread reported
+alongside (VERDICT r2 weak #1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus two
-informational fields ("train_step_ms", "train_crops_per_sec") timing the fused
-training step (on-device target encode -> fwd -> composite loss with in-jit
-OKS decode -> bwd -> AdamW) at the flagship config, so training throughput is
+The serving batch comes from the persisted per-hardware autotune sweep
+(probpose_pytorch_tpu/configs/autotune_serving.json via
+inference.tuned_serving_batch), falling back to 256.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus spread
+fields ("value_min"/"value_max"/"repeats"/"batch") and two informational
+fields ("train_step_ms", "train_crops_per_sec") timing the fused training
+step (on-device target encode -> fwd -> composite loss with in-jit OKS
+decode -> bwd -> AdamW) at the flagship config, so training throughput is
 tracked round-over-round alongside serving (VERDICT r1 item #5).
 """
 
@@ -28,8 +36,8 @@ import time
 
 import numpy as np
 
-BATCH = 256
 TARGET = 5000.0
+REPEATS = 5
 
 
 def _build_pipeline():
@@ -141,11 +149,12 @@ def _bench_train_step() -> tuple[float, float]:
     short_n, long_n = 1, 5
     timed(short_n)
     timed(long_n)
-    best = float("inf")
-    for _ in range(3):
-        per = (timed(long_n) - timed(short_n)) / (long_n - short_n)
-        best = min(best, per)
-    return best * 1e3, B / best
+    samples = sorted(
+        (timed(long_n) - timed(short_n)) / (long_n - short_n)
+        for _ in range(REPEATS)
+    )
+    med = float(np.median(samples))
+    return med * 1e3, B / med
 
 
 def main() -> None:
@@ -153,14 +162,17 @@ def main() -> None:
     import jax.numpy as jnp
     from functools import partial
 
+    from probpose_pytorch_tpu.inference import tuned_serving_batch
+
+    batch = tuned_serving_batch(default=256)
     pipeline, variables, cfg = _build_pipeline()
 
     rng = np.random.default_rng(0)
     frames = jnp.asarray(
-        rng.integers(0, 256, size=(BATCH, 320, 256, 3), dtype=np.uint8)
+        rng.integers(0, 256, size=(batch, 320, 256, 3), dtype=np.uint8)
     )
     boxes = jnp.asarray(
-        rng.uniform([0, 0, 120, 180], [60, 60, 196, 260], (BATCH, 4)).astype(
+        rng.uniform([0, 0, 120, 180], [60, 60, 196, 260], (batch, 4)).astype(
             np.float32
         )
     )
@@ -183,22 +195,25 @@ def main() -> None:
     short_n, long_n = 2, 22
     timed(short_n)  # compile short
     timed(long_n)  # compile long
-    best = float("inf")
-    for _ in range(3):
+    samples = []
+    for _ in range(REPEATS):
         t_short = timed(short_n)
         t_long = timed(long_n)
-        per_iter = (t_long - t_short) / (long_n - short_n)
-        best = min(best, per_iter)
-
-    crops_per_sec = BATCH / best
+        samples.append((t_long - t_short) / (long_n - short_n))
+    rates = sorted(batch / s for s in samples)
+    crops_per_sec = float(np.median(rates))
     train_ms, train_cps = _bench_train_step()
     print(
         json.dumps(
             {
-                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode; packed Pallas attention, f32 softmax in VMEM)",
+                "metric": "e2e inference crops/sec/chip (256x192 top-down: fused preprocess + ViT-S fwd bf16 + expected-value decode; packed Pallas attention, f32 softmax in VMEM; median of chained-differencing repeats)",
                 "value": round(crops_per_sec, 1),
                 "unit": "crops/s",
                 "vs_baseline": round(crops_per_sec / TARGET, 3),
+                "value_min": round(rates[0], 1),
+                "value_max": round(rates[-1], 1),
+                "repeats": REPEATS,
+                "batch": batch,
                 "train_step_ms": round(train_ms, 1),
                 "train_crops_per_sec": round(train_cps, 1),
             }

@@ -37,3 +37,6 @@ from probpose_pytorch_tpu.data.coco import (  # noqa: F401
     COCOPoseDataset,
     parse_coco_annotations,
 )
+from probpose_pytorch_tpu.data.synth_coco import (  # noqa: F401
+    generate_coco_synth,
+)
