@@ -73,7 +73,7 @@ def make_config(root: Path, out_dir: Path, quick: bool):
             normalize=1.0,
             attn_impl="fused",
         )
-        batch, epochs = 128, 160
+        batch, epochs = 128, 250
     return TrainConfig(
         model=model,
         optim=OptimConfig(ema_decay=0.999, max_nonfinite_skips=5),
@@ -110,6 +110,8 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/probpose_rehearsal_run")
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--resume-steps", type=int, default=1200)
+    ap.add_argument("--train-images", type=int, default=900,
+                    help="train2017 frame count (~2.3 live instances each)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + tiny dataset smoke (CI)")
     ap.add_argument("--skip-train", action="store_true",
@@ -127,7 +129,7 @@ def main() -> None:
 
     # ---- 1. generate -------------------------------------------------
     t0 = time.perf_counter()
-    n_train, n_val = (40, 16) if args.quick else (700, 160)
+    n_train, n_val = (40, 16) if args.quick else (args.train_images, 160)
     generate_coco_synth(
         root, n_train_images=n_train, n_val_images=n_val, seed=0
     )
