@@ -3,3 +3,8 @@ from probpose_pytorch_tpu.compat.torch_import import (  # noqa: F401
     import_timm_vit_params,
     state_dict_from_checkpoint,
 )
+from probpose_pytorch_tpu.compat.layouts import (  # noqa: F401
+    qkv_head_major_permutation,
+    qkv_to_head_major,
+    qkv_to_qkv_major,
+)

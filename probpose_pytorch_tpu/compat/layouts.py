@@ -1,0 +1,69 @@
+"""Parameter layout conversions.
+
+`attn_impl="fused_tp"` interprets the qkv projection's output columns in the
+head-major packing ([h0(q|k|v) | h1(q|k|v) | ...]) so a Megatron column
+shard hands each model-parallel device exactly its own heads' packed qkv
+(ops/pallas/attention_kernel.py:_qkv_offsets). Checkpoints trained with the
+default "qkv_major" layout ([q | k | v], heads h-major within each — the
+torch/timm `Dense(3C)` + `reshape(B,N,3,H,d)` order) convert losslessly by
+permuting the qkv kernel columns and bias entries; every other parameter is
+layout-invariant (the attention context is h-major in both layouts, so the
+proj matrix needs no change).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+__all__ = [
+    "qkv_head_major_permutation",
+    "qkv_to_head_major",
+    "qkv_to_qkv_major",
+]
+
+
+def qkv_head_major_permutation(embed_dim: int, num_heads: int) -> np.ndarray:
+    """perm such that head_major[i] = qkv_major[perm[i]] over the 3C dim."""
+    d = embed_dim // num_heads
+    # qkv_major index of (t, h, j) is t*C + h*d + j; enumerate in
+    # head-major order (h, t, j).
+    idx = np.arange(3 * embed_dim).reshape(3, num_heads, d)
+    return np.transpose(idx, (1, 0, 2)).reshape(-1)
+
+
+def _permute_qkv(params: Any, num_heads: int, invert: bool) -> Any:
+    import jax
+
+    def convert(path, leaf):
+        names = [str(getattr(p, "key", p)) for p in path]
+        joined = "/".join(names)
+        if "attn" not in joined or "qkv" not in joined:
+            return leaf
+        if names[-1] == "kernel" and leaf.ndim == 2:
+            C = leaf.shape[0]
+            perm = qkv_head_major_permutation(C, num_heads)
+            if invert:
+                perm = np.argsort(perm)
+            return leaf[:, perm]
+        if names[-1] == "bias" and leaf.ndim == 1:
+            C = leaf.shape[0] // 3
+            perm = qkv_head_major_permutation(C, num_heads)
+            if invert:
+                perm = np.argsort(perm)
+            return leaf[perm]
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(convert, params)
+
+
+def qkv_to_head_major(params: Any, num_heads: int) -> Any:
+    """Convert a param tree's attention qkv kernels/biases from the default
+    qkv_major layout to head_major (for `attn_impl="fused_tp"`)."""
+    return _permute_qkv(params, num_heads, invert=False)
+
+
+def qkv_to_qkv_major(params: Any, num_heads: int) -> Any:
+    """Inverse of `qkv_to_head_major`."""
+    return _permute_qkv(params, num_heads, invert=True)

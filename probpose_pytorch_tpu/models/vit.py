@@ -61,6 +61,12 @@ class Attention(nn.Module):
     softmax_dtype: jnp.dtype = jnp.float32
     # "fused": packed-layout Pallas kernel with recompute VJP (training +
     # serving; f32 softmax in VMEM, no (B,h,N,N) HBM traffic, no transposes).
+    # "fused_tp": same kernel on the head-major qkv layout — the Megatron
+    # column-shard of the qkv projection then hands each model shard its own
+    # heads' packed blocks, so the kernel tensor-parallelizes via shard_map
+    # over (data, model) with zero added collectives. Parameters are
+    # SEMANTICALLY head-major in this mode (convert imported checkpoints
+    # with compat.qkv_to_head_major).
     # "einsum": XLA formulation. "pallas": legacy flat-layout kernel
     # (forward-only, needs transposes; kept for comparison).
     impl: str = "einsum"
@@ -75,35 +81,57 @@ class Attention(nn.Module):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
-        if self.impl == "fused" and _fused_kernels_enabled():
+        if self.impl in ("fused", "fused_tp") and _fused_kernels_enabled():
             # Packed-layout VMEM kernel with recompute VJP: f32 softmax at
             # better-than-bf16-einsum speed (54.9% MFU fwd / 64.7% fwd+bwd at
             # ViT-S B=256 vs 39.5%/39.8% einsum — docs/PERF.md). On a
             # data-parallel mesh the kernel rides shard_map over the batch
-            # axis; model-parallel configs keep impl='einsum' (the qkv
-            # activations are channel-sharded there).
+            # axis; "fused_tp" additionally shard_maps heads over the model
+            # axis (head-major qkv layout).
             from probpose_pytorch_tpu.ops.pallas import (
                 packed_attention,
                 sharded_packed_attention,
             )
 
-            data_size = (
-                dict(self.mesh.shape).get("data", 1)
-                if self.mesh is not None
-                else 1
-            )
+            shape = dict(self.mesh.shape) if self.mesh is not None else {}
+            data_size = shape.get("data", 1)
+            model_size = shape.get("model", 1)
+            layout = "head_major" if self.impl == "fused_tp" else "qkv_major"
             # Batches that don't divide the data axis (model.init's B=1
-            # sample, sub-mesh serving buckets) take the plain kernel —
+            # sample, sub-mesh serving buckets) skip batch sharding —
             # B is static, so this resolves at trace time.
-            if data_size > 1 and B % data_size == 0:
+            batch_axis = (
+                "data" if data_size > 1 and B % data_size == 0 else None
+            )
+            if self.impl == "fused_tp" and model_size > 1:
                 out = sharded_packed_attention(
-                    qkv, self.num_heads, self.mesh, axis="data"
+                    qkv,
+                    self.num_heads,
+                    self.mesh,
+                    axis=batch_axis,
+                    model_axis="model",
+                )
+            elif batch_axis is not None:
+                out = sharded_packed_attention(
+                    qkv,
+                    self.num_heads,
+                    self.mesh,
+                    axis=batch_axis,
+                    layout=layout,
                 )
             else:
-                out = packed_attention(qkv, self.num_heads)
+                out = packed_attention(
+                    qkv, self.num_heads, layout=layout
+                )
             return nn.Dense(C, dtype=self.dtype, name="proj")(out)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = jnp.moveaxis(qkv, 2, 0)
+        if self.impl == "fused_tp":
+            # head-major einsum fallback (off-TPU without interpret mode):
+            # same parameter semantics as the kernel path.
+            qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
+            q, k, v = jnp.moveaxis(qkv, 3, 0)
+        else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+            q, k, v = jnp.moveaxis(qkv, 2, 0)
         if self.impl == "pallas":
             # Fused VMEM attention (ops/pallas/attention_kernel.py): never
             # materializes the (B, h, N, N) matrix in HBM; f32 scores at

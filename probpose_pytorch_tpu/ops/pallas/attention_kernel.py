@@ -99,16 +99,34 @@ def fused_attention(
 # packed layout, so the only retained residual is the layer input itself.
 
 
-def _packed_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
+def _qkv_offsets(layout: str, h: int, d: int, C: int) -> tuple[int, int, int]:
+    """Column offsets of head h's q/k/v in the packed (N, 3C) block.
+
+    "qkv_major": [q(h-major C) | k | v] — `Dense(3C)` + `reshape(B,N,3,H,d)`
+    semantics (torch/timm checkpoint order; the single-device default).
+    "head_major": [h0(q|k|v) | h1(q|k|v) | ...] — contiguous per-head packs,
+    so a Megatron column-shard of the qkv projection hands each model shard
+    exactly its own heads' packed qkv (the tensor-parallel layout;
+    convert with compat.qkv_to_head_major)."""
+    if layout == "head_major":
+        base = 3 * h * d
+        return base, base + d, base + 2 * d
+    return h * d, C + h * d, 2 * C + h * d
+
+
+def _packed_fwd_kernel(
+    qkv_ref, o_ref, *, heads: int, scale: float, layout: str = "qkv_major"
+):
     G, N, C3 = qkv_ref.shape
     C = C3 // 3
     d = C // heads
     for g in range(G):
         x = qkv_ref[g]  # (N, 3C)
         for h in range(heads):
-            q = x[:, h * d:(h + 1) * d]
-            k = x[:, C + h * d:C + (h + 1) * d]
-            v = x[:, 2 * C + h * d:2 * C + (h + 1) * d]
+            oq, ok, ov = _qkv_offsets(layout, h, d, C)
+            q = x[:, oq:oq + d]
+            k = x[:, ok:ok + d]
+            v = x[:, ov:ov + d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -122,16 +140,20 @@ def _packed_fwd_kernel(qkv_ref, o_ref, *, heads: int, scale: float):
             ).astype(o_ref.dtype)
 
 
-def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads: int, scale: float):
+def _packed_bwd_kernel(
+    qkv_ref, do_ref, dqkv_ref, *, heads: int, scale: float,
+    layout: str = "qkv_major",
+):
     G, N, C3 = qkv_ref.shape
     C = C3 // 3
     d = C // heads
     for g in range(G):
         x = qkv_ref[g]
         for h in range(heads):
-            q = x[:, h * d:(h + 1) * d]
-            k = x[:, C + h * d:C + (h + 1) * d]
-            v = x[:, 2 * C + h * d:2 * C + (h + 1) * d]
+            oq, ok, ov = _qkv_offsets(layout, h, d, C)
+            q = x[:, oq:oq + d]
+            k = x[:, ok:ok + d]
+            v = x[:, ov:ov + d]
             do = do_ref[g][:, h * d:(h + 1) * d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
@@ -161,19 +183,15 @@ def _packed_bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads: int, scale: float):
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dqkv_ref[g, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[g, :, C + h * d:C + (h + 1) * d] = dk.astype(
-                dqkv_ref.dtype
-            )
-            dqkv_ref[g, :, 2 * C + h * d:2 * C + (h + 1) * d] = dv.astype(
-                dqkv_ref.dtype
-            )
+            dqkv_ref[g, :, oq:oq + d] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, ok:ok + d] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[g, :, ov:ov + d] = dv.astype(dqkv_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "group", "interpret")
+    jax.jit, static_argnames=("heads", "group", "interpret", "layout")
 )
-def _packed_fwd(qkv, heads, group, interpret):
+def _packed_fwd(qkv, heads, group, interpret, layout="qkv_major"):
     B, N, C3 = qkv.shape
     C = C3 // 3
     scale = 1.0 / np.sqrt(C // heads)
@@ -182,7 +200,9 @@ def _packed_fwd(qkv, heads, group, interpret):
     out_spec = pl.BlockSpec((group, N, C), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_packed_fwd_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _packed_fwd_kernel, heads=heads, scale=scale, layout=layout
+        ),
         grid=(pl.cdiv(B, group),),
         in_specs=[spec],
         out_specs=out_spec,
@@ -192,9 +212,9 @@ def _packed_fwd(qkv, heads, group, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "group", "interpret")
+    jax.jit, static_argnames=("heads", "group", "interpret", "layout")
 )
-def _packed_bwd(qkv, do, heads, group, interpret):
+def _packed_bwd(qkv, do, heads, group, interpret, layout="qkv_major"):
     B, N, C3 = qkv.shape
     C = C3 // 3
     scale = 1.0 / np.sqrt(C // heads)
@@ -203,7 +223,9 @@ def _packed_bwd(qkv, do, heads, group, interpret):
     do_spec = pl.BlockSpec((group, N, C), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_packed_bwd_kernel, heads=heads, scale=scale),
+        functools.partial(
+            _packed_bwd_kernel, heads=heads, scale=scale, layout=layout
+        ),
         grid=(pl.cdiv(B, group),),
         in_specs=[qkv_spec, do_spec],
         out_specs=qkv_spec,
@@ -231,37 +253,43 @@ def _auto_group(qkv_shape, requested: int | None, cap: int = 4) -> int:
     return max(1, min(cap, (5 << 20) // per_item))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def packed_attention(
     qkv: jax.Array, heads: int, group: int | None = None,
-    interpret: bool | None = None
+    interpret: bool | None = None, layout: str = "qkv_major",
 ) -> jax.Array:
     """Fused multi-head attention on the qkv projection's packed layout.
 
-    qkv: (B, N, 3C) ordered [q | k | v] with heads h-major inside each C
-    (exactly `Dense(3C)` followed by `reshape(B, N, 3, H, d)` semantics, so
-    checkpoints import unchanged). Returns the (B, N, C) context. Scores and
-    softmax are f32 in VMEM; HBM never sees the (B, H, N, N) matrix, in either
-    the forward or the recompute backward — differentiable, so it serves both
-    training and serving (unlike `fused_attention`, which needs layout
-    transposes and has no VJP). `group=None` auto-sizes the batch group to
-    the geometry's VMEM budget.
+    qkv: (B, N, 3C). layout="qkv_major" (default): ordered [q | k | v] with
+    heads h-major inside each C — exactly `Dense(3C)` followed by
+    `reshape(B, N, 3, H, d)` semantics, so checkpoints import unchanged.
+    layout="head_major": per-head [q|k|v] packs, the tensor-parallel layout
+    (see `_qkv_offsets`). Returns the (B, N, C) context, h-major in both
+    layouts. Scores and softmax are f32 in VMEM; HBM never sees the
+    (B, H, N, N) matrix, in either the forward or the recompute backward —
+    differentiable, so it serves both training and serving (unlike
+    `fused_attention`, which needs layout transposes and has no VJP).
+    `group=None` auto-sizes the batch group to the geometry's VMEM budget.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _packed_fwd(qkv, heads, _auto_group(qkv.shape, group), interpret)
+    return _packed_fwd(
+        qkv, heads, _auto_group(qkv.shape, group), interpret, layout
+    )
 
 
-def _packed_attention_fwd(qkv, heads, group, interpret):
+def _packed_attention_fwd(qkv, heads, group, interpret, layout):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return (
-        _packed_fwd(qkv, heads, _auto_group(qkv.shape, group), interpret),
+        _packed_fwd(
+            qkv, heads, _auto_group(qkv.shape, group), interpret, layout
+        ),
         qkv,
     )
 
 
-def _packed_attention_bwd(heads, group, interpret, qkv, g):
+def _packed_attention_bwd(heads, group, interpret, layout, qkv, g):
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # The backward holds qkv + dO in and dqkv out per block (7/3 the forward's
@@ -273,7 +301,7 @@ def _packed_attention_bwd(heads, group, interpret, qkv, g):
         if group is not None
         else max(_auto_group(qkv.shape, None, cap=8) // 2, 1)
     )
-    return (_packed_bwd(qkv, g, heads, bwd_group, interpret),)
+    return (_packed_bwd(qkv, g, heads, bwd_group, interpret, layout),)
 
 
 packed_attention.defvjp(_packed_attention_fwd, _packed_attention_bwd)
@@ -286,29 +314,51 @@ def sharded_packed_attention(
     axis: str = "data",
     group: int | None = None,
     interpret: bool | None = None,
+    model_axis: str | None = None,
+    layout: str | None = None,
 ) -> jax.Array:
     """`packed_attention` on a multi-device mesh: shard_map over the batch
-    axis, each device running the VMEM kernel on its local batch shard.
+    axis — and, with `model_axis`, over heads too — each device running the
+    VMEM kernel on its local shard.
 
     A bare pallas_call has no GSPMD partitioning rule — the partitioner would
     all-gather a sharded batch onto every device instead of splitting it.
-    shard_map pins the division of labor explicitly: in/out are
-    P(axis, None, None) (batch-sharded, weights untouched — the qkv
-    projection's output is already batch-sharded under data parallelism, so
-    no resharding happens on entry). The recompute VJP differentiates through
-    shard_map, so this serves training and serving alike.
+    shard_map pins the division of labor explicitly:
 
-    Only the data axis is mapped; the kernel itself is replicated w.r.t. any
-    model axis. Under tensor parallelism (model axis > 1) the qkv activations
-    are sharded on the channel dim and this wrapper would force an
-    all-gather — keep attn_impl='einsum' there (Trainer.create enforces
-    this) until a head-split kernel variant exists.
+    * data parallelism (`model_axis=None`): in/out P(axis, None, None) —
+      batch-sharded, qkv layout "qkv_major" (the projection's natural
+      order). The qkv activations are already batch-sharded under dp, so no
+      resharding happens on entry.
+    * tensor parallelism (`model_axis="model"`): qkv must be in the
+      "head_major" layout ([h0(q|k|v) | h1(q|k|v) | ...],
+      compat.qkv_to_head_major), where the Megatron column-shard of the qkv
+      projection hands each model shard exactly its own heads' packed
+      blocks. in/out are P(axis, None, model_axis); each device runs the
+      kernel with heads/model_size local heads, and the h-major context it
+      emits is precisely the row-slice the model-sharded proj kernel
+      consumes — no collectives added by this wrapper at all.
+
+    The recompute VJP differentiates through shard_map, so this serves
+    training and serving alike.
     """
     from jax.sharding import PartitionSpec as P
 
-    spec = P(axis, None, None)
+    if model_axis is None:
+        spec = P(axis, None, None)
+        local_heads = heads
+        layout = layout or "qkv_major"
+    else:
+        m = dict(mesh.shape).get(model_axis, 1)
+        if heads % m != 0:
+            raise ValueError(
+                f"heads={heads} not divisible by mesh axis "
+                f"{model_axis!r} size {m}"
+            )
+        spec = P(axis, None, model_axis)
+        local_heads = heads // m
+        layout = "head_major"  # the only layout that column-shards cleanly
     fn = jax.shard_map(
-        lambda x: packed_attention(x, heads, group, interpret),
+        lambda x: packed_attention(x, local_heads, group, interpret, layout),
         mesh=mesh,
         in_specs=(spec,),
         out_specs=spec,

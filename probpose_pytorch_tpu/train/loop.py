@@ -233,29 +233,54 @@ class Trainer:
         steps_per_epoch: int,
         mesh: Mesh | None = None,
     ) -> "Trainer":
-        if (
-            mesh is not None
-            and dict(mesh.shape).get("model", 1) > 1
-            and cfg.model.attn_impl == "fused"
-        ):
+        model_size = (
+            dict(mesh.shape).get("model", 1) if mesh is not None else 1
+        )
+        if model_size > 1 and cfg.model.attn_impl in ("fused", "fused_tp"):
             # Under tensor parallelism the qkv activations are channel-
-            # sharded (Megatron layout, parallel/sharding.py) — the packed
-            # kernel's h-major [q|k|v] layout has no head-split variant yet,
-            # so downgrade to the einsum formulation (identical math; the
-            # Megatron shardings apply). Pure data parallelism keeps the
-            # kernel: build_model(mesh=...) wraps it in shard_map over the
-            # data axis (ops/pallas/attention_kernel.py:
-            # sharded_packed_attention).
+            # sharded (Megatron layout, parallel/sharding.py). The packed
+            # kernel tensor-parallelizes via the head-major qkv layout
+            # (attn_impl='fused_tp'): each model shard's contiguous column
+            # slice is exactly its own heads' [q|k|v] pack, so shard_map
+            # over (data, model) adds zero collectives
+            # (ops/pallas/attention_kernel.py:sharded_packed_attention).
+            # Upgrading 'fused' -> 'fused_tp' changes the SEMANTICS of the
+            # qkv kernel/bias columns (head-major); params initialized here
+            # are consistent, but qkv-major checkpoints (single-device
+            # 'fused' runs, torch imports) must be converted with
+            # compat.qkv_to_head_major before restoring onto this trainer.
+            # Heads that don't divide the model axis fall back to einsum
+            # (identical math; the Megatron shardings still apply).
             import dataclasses
 
-            print(
-                "[trainer] attn_impl='fused' has no tensor-parallel variant; "
-                "using 'einsum' on the model-parallel mesh"
+            from probpose_pytorch_tpu.models.vit import ViTConfig
+
+            heads = ViTConfig.PRESETS.get(cfg.model.backbone, {}).get(
+                "num_heads", 0
             )
-            cfg = dataclasses.replace(
-                cfg,
-                model=dataclasses.replace(cfg.model, attn_impl="einsum"),
-            )
+            if heads and heads % model_size == 0:
+                if cfg.model.attn_impl == "fused":
+                    print(
+                        "[trainer] tensor-parallel mesh: using "
+                        "attn_impl='fused_tp' (head-major qkv layout; "
+                        "convert qkv-major checkpoints with "
+                        "compat.qkv_to_head_major)"
+                    )
+                    cfg = dataclasses.replace(
+                        cfg,
+                        model=dataclasses.replace(
+                            cfg.model, attn_impl="fused_tp"
+                        ),
+                    )
+            else:
+                print(
+                    f"[trainer] attn heads ({heads}) don't divide the model "
+                    f"axis ({model_size}); using 'einsum' on this mesh"
+                )
+                cfg = dataclasses.replace(
+                    cfg,
+                    model=dataclasses.replace(cfg.model, attn_impl="einsum"),
+                )
         model = build_model(cfg.model, mesh=mesh)
         encode_codec, fast_codec = build_codecs(cfg)
         loss_fn = ProbPoseLoss(

@@ -252,9 +252,10 @@ def test_checkpoint_restore_onto_mesh(tmp_path):
 
 
 def test_fused_attention_mesh_policy(tmp_path, capsys):
-    """attn_impl='fused' has no tensor-parallel variant: Trainer.create must
-    downgrade it to einsum on a model-parallel mesh. Data-parallel meshes
-    KEEP the kernel — it rides shard_map over the data axis
+    """attn_impl='fused' on a model-parallel mesh upgrades to 'fused_tp'
+    (head-major qkv layout, heads shard over the model axis) when heads
+    divide the axis, and downgrades to einsum when they don't. Data-parallel
+    meshes KEEP the kernel — it rides shard_map over the data axis
     (ops/pallas/attention_kernel.py:sharded_packed_attention)."""
     import dataclasses
 
@@ -262,9 +263,18 @@ def test_fused_attention_mesh_policy(tmp_path, capsys):
     from probpose_pytorch_tpu.train import Trainer
 
     cfg = _fused_cfg(tmp_path)
-    mesh = make_mesh(4, model_parallel=2)
+    mesh = make_mesh(4, model_parallel=2)  # vit-nano: 2 heads % 2 == 0
     trainer = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
-    assert trainer.cfg.model.attn_impl == "einsum"
+    assert trainer.cfg.model.attn_impl == "fused_tp"
+    assert "fused_tp" in capsys.readouterr().out
+    # heads (2) don't divide the model axis (4): einsum fallback.
+    mesh4 = make_mesh(8, model_parallel=4)
+    trainer4 = Trainer.create(
+        dataclasses.replace(cfg, out_dir=str(tmp_path / "run4")),
+        steps_per_epoch=2,
+        mesh=mesh4,
+    )
+    assert trainer4.cfg.model.attn_impl == "einsum"
     assert "einsum" in capsys.readouterr().out
     # dp-only mesh: fused survives, and the backbone carries the mesh so
     # attention wraps itself in shard_map.
@@ -356,3 +366,90 @@ def test_fused_train_step_on_dp_mesh_matches_single_device(
         float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-5
     )
     jax.block_until_ready(state8.params)
+
+
+def test_sharded_packed_attention_tp_matches_einsum():
+    """Tensor-parallel kernel: head-major qkv shard_mapped over
+    (data, model) == the head-major einsum reference, forward and gradient.
+    The model axis splits heads; no collectives are added by the wrapper."""
+    from probpose_pytorch_tpu.ops.pallas import sharded_packed_attention
+
+    B, N, H, d = 8, 12, 2, 16
+    C = H * d
+    rng = np.random.default_rng(7)
+    qkv = jnp.asarray(rng.normal(size=(B, N, 3 * C)).astype(np.float32))
+    mesh = make_mesh(8, model_parallel=2)  # {data: 4, model: 2}
+
+    def einsum_ref(x):
+        # head-major layout: [h0(q|k|v) | h1(q|k|v) | ...]
+        q, k, v = jnp.moveaxis(x.reshape(B, N, H, 3, d), 3, 0)
+        s = jnp.einsum("bnhd,bmhd->bhnm", q, k) / np.sqrt(d)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhnm,bmhd->bnhd", p, v).reshape(B, N, C)
+
+    def kernel(x):
+        return sharded_packed_attention(
+            x, H, mesh, axis="data", model_axis="model", interpret=True
+        )
+
+    P = jax.sharding.PartitionSpec
+    sharded_in = jax.device_put(
+        qkv, jax.sharding.NamedSharding(mesh, P("data", None, "model"))
+    )
+    out = jax.jit(kernel)(sharded_in)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(einsum_ref(qkv)), atol=1e-5
+    )
+    # output stays (batch, model)-sharded — no all-gather snuck in
+    assert out.sharding.spec == P("data", None, "model")
+
+    g_k = jax.jit(jax.grad(lambda x: jnp.sum(jnp.sin(kernel(x)))))(sharded_in)
+    g_r = jax.grad(lambda x: jnp.sum(jnp.sin(einsum_ref(x))))(qkv)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r), atol=1e-5)
+
+
+def test_fused_tp_train_step_on_tp_mesh_matches_single_device(
+    tmp_path, monkeypatch
+):
+    """Full train step with attn_impl='fused' on the (data=4, model=2) mesh —
+    auto-upgraded to 'fused_tp', heads sharded over the model axis — matches
+    the single-device 'fused_tp' step numerically (same init rng => identical
+    head-major params)."""
+    monkeypatch.setenv("PROBPOSE_PALLAS_INTERPRET", "1")
+    import dataclasses
+
+    from probpose_pytorch_tpu.train import Trainer
+
+    cfg = _fused_cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, attn_impl="fused_tp"),
+        train_batch_size=8,
+    )
+    ds = SyntheticPoseDataset(8, cfg.model.img_size, cfg.model.num_keypoints)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(batch_iterator(ds, 8, num_workers=1))).items()
+    }
+
+    trainer1 = Trainer.create(cfg, steps_per_epoch=2)
+    _, metrics1 = trainer1.train_step(trainer1.state, batch)
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg_tp = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, attn_impl="fused"),
+        out_dir=str(tmp_path / "tp"),
+    )
+    trainer_tp = Trainer.create(cfg_tp, steps_per_epoch=2, mesh=mesh)
+    assert trainer_tp.cfg.model.attn_impl == "fused_tp"
+    state_tp = trainer_tp.state.replace(
+        params=shard_params(trainer_tp.state.params, mesh)
+    )
+    state_tp2, metrics_tp = trainer_tp.train_step(
+        state_tp, shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics_tp["loss"]), rtol=1e-5
+    )
+    jax.block_until_ready(state_tp2.params)
