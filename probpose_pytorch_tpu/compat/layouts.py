@@ -18,6 +18,7 @@ from typing import Any
 import numpy as np
 
 __all__ = [
+    "convert_qkv_layout",
     "qkv_head_major_permutation",
     "qkv_to_head_major",
     "qkv_to_qkv_major",
@@ -67,3 +68,18 @@ def qkv_to_head_major(params: Any, num_heads: int) -> Any:
 def qkv_to_qkv_major(params: Any, num_heads: int) -> Any:
     """Inverse of `qkv_to_head_major`."""
     return _permute_qkv(params, num_heads, invert=True)
+
+
+def convert_qkv_layout(
+    tree: Any, num_heads: int, src: str, dst: str
+) -> Any:
+    """Convert any params-shaped pytree (params, EMA, optimizer moments — a
+    whole TrainState works: the path filter matches the attn/qkv leaves
+    wherever they nest) between qkv layouts. No-op when src == dst."""
+    if src == dst:
+        return tree
+    if (src, dst) == ("qkv_major", "head_major"):
+        return qkv_to_head_major(tree, num_heads)
+    if (src, dst) == ("head_major", "qkv_major"):
+        return qkv_to_qkv_major(tree, num_heads)
+    raise ValueError(f"unknown qkv layout conversion {src!r} -> {dst!r}")

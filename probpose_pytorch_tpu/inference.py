@@ -189,9 +189,14 @@ def load_predictor(
     cfg = (
         TrainConfig.load(config_path) if config_path else TrainConfig()
     )
+    from probpose_pytorch_tpu.train.loop import restore_state_with_layout
+
     trainer = Trainer.create(cfg, steps_per_epoch=1)
     ckpt = CheckpointManager(checkpoint_dir)
-    state = ckpt.restore(trainer.state)
+    # layout-aware: a checkpoint saved from a tensor-parallel 'fused_tp' run
+    # (head-major qkv columns) converts automatically for this single-device
+    # predictor, and vice versa.
+    state = restore_state_with_layout(ckpt, trainer.state, cfg)
     params = state.ema_params if (ema and state.ema_params is not None) else state.params
     variables = {"params": params, "batch_stats": state.batch_stats}
     return TopDownPredictor(

@@ -30,11 +30,35 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state: Any, force: bool = False) -> None:
+    def save(
+        self,
+        step: int,
+        state: Any,
+        force: bool = False,
+        metadata: dict | None = None,
+    ) -> None:
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
         self._mgr.wait_until_finished()
+        if metadata is not None and jax.process_index() == 0:
+            import json
+
+            (self.directory / f"meta_{step}.json").write_text(
+                json.dumps(metadata)
+            )
+
+    def read_metadata(self, step: int | None = None) -> dict:
+        """Sidecar metadata saved with `save(..., metadata=...)`; {} when the
+        checkpoint predates metadata (all such checkpoints are qkv-major)."""
+        if step is None:
+            step = self.latest_step()
+        path = self.directory / f"meta_{step}.json"
+        if step is None or not path.exists():
+            return {}
+        import json
+
+        return json.loads(path.read_text())
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()

@@ -37,6 +37,65 @@ from probpose_pytorch_tpu.utils.logging import MetricsLogger
 __all__ = ["build_codecs", "make_train_step", "make_eval_step", "Trainer"]
 
 
+def qkv_layout_of(model_cfg) -> str:
+    """Semantic layout of the attention qkv kernel/bias columns for a model
+    config: 'fused_tp' packs them head-major (compat/layouts.py); every other
+    attn_impl keeps the torch/timm qkv-major order."""
+    return (
+        "head_major" if model_cfg.attn_impl == "fused_tp" else "qkv_major"
+    )
+
+
+def layout_metadata(cfg: TrainConfig) -> dict:
+    """Checkpoint sidecar metadata recording the qkv layout, so a restore
+    onto a trainer with the other layout (e.g. a single-device 'fused' run
+    resumed onto a tensor-parallel 'fused_tp' mesh) converts instead of
+    silently misinterpreting the columns."""
+    from probpose_pytorch_tpu.models.vit import ViTConfig
+
+    heads = ViTConfig.PRESETS.get(cfg.model.backbone, {}).get("num_heads", 0)
+    return {
+        "qkv_layout": qkv_layout_of(cfg.model),
+        "num_heads": heads,
+        "backbone": cfg.model.backbone,
+    }
+
+
+def restore_state_with_layout(
+    ckpt: CheckpointManager,
+    target_state: TrainState,
+    cfg: TrainConfig,
+    step: int | None = None,
+) -> TrainState:
+    """CheckpointManager.restore + automatic qkv-layout conversion.
+
+    Reads the checkpoint's sidecar metadata (checkpoints without one are all
+    qkv-major — they predate 'fused_tp') and, when the stored layout differs
+    from the trainer's, permutes the qkv kernels/biases across the whole
+    TrainState — params, EMA, and the optimizer's Adam moments alike, so the
+    resume is numerically exact, not merely forward-correct. Converted leaves
+    are pinned back to the restored shardings (mesh placement survives)."""
+    restored = ckpt.restore(target_state, step=step)
+    meta = ckpt.read_metadata(step)
+    own = qkv_layout_of(cfg.model)
+    stored = meta.get("qkv_layout", "qkv_major")
+    if stored == own:
+        return restored
+    heads = meta.get("num_heads") or layout_metadata(cfg)["num_heads"]
+    if not heads:
+        return restored
+    from probpose_pytorch_tpu.compat import convert_qkv_layout
+
+    converted = convert_qkv_layout(restored, heads, stored, own)
+    converted = jax.tree_util.tree_map(
+        lambda c, r: c if c is r else jax.device_put(c, r.sharding),
+        converted,
+        restored,
+    )
+    print(f"[checkpoint] converted qkv layout: {stored} -> {own}")
+    return converted
+
+
 def build_codecs(cfg: TrainConfig) -> tuple[Codec, Codec]:
     """(encode codec, fast loss-decode codec) — the reference's pairing of a
     ProbMap data codec with an ArgMaxProbMap loss decoder (train.py:46-48)."""
@@ -352,7 +411,7 @@ class Trainer:
         )
         start_step = 0
         if cfg.resume and ckpt.latest_step() is not None:
-            self.state = ckpt.restore(self.state)
+            self.state = restore_state_with_layout(ckpt, self.state, cfg)
             start_step = int(self.state.step)
             print(f"[trainer] resumed from step {start_step}")
 
@@ -394,7 +453,9 @@ class Trainer:
                             recoveries += 1
                             restore_step = ckpt.latest_step()
                             if restore_step is not None:
-                                self.state = ckpt.restore(self.state)
+                                self.state = restore_state_with_layout(
+                                    ckpt, self.state, cfg
+                                )
                                 print(
                                     f"[trainer] non-finite loss at step "
                                     f"{step_idx}; restored checkpoint step "
@@ -421,9 +482,14 @@ class Trainer:
             if (epoch % cfg.checkpoint_every_epochs == 0 or done) and (
                 ckpt.latest_step() != step_idx
             ):
-                ckpt.save(step_idx, self.state)
+                ckpt.save(step_idx, self.state, metadata=layout_metadata(cfg))
         if ckpt.latest_step() != step_idx:
-            ckpt.save(step_idx, self.state, force=True)
+            ckpt.save(
+                step_idx,
+                self.state,
+                force=True,
+                metadata=layout_metadata(cfg),
+            )
         ckpt.close()
         logger.close()
         return self.state

@@ -78,3 +78,56 @@ def test_fused_tp_with_converted_params_matches_einsum(
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5
         )
+
+
+def test_checkpoint_cross_layout_resume(tmp_path):
+    """A checkpoint saved by a single-device 'fused' (qkv-major) run resumes
+    onto a tensor-parallel 'fused_tp' trainer EXACTLY: the sidecar layout
+    metadata triggers a column permutation of params AND the Adam moments
+    (train/loop.py:restore_state_with_layout), so the post-resume step loss
+    equals the uninterrupted single-device run's."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+    from probpose_pytorch_tpu.parallel import make_mesh, shard_batch
+    from probpose_pytorch_tpu.train import (
+        TrainConfig,
+        Trainer,
+        layout_metadata,
+        restore_state_with_layout,
+    )
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    cfg = TrainConfig(
+        model=_cfg(attn_impl="fused"),
+        train_batch_size=8,
+        out_dir=str(tmp_path / "run"),
+    )
+    ds = SyntheticPoseDataset(8, cfg.model.img_size, cfg.model.num_keypoints)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(batch_iterator(ds, 8, num_workers=1))).items()
+    }
+
+    trainer1 = Trainer.create(cfg, steps_per_epoch=2)
+    state1, _ = trainer1.train_step(trainer1.state, batch)
+    ckpt = CheckpointManager(tmp_path / "ck", keep=1)
+    ckpt.save(1, state1, metadata=layout_metadata(trainer1.cfg))
+    assert ckpt.read_metadata()["qkv_layout"] == "qkv_major"
+    _, m_ref = trainer1.train_step(state1, batch)  # uninterrupted step 2
+
+    mesh = make_mesh(8, model_parallel=2)
+    trainer_tp = Trainer.create(
+        dataclasses.replace(cfg, out_dir=str(tmp_path / "tp")),
+        steps_per_epoch=2,
+        mesh=mesh,
+    )
+    assert trainer_tp.cfg.model.attn_impl == "fused_tp"
+    restored = restore_state_with_layout(
+        ckpt, trainer_tp.state, trainer_tp.cfg
+    )
+    assert int(restored.step) == 1
+    _, m_tp = trainer_tp.train_step(restored, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_tp["loss"]), rtol=1e-5
+    )
