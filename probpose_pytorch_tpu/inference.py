@@ -22,12 +22,12 @@ from typing import Any, Sequence
 import numpy as np
 
 
-def tuned_serving_batch(default: int = 64) -> int:
-    """Best serving batch for this host's device kind, from the persisted
-    autotune sweep (scripts/autotune_serving.py ->
+def _load_autotune_entry() -> dict:
+    """Per-device-kind record from the persisted autotune sweep
+    (scripts/autotune_serving.py ->
     probpose_pytorch_tpu/configs/autotune_serving.json — package data, so it
-    resolves in wheel installs too). Falls back to `default` when no sweep
-    has been recorded for this hardware."""
+    resolves in wheel installs too). Empty dict when nothing is recorded for
+    this hardware."""
     try:
         from importlib.resources import files
 
@@ -38,10 +38,65 @@ def tuned_serving_batch(default: int = 64) -> int:
         )
         import jax
 
-        tuned = json.loads(text)
-        return int(tuned[jax.devices()[0].device_kind]["batch"])
+        return json.loads(text)[jax.devices()[0].device_kind]
     except (KeyError, ValueError, RuntimeError, OSError):
+        return {}
+
+
+def tuned_serving_batch(default: int = 64) -> int:
+    """Best serving batch for this host's device kind. Falls back to
+    `default` when no sweep has been recorded for this hardware."""
+    try:
+        return int(_load_autotune_entry()["batch"])
+    except (KeyError, ValueError):
         return default
+
+
+def derive_bucket_ladder(
+    sweep: "Sequence[dict]", margin: float = 0.10
+) -> tuple[int, ...]:
+    """Prune a measured per-batch latency sweep into a padding-bucket ladder.
+
+    `predict_frame` pads a variable box count up to the next bucket; each
+    bucket costs one compiled program, so rungs are only worth keeping when
+    they are measurably faster than padding up to the next rung. Walking
+    from the largest batch down, a smaller batch stays on the ladder iff its
+    measured latency beats the next kept rung by at least `margin` (small
+    batches on a TPU sit on a latency floor — batch 1..32 often cost the
+    same wall time, so one rung covers them all).
+
+    sweep rows: {"batch": int, "ms_per_batch": float} (extra keys ignored).
+    Returns ascending batch sizes ending at the largest swept batch.
+    """
+    rows = sorted(
+        ({"batch": int(r["batch"]), "ms": float(r["ms_per_batch"])}
+         for r in sweep),
+        key=lambda r: r["batch"],
+    )
+    if not rows:
+        raise ValueError("empty sweep")
+    bad = [r for r in rows if r["ms"] <= 0]
+    if bad:
+        raise ValueError(
+            f"non-positive latency for batches {[r['batch'] for r in bad]} — "
+            "below the measurement noise floor; re-sweep with more repeats"
+        )
+    ladder = [rows[-1]]
+    for row in reversed(rows[:-1]):
+        if row["ms"] < ladder[-1]["ms"] * (1.0 - margin):
+            ladder.append(row)
+    return tuple(r["batch"] for r in reversed(ladder))
+
+
+def tuned_bucket_ladder() -> tuple[int, ...] | None:
+    """Autotuned `predict_frame` bucket ladder for this hardware
+    (persisted by `scripts/autotune_serving.py --buckets`), or None when no
+    bucket sweep has been recorded."""
+    entry = _load_autotune_entry()
+    ladder = entry.get("bucket_ladder")
+    if ladder:
+        return tuple(int(b) for b in ladder)
+    return None
 
 
 @dataclasses.dataclass
@@ -62,6 +117,14 @@ class TopDownPredictor:
     # heatmaps dominate the device->host transfer (~50x the keypoint bytes),
     # so only debug/visualization callers (the CLI) should pay for them.
     return_heatmaps: bool = False
+    # Round frame (H, W) up to this multiple in `predict_frame` (zero-pad
+    # bottom/right) so a stream of slightly-varying camera resolutions
+    # compiles one program per size bucket instead of one per exact shape.
+    # Zero padding is semantically free: crop_resize already treats samples
+    # outside the source extent as black (ops/preprocess.py:14), so padded
+    # pixels produce the values out-of-frame samples produced anyway.
+    # None disables (exact frame shapes).
+    frame_size_multiple: int | None = 64
 
     def __post_init__(self):
         import jax
@@ -141,9 +204,15 @@ class TopDownPredictor:
     ) -> dict:
         """Variable-count detector boxes on one frame: pads the box list to
         the next bucket size (bounding recompilation to len(buckets) programs)
-        and strips the padding from the outputs. Default buckets are powers
-        of two up to the autotuned per-hardware serving batch
-        (`tuned_serving_batch`)."""
+        and strips the padding from the outputs. Default buckets come from
+        the per-hardware autotune record: the measured-latency ladder when a
+        bucket sweep was recorded (`tuned_bucket_ladder` — rungs that don't
+        beat padding up to the next rung are pruned), else powers of two up
+        to the autotuned serving batch (`tuned_serving_batch`). The frame is
+        likewise zero-padded to a `frame_size_multiple` size bucket so
+        variable camera resolutions stay within a bounded program count."""
+        if buckets is None:
+            buckets = tuned_bucket_ladder()
         if buckets is None:
             top = tuned_serving_batch()
             buckets = tuple(
@@ -161,6 +230,14 @@ class TopDownPredictor:
             return {
                 k: np.concatenate([p[k] for p in parts]) for k in parts[0]
             }
+        m = self.frame_size_multiple
+        if m:
+            Hs, Ws = frame.shape[:2]
+            pad_h, pad_w = -Hs % m, -Ws % m
+            if pad_h or pad_w:
+                frame = np.pad(
+                    frame, ((0, pad_h), (0, pad_w), (0, 0))
+                )
         padded = np.concatenate(
             [boxes, np.tile(boxes[-1:], (bucket - n, 1))], axis=0
         ).astype(np.float32)

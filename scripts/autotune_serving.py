@@ -12,6 +12,14 @@ The reference has no counterpart (its inference.py runs one whole image at a
 time, reference inference.py:74-86); this is a production-serving subsystem.
 
 Usage: python scripts/autotune_serving.py [--batches 128,256,384,512]
+       python scripts/autotune_serving.py --buckets 1,4,16,64  # predict_frame ladder
+
+The --buckets mode sweeps small batches (the latency floor region), persists
+the rows as `bucket_sweep`, and derives the pruned `bucket_ladder` that
+`TopDownPredictor.predict_frame` pads variable box counts against
+(inference.derive_bucket_ladder: a rung survives only if it measurably beats
+padding up to the next rung). The ladder always tops out at the tuned
+throughput batch.
 """
 
 from __future__ import annotations
@@ -85,6 +93,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="128,256,384,512")
     ap.add_argument(
+        "--buckets", default=None,
+        help="sweep these small batches for the predict_frame ladder "
+             "instead of the throughput sweep (e.g. 1,4,16,64)",
+    )
+    ap.add_argument(
         "--out", default=str(Path(__file__).parents[1] / "probpose_pytorch_tpu"
                             / "configs" / "autotune_serving.json")
     )
@@ -106,6 +119,46 @@ def main() -> None:
     # the host has a single CPU core and compiles are minutes each).
     tuned = json.loads(out.read_text()) if out.exists() else {}
     entry = tuned.setdefault(device_kind, {"sweep": []})
+
+    if args.buckets is not None:
+        from probpose_pytorch_tpu.inference import derive_bucket_ladder
+
+        # Same pipeline and methodology as the throughput sweep, so its
+        # rows are directly reusable — only genuinely new batches compile.
+        # Rows above the tuned throughput batch are excluded: the ladder
+        # tops out there (predict_frame chunks larger box counts).
+        top = entry.get("batch")
+        rows = {r["batch"]: r for r in entry.get("sweep", [])}
+        rows.update({r["batch"]: r for r in entry.get("bucket_sweep", [])})
+        rows = {b: r for b, r in rows.items()
+                if (top is None or b <= top) and r["ms_per_batch"] > 0}
+        want = sorted({int(x) for x in args.buckets.split(",")}
+                      | ({int(top)} if top else set()))
+        for b in want:
+            if b in rows:
+                continue
+            pipeline, dep = build_pipeline(b)
+            # Small batches sit at sub-ms latency where the default 10
+            # differenced iterations are below the host-jitter noise floor
+            # (a 4-crop batch once measured NEGATIVE); scale the chain so
+            # the differenced work is ~100 iterations.
+            short_n, long_n = (10, 110) if b <= 64 else (2, 12)
+            sec = measure_fn_time(pipeline, dep, short_n=short_n,
+                                  long_n=long_n)
+            rows[b] = {"batch": b, "ms_per_batch": round(sec * 1e3, 3),
+                       "crops_per_sec": round(b / sec, 1)}
+            print(f"bucket {b:4d}: {sec * 1e3:7.3f} ms", flush=True)
+            entry["bucket_sweep"] = sorted(
+                rows.values(), key=lambda r: r["batch"]
+            )
+            entry["bucket_ladder"] = list(
+                derive_bucket_ladder(entry["bucket_sweep"])
+            )
+            out.write_text(json.dumps(tuned, indent=2) + "\n")
+        print(f"bucket ladder for {device_kind}: "
+              f"{entry.get('bucket_ladder')} -> {out}")
+        return
+
     rows = {r["batch"]: r for r in entry.get("sweep", [])}
 
     for b in (int(x) for x in args.batches.split(",")):

@@ -199,11 +199,55 @@ def test_predict_frame_bucketing(tmp_path):
     )
     out = predictor.predict_frame(frame, boxes, buckets=(4, 8))
     assert out["keypoints"].shape == (3, 5, 2)
-    # Bucketed (padded to 4) results equal unbucketed ones for the real boxes.
+    # Bucketed (padded to 4, frame zero-padded 120x160 -> 128x192 by the
+    # default frame_size_multiple=64) results equal unbucketed, unpadded
+    # ones for the real boxes.
     direct = predictor(np.broadcast_to(frame, (3, *frame.shape)),
                        boxes)
     np.testing.assert_allclose(out["keypoints"], direct["keypoints"],
                                atol=1e-4)
+    # Exact frame shapes when frame-size bucketing is disabled.
+    predictor.frame_size_multiple = None
+    exact = predictor.predict_frame(frame, boxes, buckets=(4, 8))
+    np.testing.assert_allclose(exact["keypoints"], direct["keypoints"],
+                               atol=1e-4)
+    # A box hanging past the original frame edge samples black either way
+    # (crop_resize zero-pads out-of-extent reads), so padded and exact
+    # frames agree even there.
+    edge = np.array([[130.0, 90.0, 60.0, 60.0]], np.float32)
+    exact_edge = predictor.predict_frame(frame, edge, buckets=(4, 8))
+    predictor.frame_size_multiple = 64
+    padded_edge = predictor.predict_frame(frame, edge, buckets=(4, 8))
+    np.testing.assert_allclose(
+        padded_edge["keypoints"], exact_edge["keypoints"], atol=1e-4
+    )
+
+
+def test_derive_bucket_ladder():
+    from probpose_pytorch_tpu.inference import derive_bucket_ladder
+
+    # Latency floor: batches 1..32 cost the same -> one rung covers them.
+    flat_then_linear = [
+        {"batch": 1, "ms_per_batch": 5.0},
+        {"batch": 8, "ms_per_batch": 5.0},
+        {"batch": 32, "ms_per_batch": 5.1},
+        {"batch": 128, "ms_per_batch": 13.0},
+        {"batch": 384, "ms_per_batch": 39.0},
+    ]
+    assert derive_bucket_ladder(flat_then_linear) == (32, 128, 384)
+    # Strictly linear latency keeps every rung.
+    linear = [{"batch": b, "ms_per_batch": float(b)} for b in (1, 2, 4, 8)]
+    assert derive_bucket_ladder(linear) == (1, 2, 4, 8)
+    # A rung inside the margin of the next one is pruned.
+    close = [
+        {"batch": 4, "ms_per_batch": 9.5},
+        {"batch": 8, "ms_per_batch": 10.0},
+    ]
+    assert derive_bucket_ladder(close, margin=0.10) == (8,)
+    import pytest
+
+    with pytest.raises(ValueError):
+        derive_bucket_ladder([])
 
 
 def test_cli_with_crop_cache(yolo_root, tmp_path):
