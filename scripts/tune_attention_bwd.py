@@ -84,7 +84,7 @@ def bwd_kernel_variant(accum_bf16: bool):
     return kernel
 
 
-def run_bwd(qkv, do, heads, group, accum_bf16=False):
+def run_bwd(qkv, do, heads, group, accum_bf16=False, vmem_limit_bytes=None):
     import jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -96,6 +96,13 @@ def run_bwd(qkv, do, heads, group, accum_bf16=False):
                             memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((group, N, C), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
+    kw = {}
+    if vmem_limit_bytes is not None:
+        # Per-kernel scoped-VMEM ceiling (scripts/tune_vmem_limit.py):
+        # lets groups the default ~16 MB limit rejects compile.
+        kw["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes
+        )
     return pl.pallas_call(
         functools.partial(
             bwd_kernel_variant(accum_bf16), heads=heads, scale=scale
@@ -104,6 +111,7 @@ def run_bwd(qkv, do, heads, group, accum_bf16=False):
         in_specs=[qkv_spec, do_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((B, N, C3), qkv.dtype),
+        **kw,
     )(qkv, do)
 
 
