@@ -8,4 +8,6 @@ from probpose_pytorch_tpu.compat.layouts import (  # noqa: F401
     qkv_head_major_permutation,
     qkv_to_head_major,
     qkv_to_qkv_major,
+    stack_vit_blocks,
+    unstack_vit_blocks,
 )

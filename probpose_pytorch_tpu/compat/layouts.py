@@ -22,6 +22,8 @@ __all__ = [
     "qkv_head_major_permutation",
     "qkv_to_head_major",
     "qkv_to_qkv_major",
+    "stack_vit_blocks",
+    "unstack_vit_blocks",
 ]
 
 
@@ -68,6 +70,65 @@ def qkv_to_head_major(params: Any, num_heads: int) -> Any:
 def qkv_to_qkv_major(params: Any, num_heads: int) -> Any:
     """Inverse of `qkv_to_head_major`."""
     return _permute_qkv(params, num_heads, invert=True)
+
+
+def stack_vit_blocks(backbone_params: Any) -> Any:
+    """Convert a ViTBackbone param (sub)tree from the per-block layout
+    (block0..block{D-1} subtrees) to the stacked pipeline-parallel layout
+    (one "blocks" subtree, every leaf with a leading depth axis) — the
+    parameterization `ViTBackbone(pp_stages>1)` declares. Non-block entries
+    (patch_embed, pos_embed, norm, adapters) pass through unchanged.
+    Accepts numpy or jax leaves; works on any params-shaped tree (EMA,
+    optimizer moments) holding the same structure.
+    """
+    from probpose_pytorch_tpu.models.vit import BLOCK_LEAF_PATHS
+
+    out = {k: v for k, v in backbone_params.items() if not _is_block_key(k)}
+    block_keys = sorted(
+        (k for k in backbone_params if _is_block_key(k)),
+        key=lambda k: int(k[len("block"):]),
+    )
+    if not block_keys:
+        return backbone_params
+    flat = {}
+    for name, path in BLOCK_LEAF_PATHS.items():
+        leaves = []
+        for k in block_keys:
+            node = backbone_params[k]
+            for p in path:
+                node = node[p]
+            leaves.append(np.asarray(node))
+        flat[name] = np.stack(leaves, axis=0)
+    out["blocks"] = flat
+    return out
+
+
+def unstack_vit_blocks(backbone_params: Any) -> Any:
+    """Inverse of `stack_vit_blocks`."""
+    from probpose_pytorch_tpu.models.vit import BLOCK_LEAF_PATHS
+
+    if "blocks" not in backbone_params:
+        return backbone_params
+    out = {k: v for k, v in backbone_params.items() if k != "blocks"}
+    flat = backbone_params["blocks"]
+    depth = np.asarray(next(iter(flat.values()))).shape[0]
+    for i in range(depth):
+        tree: dict = {}
+        for name, path in BLOCK_LEAF_PATHS.items():
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = np.asarray(flat[name])[i]
+        out[f"block{i}"] = tree
+    return out
+
+
+def _is_block_key(key: str) -> bool:
+    return (
+        key.startswith("block")
+        and key != "blocks"
+        and key[len("block"):].isdigit()
+    )
 
 
 def convert_qkv_layout(

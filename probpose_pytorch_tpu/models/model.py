@@ -55,6 +55,11 @@ class ModelConfig:
     # through attention; erf gelu matches the torch checkpoint.
     num_prefix_tokens: int = 0
     exact_gelu: bool = False
+    # Pipeline parallelism over the mesh "pipe" axis (parallel/pipeline.py):
+    # block params stacked along depth (compat.stack_vit_blocks converts
+    # per-block checkpoints). Trainer.create sets pp_stages from the mesh.
+    pp_stages: int = 1
+    pp_microbatches: int = 0  # 0 = auto (parallel.pipeline.pick_microbatches)
 
     @property
     def heatmap_size(self) -> tuple[int, int]:
@@ -103,6 +108,8 @@ def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
             num_prefix_tokens=cfg.num_prefix_tokens,
             exact_gelu=cfg.exact_gelu,
             mesh=mesh,
+            pp_stages=cfg.pp_stages,
+            pp_microbatches=cfg.pp_microbatches,
             **vit_kw,
         )
     head = ProbMapHead(

@@ -247,6 +247,82 @@ class Block(nn.Module):
         return x
 
 
+# Flat-name <-> Block-param-tree mapping for the stacked (pipeline-parallel)
+# trunk parameterization. Kept module-level so compat/layouts.py converts
+# checkpoints between the per-block and stacked layouts with the same table.
+BLOCK_LEAF_PATHS = {
+    "norm1_scale": ("norm1", "scale"),
+    "norm1_bias": ("norm1", "bias"),
+    "qkv_kernel": ("attn", "qkv", "kernel"),
+    "qkv_bias": ("attn", "qkv", "bias"),
+    "proj_kernel": ("attn", "proj", "kernel"),
+    "proj_bias": ("attn", "proj", "bias"),
+    "norm2_scale": ("norm2", "scale"),
+    "norm2_bias": ("norm2", "bias"),
+    "fc1_kernel": ("mlp", "fc1", "kernel"),
+    "fc1_bias": ("mlp", "fc1", "bias"),
+    "fc2_kernel": ("mlp", "fc2", "kernel"),
+    "fc2_bias": ("mlp", "fc2", "bias"),
+}
+
+
+def _block_tree(flat: dict) -> dict:
+    """Assemble one Block's nested param tree from flat stacked-leaf names."""
+    tree: dict = {}
+    for name, path in BLOCK_LEAF_PATHS.items():
+        node = tree
+        for key in path[:-1]:
+            node = node.setdefault(key, {})
+        node[path[-1]] = flat[name]
+    return tree
+
+
+class _StackedBlockParams(nn.Module):
+    """Declares all `depth` transformer blocks' parameters stacked along a
+    leading depth axis (leaf shapes (depth, ...)) — the layout pipeline
+    parallelism shards over the mesh "pipe" axis. Kernel initializers draw
+    per-block (vmapped over split keys) so distributions match the
+    per-block modules; convert checkpoints between layouts with
+    compat.stack_vit_blocks / unstack_vit_blocks."""
+
+    depth: int
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self) -> dict:
+        D, C, H = self.depth, self.dim, self.hidden
+
+        def stacked(base):
+            def init(key, shape, dtype=jnp.float32):
+                keys = jax.random.split(key, shape[0])
+                return jax.vmap(lambda k: base(k, shape[1:], dtype))(keys)
+
+            return init
+
+        kern = stacked(nn.initializers.lecun_normal())
+        ones = nn.initializers.ones
+        zeros = nn.initializers.zeros
+        shapes = {
+            "norm1_scale": (ones, (D, C)),
+            "norm1_bias": (zeros, (D, C)),
+            "qkv_kernel": (kern, (D, C, 3 * C)),
+            "qkv_bias": (zeros, (D, 3 * C)),
+            "proj_kernel": (kern, (D, C, C)),
+            "proj_bias": (zeros, (D, C)),
+            "norm2_scale": (ones, (D, C)),
+            "norm2_bias": (zeros, (D, C)),
+            "fc1_kernel": (kern, (D, C, H)),
+            "fc1_bias": (zeros, (D, H)),
+            "fc2_kernel": (kern, (D, H, C)),
+            "fc2_bias": (zeros, (D, C)),
+        }
+        return {
+            name: self.param(name, init, shape, jnp.float32)
+            for name, (init, shape) in shapes.items()
+        }
+
+
 class ViTConfig:
     """Static geometry presets (ViTPose-style sizes)."""
 
@@ -303,6 +379,12 @@ class ViTBackbone(nn.Module):
     # Device mesh for shard_map-wrapping the fused attention kernel under
     # data parallelism (build_model threads it from Trainer.create).
     mesh: Any = None
+    # Pipeline parallelism (parallel/pipeline.py): split the `depth` blocks
+    # into pp_stages contiguous stages over the mesh "pipe" axis, block
+    # params stacked along a leading depth axis (checkpoints interchange via
+    # compat.stack_vit_blocks/unstack_vit_blocks). 0 microbatches = auto.
+    pp_stages: int = 1
+    pp_microbatches: int = 0
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -343,22 +425,72 @@ class ViTBackbone(nn.Module):
                 ), x],
                 axis=1,
             )
-        block_cls = nn.remat(Block) if self.remat else Block
-        for i in range(self.depth):
-            x = block_cls(
-                self.num_heads,
-                self.mlp_ratio,
-                dtype=self.dtype,
-                softmax_dtype=self.softmax_dtype,
-                attn_impl=self.attn_impl,
-                mlp_impl=self.mlp_impl,
-                exact_gelu=self.exact_gelu,
-                mesh=self.mesh,
-                name=f"block{i}",
-            )(x)
+        if self.pp_stages > 1:
+            x = self._pp_trunk(x)
+        else:
+            block_cls = nn.remat(Block) if self.remat else Block
+            for i in range(self.depth):
+                x = block_cls(
+                    self.num_heads,
+                    self.mlp_ratio,
+                    dtype=self.dtype,
+                    softmax_dtype=self.softmax_dtype,
+                    attn_impl=self.attn_impl,
+                    mlp_impl=self.mlp_impl,
+                    exact_gelu=self.exact_gelu,
+                    mesh=self.mesh,
+                    name=f"block{i}",
+                )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         if self.num_prefix_tokens:
             x = x[:, self.num_prefix_tokens:]
+        return self._finish(x, B, gh, gw)
+
+    def _pp_trunk(self, x: jax.Array) -> jax.Array:
+        """Run the blocks as an SPMD pipeline over the mesh "pipe" axis.
+
+        Inside the pipeline's shard_map each device already holds its local
+        batch shard, so the per-block Attention runs the packed Pallas
+        kernel directly (mesh=None — no nested shard_map). attn_impl
+        semantics carry over unchanged: 'fused_tp' keeps head-major qkv
+        params, 'fused'/'einsum' keep qkv-major.
+        """
+        from probpose_pytorch_tpu.parallel.pipeline import pipeline_spmd
+
+        C = self.embed_dim
+        if self.depth % self.pp_stages != 0:
+            raise ValueError(
+                f"depth={self.depth} not divisible by pp_stages="
+                f"{self.pp_stages}"
+            )
+        flat = _StackedBlockParams(
+            self.depth, C, int(C * self.mlp_ratio), name="blocks"
+        )()
+        block = Block(
+            self.num_heads,
+            self.mlp_ratio,
+            dtype=self.dtype,
+            softmax_dtype=self.softmax_dtype,
+            attn_impl="einsum" if self.attn_impl == "pallas" else self.attn_impl,
+            mlp_impl=self.mlp_impl,
+            exact_gelu=self.exact_gelu,
+            mesh=None,
+        )
+
+        def block_fn(pflat, h):
+            return block.apply({"params": _block_tree(pflat)}, h)
+
+        if self.remat:
+            block_fn = jax.checkpoint(block_fn)
+        return pipeline_spmd(
+            block_fn,
+            flat,
+            x,
+            self.mesh,
+            microbatches=self.pp_microbatches,
+        )
+
+    def _finish(self, x: jax.Array, B: int, gh: int, gw: int) -> jax.Array:
 
         if self.frozen:
             x = jax.lax.stop_gradient(x)

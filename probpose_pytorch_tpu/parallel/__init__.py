@@ -4,6 +4,10 @@ from probpose_pytorch_tpu.parallel.distributed import (  # noqa: F401
     process_info,
 )
 from probpose_pytorch_tpu.parallel.mesh import make_hybrid_mesh, make_mesh  # noqa: F401
+from probpose_pytorch_tpu.parallel.pipeline import (  # noqa: F401
+    pick_microbatches,
+    pipeline_spmd,
+)
 from probpose_pytorch_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -21,13 +21,18 @@ def make_mesh(
     n_devices: int | None = None,
     model_parallel: int = 1,
     axis_names: tuple[str, str] = ("data", "model"),
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the first `n_devices` devices.
+    """Build a (data, model[, pipe]) mesh over the first `n_devices` devices.
 
     Args:
         n_devices: device count (default: all available).
         model_parallel: size of the tensor-parallel axis; must divide
             n_devices. 1 = pure data parallelism.
+        pipeline_parallel: size of the pipeline axis (parallel/pipeline.py);
+            when > 1 the mesh gains a trailing "pipe" axis. The pipe axis is
+            innermost so neighboring pipeline stages are ICI neighbors (the
+            per-tick ppermute rides one hop).
     """
     devices = jax.devices()
     if n_devices is None:
@@ -36,10 +41,19 @@ def make_mesh(
         raise ValueError(
             f"requested {n_devices} devices, only {len(devices)} available"
         )
-    if n_devices % model_parallel != 0:
+    if n_devices % (model_parallel * pipeline_parallel) != 0:
         raise ValueError(
-            f"model_parallel={model_parallel} must divide n_devices={n_devices}"
+            f"model_parallel={model_parallel} * pipeline_parallel="
+            f"{pipeline_parallel} must divide n_devices={n_devices}"
         )
+    if pipeline_parallel > 1:
+        axis_names = (*axis_names[:2], "pipe")
+        grid = np.asarray(devices[:n_devices]).reshape(
+            n_devices // (model_parallel * pipeline_parallel),
+            model_parallel,
+            pipeline_parallel,
+        )
+        return Mesh(grid, axis_names)
     grid = np.asarray(devices[:n_devices]).reshape(
         n_devices // model_parallel, model_parallel
     )

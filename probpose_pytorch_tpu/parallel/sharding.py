@@ -31,10 +31,14 @@ __all__ = [
 ]
 
 
-def _param_spec(path: tuple, leaf: Any) -> P:
+def _param_spec(path: tuple, leaf: Any, axes: tuple = ()) -> P:
     names = [str(getattr(p, "key", p)) for p in path]
     joined = "/".join(names)
     ndim = getattr(leaf, "ndim", 0)
+    if "blocks" in names:
+        # Stacked pipeline-parallel trunk params (models/vit.py
+        # _StackedBlockParams): leading depth axis shards over "pipe".
+        return P("pipe") if "pipe" in axes else P()
     if "attn" in joined and names[-1] == "kernel" and ndim == 2:
         if "qkv" in joined:
             return P(None, "model")
@@ -55,7 +59,10 @@ def _param_spec(path: tuple, leaf: Any) -> P:
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding tree for a param/variable pytree."""
     return jtu.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _param_spec(path, leaf)), params
+        lambda path, leaf: NamedSharding(
+            mesh, _param_spec(path, leaf, mesh.axis_names)
+        ),
+        params,
     )
 
 

@@ -94,7 +94,11 @@ def main(argv=None) -> None:
 
     steps_per_epoch = max(len(train_ds) // cfg.train_batch_size, 1)
     mesh = None
-    if len(jax.devices()) > 1 or cfg.model_parallel > 1:
+    if (
+        len(jax.devices()) > 1
+        or cfg.model_parallel > 1
+        or cfg.pipeline_parallel > 1
+    ):
         import math
 
         from probpose_pytorch_tpu.parallel import make_hybrid_mesh, make_mesh
@@ -107,8 +111,22 @@ def main(argv=None) -> None:
         # sub-mesh.
         max_dp = math.gcd(cfg.train_batch_size, cfg.val_batch_size)
         n_dev = len(jax.devices())
-        full_dp = n_dev // cfg.model_parallel
-        if full_dp > 0 and max_dp % full_dp == 0:
+        mp_total = cfg.model_parallel * cfg.pipeline_parallel
+        full_dp = n_dev // mp_total
+        if cfg.pipeline_parallel > 1:
+            dp = math.gcd(max_dp, full_dp) if full_dp else 0
+            if dp < 1:
+                raise ValueError(
+                    f"pipeline_parallel={cfg.pipeline_parallel} * "
+                    f"model_parallel={cfg.model_parallel} exceeds the "
+                    f"{n_dev} available devices"
+                )
+            mesh = make_mesh(
+                dp * mp_total,
+                cfg.model_parallel,
+                pipeline_parallel=cfg.pipeline_parallel,
+            )
+        elif full_dp > 0 and max_dp % full_dp == 0:
             mesh = make_hybrid_mesh(cfg.model_parallel)
         else:
             dp = math.gcd(max_dp, full_dp)

@@ -89,6 +89,8 @@ class TrainConfig:
     out_dir: str = "./runs/default"
     resume: bool = True
     model_parallel: int = 1
+    # Pipeline stages for deep trunks (parallel/pipeline.py); 1 = off.
+    pipeline_parallel: int = 1
 
     # ----- (de)serialization -----
     def to_json(self) -> str:

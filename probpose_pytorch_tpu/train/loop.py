@@ -340,6 +340,41 @@ class Trainer:
                     cfg,
                     model=dataclasses.replace(cfg.model, attn_impl="einsum"),
                 )
+        pipe_size = (
+            dict(mesh.shape).get("pipe", 1) if mesh is not None else 1
+        )
+        if pipe_size > 1:
+            # Pipeline-parallel trunk (parallel/pipeline.py): stage the ViT
+            # blocks over the mesh "pipe" axis. Parameters switch to the
+            # stacked layout — convert per-block checkpoints with
+            # compat.stack_vit_blocks before restoring onto this trainer.
+            import dataclasses
+
+            if model_size > 1:
+                raise ValueError(
+                    "tensor parallelism inside a pipeline stage is not "
+                    "supported yet; use model_parallel=1 with "
+                    "pipeline_parallel>1"
+                )
+
+            from probpose_pytorch_tpu.models.vit import ViTConfig
+
+            depth = ViTConfig.PRESETS.get(cfg.model.backbone, {}).get(
+                "depth", 0
+            )
+            if cfg.model.backbone.startswith("conv") or depth % pipe_size:
+                raise ValueError(
+                    f"pipeline parallelism needs a ViT backbone whose depth "
+                    f"divides the pipe axis (backbone={cfg.model.backbone}, "
+                    f"pipe={pipe_size})"
+                )
+            if cfg.model.pp_stages != pipe_size:
+                cfg = dataclasses.replace(
+                    cfg,
+                    model=dataclasses.replace(
+                        cfg.model, pp_stages=pipe_size
+                    ),
+                )
         model = build_model(cfg.model, mesh=mesh)
         encode_codec, fast_codec = build_codecs(cfg)
         loss_fn = ProbPoseLoss(

@@ -1,0 +1,256 @@
+"""Pipeline parallelism (parallel/pipeline.py + ViTBackbone pp_stages).
+
+Greenfield TPU scale-out design — the reference is single-device
+(SURVEY.md §2.3). Validated on the virtual 8-device CPU mesh: the staged
+pipeline (shard_map + per-tick ppermute) must be numerically equal to the
+sequential trunk, forward and backward, and compose with data parallelism.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.compat import stack_vit_blocks, unstack_vit_blocks
+from probpose_pytorch_tpu.models.vit import ViTBackbone
+from probpose_pytorch_tpu.parallel import (
+    make_mesh,
+    pick_microbatches,
+    pipeline_spmd,
+    shard_batch,
+    shard_params,
+)
+
+
+def _toy_stacked(depth=4, dim=8, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "w": jnp.asarray(rng.randn(depth, dim, dim) * 0.3, jnp.float32),
+        "b": jnp.asarray(rng.randn(depth, dim) * 0.1, jnp.float32),
+    }
+
+
+def _toy_block(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+
+def _sequential(stacked, x):
+    depth = stacked["w"].shape[0]
+    for i in range(depth):
+        x = _toy_block(jax.tree.map(lambda a: a[i], stacked), x)
+    return x
+
+
+class TestPipelineSpmd:
+    def test_forward_matches_sequential(self):
+        stacked = _toy_stacked()
+        x = jnp.asarray(
+            np.random.RandomState(1).randn(16, 5, 8), jnp.float32
+        )
+        ref = _sequential(stacked, x)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        out = pipeline_spmd(_toy_block, stacked, x, mesh)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    @pytest.mark.parametrize("microbatches", [1, 2, 8])
+    def test_microbatch_counts(self, microbatches):
+        stacked = _toy_stacked()
+        x = jnp.asarray(
+            np.random.RandomState(2).randn(16, 5, 8), jnp.float32
+        )
+        ref = _sequential(stacked, x)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        out = pipeline_spmd(
+            _toy_block, stacked, x, mesh, microbatches=microbatches
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_pipe_only_mesh(self):
+        """S=8, dp=1: the degenerate all-pipe mesh."""
+        stacked = _toy_stacked(depth=8)
+        x = jnp.asarray(
+            np.random.RandomState(3).randn(8, 3, 8), jnp.float32
+        )
+        ref = _sequential(stacked, x)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=8)
+        out = pipeline_spmd(_toy_block, stacked, x, mesh)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_grad_matches_sequential(self):
+        stacked = _toy_stacked()
+        x = jnp.asarray(
+            np.random.RandomState(4).randn(16, 5, 8), jnp.float32
+        )
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+
+        def loss_seq(p):
+            return jnp.sum(_sequential(p, x) ** 2)
+
+        def loss_pp(p):
+            return jnp.sum(pipeline_spmd(_toy_block, p, x, mesh) ** 2)
+
+        g_seq = jax.grad(loss_seq)(stacked)
+        g_pp = jax.grad(loss_pp)(stacked)
+        for k in stacked:
+            np.testing.assert_allclose(
+                g_pp[k], g_seq[k], rtol=1e-5, atol=1e-6
+            )
+
+    def test_no_pipe_axis_falls_back_to_scan(self):
+        stacked = _toy_stacked()
+        x = jnp.asarray(
+            np.random.RandomState(5).randn(4, 5, 8), jnp.float32
+        )
+        ref = _sequential(stacked, x)
+        out = pipeline_spmd(_toy_block, stacked, x, mesh=None)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_pick_microbatches(self):
+        assert pick_microbatches(16, 4) == 8
+        assert pick_microbatches(6, 4) == 6
+        assert pick_microbatches(5, 4) == 5
+        assert pick_microbatches(7, 2) == 1  # 7 prime, cap 4 -> 1
+        assert pick_microbatches(2, 4) == 2
+
+    def test_indivisible_depth_raises(self):
+        stacked = _toy_stacked(depth=6)
+        x = jnp.zeros((8, 3, 8), jnp.float32)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            pipeline_spmd(_toy_block, stacked, x, mesh)
+
+
+def _vit_kw(depth=4):
+    return dict(
+        img_size=(64, 48),
+        patch_size=16,
+        embed_dim=64,
+        depth=depth,
+        num_heads=2,
+        mlp_ratio=2.0,
+        dtype=jnp.float32,
+    )
+
+
+class TestPipelinedViT:
+    def test_forward_and_grad_parity(self):
+        """pp=4 x dp=2 trunk == sequential trunk, params converted both ways."""
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        seq = ViTBackbone(**_vit_kw())
+        pp = ViTBackbone(**_vit_kw(), pp_stages=4, mesh=mesh)
+        x = jnp.asarray(
+            np.random.RandomState(0).rand(8, 64, 48, 3), jnp.float32
+        )
+        params_seq = seq.init(jax.random.PRNGKey(0), x)["params"]
+        params_pp = jax.tree.map(
+            jnp.asarray, stack_vit_blocks(params_seq)
+        )
+        ref = seq.apply({"params": params_seq}, x)
+        out = pp.apply({"params": params_pp}, x)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+        # round-trip converter
+        back = unstack_vit_blocks(params_pp)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            back,
+            jax.tree.map(np.asarray, params_seq),
+        )
+
+        def loss_seq(p):
+            return jnp.mean(seq.apply({"params": p}, x) ** 2)
+
+        def loss_pp(p):
+            return jnp.mean(pp.apply({"params": p}, x) ** 2)
+
+        g_seq = stack_vit_blocks(jax.grad(loss_seq)(params_seq))
+        g_pp = jax.grad(loss_pp)(params_pp)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            ),
+            g_pp,
+            jax.tree.map(np.asarray, g_seq),
+        )
+
+    def test_stacked_init_distribution(self):
+        """pp-mode init draws per-block (no two blocks share a kernel)."""
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        pp = ViTBackbone(**_vit_kw(), pp_stages=4, mesh=mesh)
+        x = jnp.zeros((8, 64, 48, 3), jnp.float32)
+        params = pp.init(jax.random.PRNGKey(0), x)["params"]
+        qkv = np.asarray(params["blocks"]["qkv_kernel"])
+        assert qkv.shape == (4, 64, 192)
+        for i in range(1, 4):
+            assert not np.allclose(qkv[0], qkv[i])
+        # LeCun-normal scale sanity (std ~ 1/sqrt(64) = 0.125)
+        assert 0.08 < qkv.std() < 0.17
+
+
+class TestPipelinedTrainer:
+    def test_train_step_on_pp_mesh(self):
+        """Full train step on a (data=4, model=1, pipe=2) mesh: runs, loss
+        finite, and the pre-update loss equals a dp-only trainer fed the
+        same (converted) params."""
+        import dataclasses
+
+        from probpose_pytorch_tpu.data import SyntheticPoseDataset
+        from probpose_pytorch_tpu.data.pipeline import batch_iterator
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48),
+                num_keypoints=5,
+                backbone="vit-nano",
+                compute_dtype="float32",
+                deconv_out_channels=(32, 32),
+                deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+            train_batch_size=8,
+            out_dir="/tmp/probpose_pp_test",
+            pipeline_parallel=2,
+        )
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=2)
+        trainer = Trainer.create(cfg, steps_per_epoch=4, mesh=mesh)
+        assert trainer.cfg.model.pp_stages == 2
+
+        ds = SyntheticPoseDataset(8, cfg.model.img_size, 5)
+        batch = next(iter(batch_iterator(ds, 8, num_workers=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        # train_step donates its input state — snapshot params first.
+        params_np = jax.tree.map(np.asarray, trainer.state.params)
+        state = trainer.state.replace(
+            params=shard_params(trainer.state.params, mesh)
+        )
+        new_state, metrics = trainer.train_step(
+            state, shard_batch(batch, mesh)
+        )
+        jax.block_until_ready(new_state.params)
+        loss_pp = float(metrics["loss"])
+        assert np.isfinite(loss_pp)
+
+        # dp-only trainer with the UNSTACKED params must see the same loss.
+        cfg_dp = dataclasses.replace(
+            cfg, pipeline_parallel=1, out_dir="/tmp/probpose_pp_test_dp"
+        )
+        mesh_dp = make_mesh(8, model_parallel=1)
+        trainer_dp = Trainer.create(cfg_dp, steps_per_epoch=4, mesh=mesh_dp)
+        params = dict(params_np)
+        params["backbone"] = unstack_vit_blocks(params["backbone"])
+        params = jax.tree.map(jnp.asarray, params)
+        state_dp = trainer_dp.state.replace(
+            params=shard_params(params, mesh_dp)
+        )
+        _, metrics_dp = trainer_dp.train_step(
+            state_dp, shard_batch(batch, mesh_dp)
+        )
+        np.testing.assert_allclose(
+            loss_pp, float(metrics_dp["loss"]), rtol=1e-5
+        )
