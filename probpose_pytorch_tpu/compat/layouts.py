@@ -19,6 +19,7 @@ import numpy as np
 
 __all__ = [
     "convert_qkv_layout",
+    "convert_trunk_layout",
     "qkv_head_major_permutation",
     "qkv_to_head_major",
     "qkv_to_qkv_major",
@@ -39,23 +40,25 @@ def qkv_head_major_permutation(embed_dim: int, num_heads: int) -> np.ndarray:
 def _permute_qkv(params: Any, num_heads: int, invert: bool) -> Any:
     import jax
 
+    def perm_for(C: int) -> np.ndarray:
+        perm = qkv_head_major_permutation(C, num_heads)
+        return np.argsort(perm) if invert else perm
+
     def convert(path, leaf):
         names = [str(getattr(p, "key", p)) for p in path]
         joined = "/".join(names)
+        # Stacked (pipeline-parallel) trunk layout: flat leaf names with a
+        # leading depth axis (models/vit.py:_StackedBlockParams).
+        if names[-1] == "qkv_kernel" and leaf.ndim == 3:
+            return leaf[:, :, perm_for(leaf.shape[1])]
+        if names[-1] == "qkv_bias" and leaf.ndim == 2:
+            return leaf[:, perm_for(leaf.shape[1] // 3)]
         if "attn" not in joined or "qkv" not in joined:
             return leaf
         if names[-1] == "kernel" and leaf.ndim == 2:
-            C = leaf.shape[0]
-            perm = qkv_head_major_permutation(C, num_heads)
-            if invert:
-                perm = np.argsort(perm)
-            return leaf[:, perm]
+            return leaf[:, perm_for(leaf.shape[0])]
         if names[-1] == "bias" and leaf.ndim == 1:
-            C = leaf.shape[0] // 3
-            perm = qkv_head_major_permutation(C, num_heads)
-            if invert:
-                perm = np.argsort(perm)
-            return leaf[perm]
+            return leaf[perm_for(leaf.shape[0] // 3)]
         return leaf
 
     return jax.tree_util.tree_map_with_path(convert, params)
@@ -129,6 +132,39 @@ def _is_block_key(key: str) -> bool:
         and key != "blocks"
         and key[len("block"):].isdigit()
     )
+
+
+def convert_trunk_layout(tree: Any, src: str, dst: str) -> Any:
+    """Convert every ViT trunk found anywhere in a pytree between the
+    per-block ("per_block": block0..block{D-1} subtrees) and stacked
+    ("stacked": one "blocks" subtree, leading depth axis) layouts.
+
+    Works on whole TrainStates: trunk subtrees are located structurally (a
+    dict holding block{i} keys or a "blocks" key), so params, EMA, and the
+    optimizer's Adam moments convert wherever they nest — a cross-layout
+    resume stays numerically exact. No-op when src == dst.
+    """
+    if src == dst:
+        return tree
+    if {src, dst} != {"per_block", "stacked"}:
+        raise ValueError(f"unknown trunk layout conversion {src!r} -> {dst!r}")
+    import jax
+
+    def is_trunk(node: Any) -> bool:
+        return isinstance(node, dict) and (
+            "blocks" in node or any(_is_block_key(k) for k in node)
+        )
+
+    def convert(node: Any) -> Any:
+        if not is_trunk(node):
+            return node
+        return (
+            stack_vit_blocks(node)
+            if dst == "stacked"
+            else unstack_vit_blocks(node)
+        )
+
+    return jax.tree_util.tree_map(convert, tree, is_leaf=is_trunk)
 
 
 def convert_qkv_layout(

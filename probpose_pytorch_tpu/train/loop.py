@@ -46,16 +46,25 @@ def qkv_layout_of(model_cfg) -> str:
     )
 
 
+def trunk_layout_of(model_cfg) -> str:
+    """'stacked' when the trunk runs pipeline-parallel (block params stacked
+    along a leading depth axis, models/vit.py:_StackedBlockParams);
+    'per_block' (block0..block{D-1} subtrees) otherwise."""
+    return "stacked" if model_cfg.pp_stages > 1 else "per_block"
+
+
 def layout_metadata(cfg: TrainConfig) -> dict:
-    """Checkpoint sidecar metadata recording the qkv layout, so a restore
-    onto a trainer with the other layout (e.g. a single-device 'fused' run
-    resumed onto a tensor-parallel 'fused_tp' mesh) converts instead of
-    silently misinterpreting the columns."""
+    """Checkpoint sidecar metadata recording the qkv and trunk layouts, so a
+    restore onto a trainer with another layout (e.g. a single-device 'fused'
+    run resumed onto a tensor-parallel 'fused_tp' mesh, or onto a
+    pipeline-parallel mesh) converts instead of silently misinterpreting the
+    columns / failing on the tree structure."""
     from probpose_pytorch_tpu.models.vit import ViTConfig
 
     heads = ViTConfig.PRESETS.get(cfg.model.backbone, {}).get("num_heads", 0)
     return {
         "qkv_layout": qkv_layout_of(cfg.model),
+        "trunk_layout": trunk_layout_of(cfg.model),
         "num_heads": heads,
         "backbone": cfg.model.backbone,
     }
@@ -75,24 +84,75 @@ def restore_state_with_layout(
     TrainState — params, EMA, and the optimizer's Adam moments alike, so the
     resume is numerically exact, not merely forward-correct. Converted leaves
     are pinned back to the restored shardings (mesh placement survives)."""
-    restored = ckpt.restore(target_state, step=step)
     meta = ckpt.read_metadata(step)
-    own = qkv_layout_of(cfg.model)
-    stored = meta.get("qkv_layout", "qkv_major")
-    if stored == own:
-        return restored
+    own_qkv = qkv_layout_of(cfg.model)
+    stored_qkv = meta.get("qkv_layout", "qkv_major")
+    own_trunk = trunk_layout_of(cfg.model)
+    stored_trunk = meta.get("trunk_layout", "per_block")
     heads = meta.get("num_heads") or layout_metadata(cfg)["num_heads"]
-    if not heads:
+
+    if stored_trunk != own_trunk:
+        # Structural mismatch: the checkpoint's tree cannot restore into
+        # `target_state` directly. Restore into a host-side target built in
+        # the STORED structure (converting the fresh target's trunks — the
+        # conversion pulls trunk leaves to host numpy), convert back, then
+        # re-pin every leaf to the target's sharding.
+        from probpose_pytorch_tpu.compat import (
+            convert_qkv_layout,
+            convert_trunk_layout,
+        )
+
+        stored_target = convert_trunk_layout(
+            target_state, own_trunk, stored_trunk
+        )
+        restored = ckpt.restore(stored_target, step=step)
+        if stored_qkv != own_qkv and heads:
+            restored = convert_qkv_layout(
+                restored, heads, stored_qkv, own_qkv
+            )
+            print(
+                f"[checkpoint] converted qkv layout: {stored_qkv} -> "
+                f"{own_qkv}"
+            )
+        converted = convert_trunk_layout(restored, stored_trunk, own_trunk)
+        # Re-pin to the target's shardings, replicating leaves the target
+        # never meshed over the target's mesh (same convention as
+        # CheckpointManager.restore — a mixed committed placement would
+        # fail the next jitted step with 'incompatible devices').
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        target_mesh = None
+        for leaf in jax.tree_util.tree_leaves(target_state):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
+                target_mesh = sh.mesh
+                break
+
+        def pin(c, t):
+            sh = getattr(t, "sharding", None)
+            if target_mesh is not None and not isinstance(sh, NamedSharding):
+                sh = NamedSharding(target_mesh, PartitionSpec())
+            return jax.device_put(c, sh) if sh is not None else jnp.asarray(c)
+
+        converted = jax.tree_util.tree_map(pin, converted, target_state)
+        print(
+            f"[checkpoint] converted trunk layout: {stored_trunk} -> "
+            f"{own_trunk}"
+        )
+        return converted
+
+    restored = ckpt.restore(target_state, step=step)
+    if stored_qkv == own_qkv or not heads:
         return restored
     from probpose_pytorch_tpu.compat import convert_qkv_layout
 
-    converted = convert_qkv_layout(restored, heads, stored, own)
+    converted = convert_qkv_layout(restored, heads, stored_qkv, own_qkv)
     converted = jax.tree_util.tree_map(
         lambda c, r: c if c is r else jax.device_put(c, r.sharding),
         converted,
         restored,
     )
-    print(f"[checkpoint] converted qkv layout: {stored} -> {own}")
+    print(f"[checkpoint] converted qkv layout: {stored_qkv} -> {own_qkv}")
     return converted
 
 

@@ -189,6 +189,100 @@ class TestPipelinedViT:
         assert 0.08 < qkv.std() < 0.17
 
 
+class TestTrunkLayoutRestore:
+    def test_per_block_checkpoint_resumes_onto_pp_mesh(self, tmp_path):
+        """A single-device (per-block) checkpoint restores onto a
+        pipeline-parallel trainer exactly: the sidecar trunk-layout metadata
+        triggers a structural stack of params AND Adam moments
+        (train/loop.py:restore_state_with_layout), so the post-resume step
+        loss equals the uninterrupted single-device run's."""
+        import dataclasses
+
+        from probpose_pytorch_tpu.data import SyntheticPoseDataset
+        from probpose_pytorch_tpu.data.pipeline import batch_iterator
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.train import (
+            TrainConfig,
+            Trainer,
+            layout_metadata,
+            restore_state_with_layout,
+        )
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48),
+                num_keypoints=5,
+                backbone="vit-nano",
+                compute_dtype="float32",
+                deconv_out_channels=(32, 32),
+                deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+            train_batch_size=8,
+            out_dir=str(tmp_path / "run"),
+        )
+        ds = SyntheticPoseDataset(8, cfg.model.img_size, 5)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(iter(batch_iterator(ds, 8, num_workers=1))).items()
+        }
+
+        trainer1 = Trainer.create(cfg, steps_per_epoch=2)
+        state1, _ = trainer1.train_step(trainer1.state, batch)
+        ckpt = CheckpointManager(tmp_path / "ck", keep=1)
+        ckpt.save(1, state1, metadata=layout_metadata(trainer1.cfg))
+        assert ckpt.read_metadata()["trunk_layout"] == "per_block"
+        state1b, m_ref = trainer1.train_step(state1, batch)  # step 2
+
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=2)
+        cfg_pp = dataclasses.replace(
+            cfg,
+            pipeline_parallel=2,
+            out_dir=str(tmp_path / "run_pp"),
+        )
+        trainer_pp = Trainer.create(cfg_pp, steps_per_epoch=2, mesh=mesh)
+        restored = restore_state_with_layout(
+            ckpt, trainer_pp.state, trainer_pp.cfg
+        )
+        assert "blocks" in restored.params["backbone"]
+        assert int(restored.step) == 1
+        # (train_step donates its input state — one call yields both.)
+        state_pp, m_pp = trainer_pp.train_step(
+            restored, shard_batch(batch, mesh)
+        )
+        np.testing.assert_allclose(
+            float(m_pp["loss"]), float(m_ref["loss"]), rtol=1e-5
+        )
+
+        # Reverse direction: the pp run's checkpoint restores onto a fresh
+        # per-block trainer with identical numerics.
+        ckpt2 = CheckpointManager(tmp_path / "ck2", keep=1)
+        ckpt2.save(2, state_pp, metadata=layout_metadata(trainer_pp.cfg))
+        assert ckpt2.read_metadata()["trunk_layout"] == "stacked"
+        trainer2 = Trainer.create(
+            dataclasses.replace(cfg, out_dir=str(tmp_path / "run2")),
+            steps_per_epoch=2,
+        )
+        back = restore_state_with_layout(ckpt2, trainer2.state, trainer2.cfg)
+        assert "block0" in back.params["backbone"]
+        np.testing.assert_allclose(
+            np.asarray(back.params["backbone"]["block0"]["attn"]["qkv"]["kernel"]),
+            np.asarray(state_pp.params["backbone"]["blocks"]["qkv_kernel"])[0],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            float(trainer2.train_step(back, batch)[1]["loss"]),
+            float(
+                trainer_pp.train_step(state_pp, shard_batch(batch, mesh))[1][
+                    "loss"
+                ]
+            ),
+            rtol=1e-5,
+        )
+
+
 class TestPipelinedTrainer:
     def test_train_step_on_pp_mesh(self):
         """Full train step on a (data=4, model=1, pipe=2) mesh: runs, loss
