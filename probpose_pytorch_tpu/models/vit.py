@@ -330,6 +330,9 @@ class ViTConfig:
         "vit-s": dict(embed_dim=384, depth=12, num_heads=6, mlp_ratio=4.0),
         "vit-b": dict(embed_dim=768, depth=12, num_heads=12, mlp_ratio=4.0),
         "vit-l": dict(embed_dim=1024, depth=24, num_heads=16, mlp_ratio=4.0),
+        # ViTPose-H geometry: the depth-32 trunk is the natural pipeline-
+        # parallelism user (divides pipe axes 2/4/8; parallel/pipeline.py).
+        "vit-h": dict(embed_dim=1280, depth=32, num_heads=16, mlp_ratio=4.0),
         # timm's VisionTransformer(embed_dim=384) default keeps 12 heads —
         # the reference backbone's actual geometry (backbone.py:26-33).
         "vit-s-timm": dict(embed_dim=384, depth=12, num_heads=12, mlp_ratio=4.0),

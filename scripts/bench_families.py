@@ -39,6 +39,7 @@ FAMILIES = {
         backbone="vit-b", attn_impl="fused", mlp_impl="fused"
     ),
     "vit-l": dict(backbone="vit-l", attn_impl="fused"),
+    "vit-h": dict(backbone="vit-h", attn_impl="fused"),
 }
 
 B = 256
