@@ -175,6 +175,39 @@ class TestPipelinedViT:
             jax.tree.map(np.asarray, g_seq),
         )
 
+    def test_remat_composes_with_pipeline(self):
+        """jax.checkpoint per block inside the pipeline (the GPipe memory
+        recipe) preserves forward and gradient numerics."""
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        seq = ViTBackbone(**_vit_kw())
+        pp = ViTBackbone(**_vit_kw(), pp_stages=4, mesh=mesh, remat=True)
+        x = jnp.asarray(
+            np.random.RandomState(7).rand(8, 64, 48, 3), jnp.float32
+        )
+        params_seq = seq.init(jax.random.PRNGKey(0), x)["params"]
+        params_pp = jax.tree.map(jnp.asarray, stack_vit_blocks(params_seq))
+        np.testing.assert_allclose(
+            pp.apply({"params": params_pp}, x),
+            seq.apply({"params": params_seq}, x),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+        g_seq = stack_vit_blocks(
+            jax.grad(
+                lambda p: jnp.mean(seq.apply({"params": p}, x) ** 2)
+            )(params_seq)
+        )
+        g_pp = jax.grad(
+            lambda p: jnp.mean(pp.apply({"params": p}, x) ** 2)
+        )(params_pp)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            ),
+            g_pp,
+            jax.tree.map(np.asarray, g_seq),
+        )
+
     def test_stacked_init_distribution(self):
         """pp-mode init draws per-block (no two blocks share a kernel)."""
         mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
@@ -348,3 +381,44 @@ class TestPipelinedTrainer:
         np.testing.assert_allclose(
             loss_pp, float(metrics_dp["loss"]), rtol=1e-5
         )
+
+
+def test_cli_pipeline_parallel(tmp_path):
+    """`TrainConfig.pipeline_parallel` drives the CLI end to end: the mesh
+    gains a pipe axis sized from the config, the trainer auto-stages the
+    trunk, and two synthetic-data steps train to a finite logged loss."""
+    import json
+
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig
+    from probpose_pytorch_tpu.train.cli import main
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48),
+            num_keypoints=5,
+            backbone="vit-nano",
+            compute_dtype="float32",
+            deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4),
+            pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        epochs=1,
+        train_batch_size=8,
+        val_batch_size=8,
+        val_every=1000,
+        dataset_format="synthetic",
+        num_workers=1,
+        pipeline_parallel=2,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(cfg_path)
+    out = tmp_path / "out"
+    main([str(out), "--config", str(cfg_path), "--max-steps", "2"])
+    lines = [
+        json.loads(l)
+        for l in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [l["training/loss"] for l in lines if "training/loss" in l]
+    assert losses and all(np.isfinite(v) for v in losses)
