@@ -10,7 +10,9 @@ from probpose_pytorch_tpu.parallel.pipeline import (  # noqa: F401
 )
 from probpose_pytorch_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    opt_state_shardings,
     param_shardings,
     shard_batch,
+    shard_opt_state,
     shard_params,
 )

@@ -28,6 +28,8 @@ __all__ = [
     "batch_sharding",
     "shard_params",
     "shard_batch",
+    "opt_state_shardings",
+    "shard_opt_state",
 ]
 
 
@@ -78,3 +80,45 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     sh = batch_sharding(mesh)
     return jtu.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def opt_state_shardings(opt_state: Any, mesh: Mesh, min_size: int = 1024) -> Any:
+    """ZeRO-1-style optimizer-state sharding over the data axis.
+
+    Under pure data parallelism the params are replicated but the Adam
+    moments need not be: each moment leaf's largest divisible axis is
+    sharded over "data", cutting optimizer memory by ~1/dp per device. XLA
+    then computes the (already all-reduced) gradient's moment update
+    shard-locally and all-gathers only the parameter delta — the GSPMD
+    rendering of ZeRO-1 (no hand-written collectives; the scaling-book
+    recipe). Leaves smaller than `min_size` elements (scheduler counts,
+    scalars) stay replicated — sharding them would cost more in collective
+    latency than it saves.
+
+    dp-only meshes (model == pipe == 1): with tensor- or pipeline-parallel
+    params the moments inherit those layouts instead (Trainer.create guards
+    this).
+    """
+    dp = dict(mesh.shape).get("data", 1)
+
+    def spec(leaf) -> P:
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim == 0 or getattr(leaf, "size", 0) < min_size:
+            return P()
+        dims = sorted(
+            range(ndim), key=lambda i: leaf.shape[i], reverse=True
+        )
+        for i in dims:
+            if leaf.shape[i] % dp == 0 and leaf.shape[i] >= dp:
+                axes: list = [None] * ndim
+                axes[i] = "data"
+                return P(*axes)
+        return P()
+
+    return jtu.tree_map(
+        lambda leaf: NamedSharding(mesh, spec(leaf)), opt_state
+    )
+
+
+def shard_opt_state(opt_state: Any, mesh: Mesh) -> Any:
+    return jax.device_put(opt_state, opt_state_shardings(opt_state, mesh))

@@ -91,6 +91,9 @@ class TrainConfig:
     model_parallel: int = 1
     # Pipeline stages for deep trunks (parallel/pipeline.py); 1 = off.
     pipeline_parallel: int = 1
+    # ZeRO-1-style optimizer-state sharding over the data axis
+    # (parallel/sharding.py:opt_state_shardings); dp-only meshes.
+    shard_opt_state: bool = False
 
     # ----- (de)serialization -----
     def to_json(self) -> str:

@@ -452,6 +452,18 @@ class Trainer:
         )
         if mesh is not None:
             state = state.replace(params=shard_params(state.params, mesh))
+            if cfg.shard_opt_state:
+                if model_size > 1 or pipe_size > 1:
+                    raise ValueError(
+                        "shard_opt_state (ZeRO-1 over the data axis) is "
+                        "supported on dp-only meshes; with tensor/pipeline "
+                        "parallelism the moments inherit the param layouts"
+                    )
+                from probpose_pytorch_tpu.parallel import shard_opt_state
+
+                state = state.replace(
+                    opt_state=shard_opt_state(state.opt_state, mesh)
+                )
         train_step = jax.jit(
             make_train_step(model, encode_codec, loss_fn, tx, cfg),
             donate_argnums=(0,),

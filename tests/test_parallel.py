@@ -453,3 +453,51 @@ def test_fused_tp_train_step_on_tp_mesh_matches_single_device(
         float(metrics1["loss"]), float(metrics_tp["loss"]), rtol=1e-5
     )
     jax.block_until_ready(state_tp2.params)
+
+
+def test_zero1_opt_state_sharding(tmp_path):
+    """shard_opt_state=True (ZeRO-1 over the data axis): Adam moments shard
+    their largest axis over "data", the layout survives the donated train
+    step, and two-step training matches the unsharded trainer exactly (the
+    second step's loss depends on the first update's moments)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding
+
+    cfg = _cfg(tmp_path)
+    batch = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+
+    trainer_ref = Trainer.create(cfg, steps_per_epoch=4)
+    s1, _ = trainer_ref.train_step(trainer_ref.state, batch)
+    _, m_ref = trainer_ref.train_step(s1, batch)
+
+    mesh = make_mesh(8, model_parallel=1)
+    cfg_z = dataclasses.replace(
+        cfg, shard_opt_state=True, out_dir=str(tmp_path / "zero1")
+    )
+    trainer = Trainer.create(cfg_z, steps_per_epoch=4, mesh=mesh)
+
+    def sharded_moment_leaves(opt_state):
+        return [
+            leaf
+            for leaf in jax.tree_util.tree_leaves(opt_state)
+            if isinstance(leaf, jax.Array) and leaf.size >= 1024
+        ]
+
+    moments = sharded_moment_leaves(trainer.state.opt_state)
+    assert moments, "expected large moment leaves in the optimizer state"
+    for leaf in moments:
+        assert isinstance(leaf.sharding, NamedSharding)
+        assert "data" in tuple(leaf.sharding.spec)
+        # each device holds 1/dp of the leaf
+        local = leaf.addressable_shards[0].data.size
+        assert local * 8 == leaf.size
+
+    sb = shard_batch(batch, mesh)
+    z1, _ = trainer.train_step(trainer.state, sb)
+    for leaf in sharded_moment_leaves(z1.opt_state):
+        assert "data" in tuple(leaf.sharding.spec)
+    _, m_z = trainer.train_step(z1, sb)
+    np.testing.assert_allclose(
+        float(m_z["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
