@@ -25,7 +25,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["ViTBackbone", "ViTConfig"]
+__all__ = [
+    "ViTBackbone",
+    "ViTConfig",
+    "tp_block_apply",
+    "stacked_param_specs",
+]
 
 
 def _fused_kernels_enabled() -> bool:
@@ -247,6 +252,93 @@ class Block(nn.Module):
         return x
 
 
+def _layernorm(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """f32 LayerNorm matching nn.LayerNorm(dtype=float32) numerics
+    (single-pass moments, eps 1e-6) for the pure-function TP block."""
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu, 0.0
+    )
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+
+def tp_block_apply(
+    p: dict,
+    h: jax.Array,
+    *,
+    heads: int,
+    dtype: jnp.dtype,
+    softmax_dtype: jnp.dtype = jnp.float32,
+    exact_gelu: bool = False,
+    model_axis: str | None = None,
+) -> jax.Array:
+    """One transformer block as a pure function over flat stacked-layout
+    params (BLOCK_LEAF_PATHS names, depth axis already indexed away) with
+    explicit Megatron tensor-parallel collectives.
+
+    Runs inside the pipeline's shard_map where GSPMD cannot insert the
+    collectives itself: qkv/fc1 kernels are column-sharded over `model_axis`
+    (head-major qkv packing — each shard's columns are whole heads' [q|k|v]
+    packs), proj/fc2 kernels are row-sharded, and the two row-parallel
+    matmul outputs are psum-ed over `model_axis` before their (replicated)
+    bias adds. `heads` is the LOCAL head count; with `model_axis=None` and
+    full-width params this is exactly the sequential block (the collective-
+    free form pipeline_spmd's fallback paths use). Numerics mirror `Block`
+    with attn_impl='fused_tp': f32 LayerNorms, matmuls in `dtype`, packed
+    Pallas attention on TPU / head-major einsum elsewhere.
+    """
+    y = _layernorm(h, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
+    qkv = y @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)
+    if _fused_kernels_enabled():
+        from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+        ctx = packed_attention(qkv, heads, layout="head_major")
+    else:
+        B, N, C3l = qkv.shape
+        d = C3l // (3 * heads)
+        q, k, v = jnp.moveaxis(qkv.reshape(B, N, heads, 3, d), 3, 0)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (1.0 / np.sqrt(d))
+        attn = jax.nn.softmax(attn.astype(softmax_dtype), axis=-1).astype(
+            dtype
+        )
+        ctx = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, heads * d)
+    out = ctx @ p["proj_kernel"].astype(dtype)
+    if model_axis is not None:
+        out = jax.lax.psum(out, model_axis)
+    h = h + (out + p["proj_bias"].astype(dtype))
+    y = _layernorm(h, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
+    a = y @ p["fc1_kernel"].astype(dtype) + p["fc1_bias"].astype(dtype)
+    a = nn.gelu(a, approximate=not exact_gelu)
+    out = a @ p["fc2_kernel"].astype(dtype)
+    if model_axis is not None:
+        out = jax.lax.psum(out, model_axis)
+    return h + (out + p["fc2_bias"].astype(dtype))
+
+
+def stacked_param_specs(pipe_axis: str = "pipe", model_axis: str = "model"):
+    """PartitionSpecs for the stacked trunk layout under pipeline + tensor
+    parallelism: depth over `pipe_axis`; Megatron dims over `model_axis`
+    (qkv/fc1 column-sharded, proj/fc2 row-sharded, norms/biases of
+    row-parallel outputs replicated). Keys = BLOCK_LEAF_PATHS names."""
+    from jax.sharding import PartitionSpec as P
+
+    return {
+        "norm1_scale": P(pipe_axis),
+        "norm1_bias": P(pipe_axis),
+        "qkv_kernel": P(pipe_axis, None, model_axis),
+        "qkv_bias": P(pipe_axis, model_axis),
+        "proj_kernel": P(pipe_axis, model_axis, None),
+        "proj_bias": P(pipe_axis),
+        "norm2_scale": P(pipe_axis),
+        "norm2_bias": P(pipe_axis),
+        "fc1_kernel": P(pipe_axis, None, model_axis),
+        "fc1_bias": P(pipe_axis, model_axis),
+        "fc2_kernel": P(pipe_axis, model_axis, None),
+        "fc2_bias": P(pipe_axis),
+    }
+
+
 # Flat-name <-> Block-param-tree mapping for the stacked (pipeline-parallel)
 # trunk parameterization. Kept module-level so compat/layouts.py converts
 # checkpoints between the per-block and stacked layouts with the same table.
@@ -457,6 +549,13 @@ class ViTBackbone(nn.Module):
         kernel directly (mesh=None — no nested shard_map). attn_impl
         semantics carry over unchanged: 'fused_tp' keeps head-major qkv
         params, 'fused'/'einsum' keep qkv-major.
+
+        When the mesh also carries a model axis of size > 1, each stage's
+        blocks additionally run tensor-parallel: the stacked Megatron dims
+        shard over "model" (stacked_param_specs) and `tp_block_apply`
+        supplies the explicit in-block psums — attn_impl must be 'fused_tp'
+        (the head-major packing is what makes the qkv column shard land on
+        whole heads).
         """
         from probpose_pytorch_tpu.parallel.pipeline import pipeline_spmd
 
@@ -469,6 +568,59 @@ class ViTBackbone(nn.Module):
         flat = _StackedBlockParams(
             self.depth, C, int(C * self.mlp_ratio), name="blocks"
         )()
+        tp = (
+            dict(self.mesh.shape).get("model", 1)
+            if self.mesh is not None
+            else 1
+        )
+        if tp > 1:
+            if self.attn_impl != "fused_tp":
+                raise ValueError(
+                    "tensor parallelism inside a pipeline stage requires "
+                    f"attn_impl='fused_tp' (got {self.attn_impl!r}); the "
+                    "head-major qkv packing is what the model-axis column "
+                    "shard slices into whole heads"
+                )
+            if self.num_heads % tp or int(C * self.mlp_ratio) % tp:
+                raise ValueError(
+                    f"heads ({self.num_heads}) and mlp hidden "
+                    f"({int(C * self.mlp_ratio)}) must divide the model "
+                    f"axis ({tp})"
+                )
+            if self.mlp_impl == "fused":
+                raise ValueError(
+                    "mlp_impl='fused' does not compose with tensor "
+                    "parallelism inside a pipeline stage"
+                )
+            kw = dict(
+                dtype=self.dtype,
+                softmax_dtype=self.softmax_dtype,
+                exact_gelu=self.exact_gelu,
+            )
+
+            def block_fn(pflat, h):
+                return tp_block_apply(
+                    pflat, h, heads=self.num_heads // tp,
+                    model_axis="model", **kw,
+                )
+
+            def seq_block_fn(pflat, h):
+                return tp_block_apply(
+                    pflat, h, heads=self.num_heads, model_axis=None, **kw
+                )
+
+            if self.remat:
+                block_fn = jax.checkpoint(block_fn)
+                seq_block_fn = jax.checkpoint(seq_block_fn)
+            return pipeline_spmd(
+                block_fn,
+                flat,
+                x,
+                self.mesh,
+                microbatches=self.pp_microbatches,
+                param_specs=stacked_param_specs(),
+                seq_block_fn=seq_block_fn,
+            )
         block = Block(
             self.num_heads,
             self.mlp_ratio,

@@ -25,8 +25,14 @@ per-tick compute with the ICI hop):
   — all microbatch activations live until the backward tick, so combine
   with per-block remat for long pipelines.
 
-Composes with data parallelism (batch axis sharded over "data") but not —
-yet — with tensor parallelism inside a stage; see parallel/mesh.py.
+Composes with data parallelism (batch axis sharded over "data") and with
+tensor parallelism inside a stage: pass `param_specs` that shard the
+Megatron dims of the stacked leaves over the mesh "model" axis and a
+`block_fn` that psums its row-parallel matmul outputs over that axis
+(models/vit.py:tp_block_apply builds exactly that pair). The single
+shard_map then spans (data, model, pipe): per tick, each stage's blocks run
+head/column-sharded with one in-block psum over "model", and the per-tick
+ppermute still rides the innermost "pipe" ICI hop.
 """
 
 from __future__ import annotations
@@ -64,12 +70,17 @@ def pipeline_spmd(
     pipe_axis: str = "pipe",
     batch_axis: str = "data",
     microbatches: int = 0,
+    param_specs: Any = None,
+    seq_block_fn: Callable[[Any, jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
     """Run `depth` blocks over `x` as an S-stage SPMD pipeline.
 
     Args:
         block_fn: (params_i, h) -> h applying ONE block; params_i is
             `stacked_params` with the leading depth axis indexed away.
+            Runs INSIDE the shard_map: with `param_specs` sharding leaves
+            over a tensor-parallel axis, block_fn sees local shards and is
+            responsible for the in-block collectives (psum over that axis).
         stacked_params: pytree whose every leaf has leading dim `depth`.
         x: (B, ...) activations; B shards over `batch_axis`, the rest of
             the program sees the same shapes as a sequential trunk.
@@ -77,6 +88,15 @@ def pipeline_spmd(
             `batch_axis`).
         microbatches: per-device microbatch count (0 = auto via
             `pick_microbatches`).
+        param_specs: optional PartitionSpec pytree matching stacked_params
+            (default: every leaf P(pipe_axis) — depth-sharded, otherwise
+            replicated). Use to additionally shard Megatron dims over a
+            "model" axis for tensor parallelism inside each stage.
+        seq_block_fn: block application used on the SEQUENTIAL fallback
+            paths (S == 1 or an indivisible batch), which run OUTSIDE any
+            shard_map on logically-full parameters — a TP block_fn that
+            psums must supply its collective-free full-width form here.
+            Default: block_fn.
 
     Returns (B, ...) activations, numerically equal (up to reduction
     order) to folding block_fn over the depth axis sequentially.
@@ -94,9 +114,10 @@ def pipeline_spmd(
     # vs 51.9 unrolled on v5e (XLA schedules/fuses across unrolled layers
     # but not across scan iterations; docs/PERF.md).
     if S == 1 or B % dp != 0:
+        seq_fn = seq_block_fn or block_fn
         out = x
         for i in range(depth):
-            out = block_fn(
+            out = seq_fn(
                 jax.tree_util.tree_map(lambda a: a[i], stacked_params), out
             )
         return out
@@ -110,6 +131,10 @@ def pipeline_spmd(
         )
 
     x_spec = P(batch_axis)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(
+            lambda _: P(pipe_axis), stacked_params
+        )
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def pipelined(x_local, p_local):
@@ -167,7 +192,7 @@ def pipeline_spmd(
     fn = jax.shard_map(
         pipelined,
         mesh=mesh,
-        in_specs=(x_spec, P(pipe_axis)),
+        in_specs=(x_spec, param_specs),
         out_specs=x_spec,
         check_vma=False,  # Pallas custom_vjp may run inside block_fn
     )

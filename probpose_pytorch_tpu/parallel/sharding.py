@@ -39,8 +39,22 @@ def _param_spec(path: tuple, leaf: Any, axes: tuple = ()) -> P:
     ndim = getattr(leaf, "ndim", 0)
     if "blocks" in names:
         # Stacked pipeline-parallel trunk params (models/vit.py
-        # _StackedBlockParams): leading depth axis shards over "pipe".
-        return P("pipe") if "pipe" in axes else P()
+        # _StackedBlockParams): leading depth axis shards over "pipe";
+        # with a model axis alongside, the Megatron dims shard too
+        # (mirrors models/vit.py:stacked_param_specs — the in_specs the
+        # pipeline's shard_map consumes, so device_put places the leaves
+        # exactly where the pipeline reads them).
+        if "pipe" not in axes:
+            return P()
+        if "model" in axes:
+            name = names[-1]
+            if name in ("qkv_kernel", "fc1_kernel"):
+                return P("pipe", None, "model")
+            if name in ("qkv_bias", "fc1_bias"):
+                return P("pipe", "model")
+            if name in ("proj_kernel", "fc2_kernel"):
+                return P("pipe", "model", None)
+        return P("pipe")
     if "attn" in joined and names[-1] == "kernel" and ndim == 2:
         if "qkv" in joined:
             return P(None, "model")

@@ -410,11 +410,17 @@ class Trainer:
             # compat.stack_vit_blocks before restoring onto this trainer.
             import dataclasses
 
-            if model_size > 1:
+            if model_size > 1 and cfg.model.attn_impl != "fused_tp":
+                # TP inside a pipeline stage needs the head-major qkv
+                # packing (models/vit.py:tp_block_apply) — the einsum
+                # fallback the heads-don't-divide case selects above has
+                # qkv-major checkpoint semantics, which the model-axis
+                # column shard would slice mid-head.
                 raise ValueError(
-                    "tensor parallelism inside a pipeline stage is not "
-                    "supported yet; use model_parallel=1 with "
-                    "pipeline_parallel>1"
+                    "tensor parallelism inside a pipeline stage requires "
+                    "attn_impl='fused'/'fused_tp' with heads divisible by "
+                    f"model_parallel (got attn_impl="
+                    f"{cfg.model.attn_impl!r}, model axis {model_size})"
                 )
 
             from probpose_pytorch_tpu.models.vit import ViTConfig

@@ -222,6 +222,165 @@ class TestPipelinedViT:
         assert 0.08 < qkv.std() < 0.17
 
 
+class TestTensorParallelInPipeline:
+    """TP inside a pipeline stage (3-axis dp x tp x pp mesh): the stacked
+    Megatron dims shard over "model" and tp_block_apply supplies the
+    in-block psums (models/vit.py) — numerics must match the sequential
+    head-major trunk."""
+
+    def test_forward_and_grad_parity(self):
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        kw = dict(_vit_kw(), attn_impl="fused_tp")
+        seq = ViTBackbone(**kw)
+        tpp = ViTBackbone(**kw, pp_stages=2, mesh=mesh)
+        x = jnp.asarray(
+            np.random.RandomState(11).rand(8, 64, 48, 3), jnp.float32
+        )
+        params_seq = seq.init(jax.random.PRNGKey(0), x)["params"]
+        params_tpp = jax.tree.map(jnp.asarray, stack_vit_blocks(params_seq))
+        np.testing.assert_allclose(
+            tpp.apply({"params": params_tpp}, x),
+            seq.apply({"params": params_seq}, x),
+            rtol=2e-5,
+            atol=2e-5,
+        )
+        g_seq = stack_vit_blocks(
+            jax.grad(
+                lambda p: jnp.mean(seq.apply({"params": p}, x) ** 2)
+            )(params_seq)
+        )
+        g_tpp = jax.grad(
+            lambda p: jnp.mean(tpp.apply({"params": p}, x) ** 2)
+        )(params_tpp)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            ),
+            g_tpp,
+            jax.tree.map(np.asarray, g_seq),
+        )
+
+    def test_kernel_path_under_tp_pipeline(self, monkeypatch):
+        """Interpret-mode packed Pallas attention inside the tp+pp
+        shard_map == the einsum fallback path."""
+        monkeypatch.setenv("PROBPOSE_PALLAS_INTERPRET", "1")
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        kw = dict(_vit_kw(), attn_impl="fused_tp")
+        tpp = ViTBackbone(**kw, pp_stages=2, mesh=mesh)
+        x = jnp.asarray(
+            np.random.RandomState(12).rand(8, 64, 48, 3), jnp.float32
+        )
+        params = tpp.init(jax.random.PRNGKey(1), x)["params"]
+        out_kernel = tpp.apply({"params": params}, x)
+        monkeypatch.delenv("PROBPOSE_PALLAS_INTERPRET")
+        out_einsum = tpp.apply({"params": params}, x)
+        np.testing.assert_allclose(
+            out_kernel, out_einsum, rtol=2e-5, atol=2e-5
+        )
+
+    def test_remat_composes(self):
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        kw = dict(_vit_kw(), attn_impl="fused_tp")
+        seq = ViTBackbone(**kw)
+        tpp = ViTBackbone(**kw, pp_stages=2, mesh=mesh, remat=True)
+        x = jnp.asarray(
+            np.random.RandomState(13).rand(8, 64, 48, 3), jnp.float32
+        )
+        params_seq = seq.init(jax.random.PRNGKey(0), x)["params"]
+        params_tpp = jax.tree.map(jnp.asarray, stack_vit_blocks(params_seq))
+        g_seq = stack_vit_blocks(
+            jax.grad(
+                lambda p: jnp.mean(seq.apply({"params": p}, x) ** 2)
+            )(params_seq)
+        )
+        g_tpp = jax.grad(
+            lambda p: jnp.mean(tpp.apply({"params": p}, x) ** 2)
+        )(params_tpp)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-6
+            ),
+            g_tpp,
+            jax.tree.map(np.asarray, g_seq),
+        )
+
+    def test_requires_head_major_layout(self):
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        x = jnp.zeros((8, 64, 48, 3), jnp.float32)
+        bad = ViTBackbone(**_vit_kw(), pp_stages=2, mesh=mesh)  # einsum
+        with pytest.raises(ValueError, match="fused_tp"):
+            bad.init(jax.random.PRNGKey(0), x)
+
+    def test_train_step_on_tp_pp_mesh(self):
+        """Full train step on a (data=2, model=2, pipe=2) mesh: the
+        pre-update loss equals a dp-only trainer fed the same params
+        (unstacked + converted back to qkv-major)."""
+        import dataclasses
+
+        from probpose_pytorch_tpu.compat import qkv_to_qkv_major
+        from probpose_pytorch_tpu.data import SyntheticPoseDataset
+        from probpose_pytorch_tpu.data.pipeline import batch_iterator
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48),
+                num_keypoints=5,
+                backbone="vit-nano",
+                compute_dtype="float32",
+                attn_impl="fused_tp",
+                deconv_out_channels=(32, 32),
+                deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+            train_batch_size=8,
+            out_dir="/tmp/probpose_tp_pp_test",
+            pipeline_parallel=2,
+        )
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        trainer = Trainer.create(cfg, steps_per_epoch=4, mesh=mesh)
+        assert trainer.cfg.model.pp_stages == 2
+
+        ds = SyntheticPoseDataset(8, cfg.model.img_size, 5)
+        batch = next(iter(batch_iterator(ds, 8, num_workers=1)))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+        params_np = jax.tree.map(np.asarray, trainer.state.params)
+        state = trainer.state.replace(
+            params=shard_params(trainer.state.params, mesh)
+        )
+        _, metrics = trainer.train_step(state, shard_batch(batch, mesh))
+        loss_tpp = float(metrics["loss"])
+        assert np.isfinite(loss_tpp)
+
+        # dp-only trainer, same params: unstack the trunk and convert the
+        # qkv columns back to qkv-major (vit-nano heads=2).
+        cfg_dp = dataclasses.replace(
+            cfg,
+            pipeline_parallel=1,
+            model=dataclasses.replace(cfg.model, attn_impl="einsum"),
+            out_dir="/tmp/probpose_tp_pp_test_dp",
+        )
+        mesh_dp = make_mesh(8, model_parallel=1)
+        trainer_dp = Trainer.create(cfg_dp, steps_per_epoch=4, mesh=mesh_dp)
+        params = dict(params_np)
+        params["backbone"] = qkv_to_qkv_major(
+            unstack_vit_blocks(params["backbone"]), num_heads=2
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        state_dp = trainer_dp.state.replace(
+            params=shard_params(params, mesh_dp)
+        )
+        _, metrics_dp = trainer_dp.train_step(
+            state_dp, shard_batch(batch, mesh_dp)
+        )
+        np.testing.assert_allclose(
+            loss_tpp, float(metrics_dp["loss"]), rtol=1e-5
+        )
+
+
 class TestTrunkLayoutRestore:
     def test_per_block_checkpoint_resumes_onto_pp_mesh(self, tmp_path):
         """A single-device (per-block) checkpoint restores onto a
