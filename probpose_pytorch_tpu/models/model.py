@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -17,13 +18,31 @@ __all__ = ["ProbPoseModel", "ModelConfig", "build_model"]
 
 class ProbPoseModel(nn.Module):
     """forward = head(backbone(x)); returns the 5-tuple
-    (heatmaps, probability, visibility, oks, error)."""
+    (heatmaps, probability, visibility, oks, error).
+
+    On model-/pipeline-parallel meshes the trunk output is reshard-
+    constrained to be batch-sharded over EVERY mesh axis before the head
+    (parallel/sharding.py:head_batch_spec): the head's params are
+    replicated, so without the constraint the non-data axes would run the
+    head (22% of the train step at ViT-S) redundantly on every shard.
+    """
 
     backbone: nn.Module
     head: nn.Module
+    mesh: Any = None
 
     def __call__(self, x: jax.Array, train: bool = False):
-        return self.head(self.backbone(x, train=train), train=train)
+        feats = self.backbone(x, train=train)
+        from probpose_pytorch_tpu.parallel.sharding import head_batch_spec
+
+        spec = head_batch_spec(self.mesh, x.shape[0])
+        if spec is not None:
+            from jax.sharding import NamedSharding
+
+            feats = jax.lax.with_sharding_constraint(
+                feats, NamedSharding(self.mesh, spec)
+            )
+        return self.head(feats, train=train)
 
 
 @dataclass(frozen=True)
@@ -125,4 +144,4 @@ def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
         scalar_impl=cfg.scalar_impl,
         deconv_impl=cfg.deconv_impl,
     )
-    return ProbPoseModel(backbone=backbone, head=head)
+    return ProbPoseModel(backbone=backbone, head=head, mesh=mesh)

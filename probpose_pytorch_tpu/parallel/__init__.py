@@ -10,6 +10,7 @@ from probpose_pytorch_tpu.parallel.pipeline import (  # noqa: F401
 )
 from probpose_pytorch_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    head_batch_spec,
     opt_state_shardings,
     param_shardings,
     shard_batch,

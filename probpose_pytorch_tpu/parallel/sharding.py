@@ -21,16 +21,45 @@ from typing import Any
 
 import jax
 import jax.tree_util as jtu
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "param_shardings",
     "batch_sharding",
+    "head_batch_spec",
     "shard_params",
     "shard_batch",
     "opt_state_shardings",
     "shard_opt_state",
 ]
+
+
+def head_batch_spec(mesh: Mesh | None, batch_size: int) -> P | None:
+    """Batch PartitionSpec that data-parallelizes over EVERY mesh axis.
+
+    Model- and pipeline-parallel meshes shard only the trunk; everything
+    after it (the ProbMapHead, losses) holds replicated params, so under a
+    plain P("data") batch the non-data axes would recompute the head
+    redundantly on every shard. Resharding the trunk's output to
+    P(("data", "model", "pipe")) instead splits that work across the whole
+    mesh — the feature map is small (B x H/16 x W/16 x C), so the reshard
+    is cheap next to head compute it deduplicates. Returns None (no
+    constraint) when every non-data axis has size 1 or the batch does not
+    divide the full mesh.
+    """
+    if mesh is None:
+        return None
+    shape = dict(mesh.shape)
+    extra = tuple(
+        ax for ax in mesh.axis_names if ax != "data" and shape[ax] > 1
+    )
+    if not extra:
+        return None
+    total = np.prod([shape[ax] for ax in ("data", *extra)])
+    if batch_size % int(total):
+        return None
+    return P(("data", *extra))
 
 
 def _param_spec(path: tuple, leaf: Any, axes: tuple = ()) -> P:

@@ -20,9 +20,21 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
-    def __init__(self, directory: str | Path, keep: int = 3):
+    def __init__(
+        self,
+        directory: str | Path,
+        keep: int = 3,
+        async_save: bool = False,
+    ):
+        """`async_save=True` returns from `save()` as soon as the state is
+        snapshotted off the device (Orbax's async checkpointer then writes
+        to disk in a background thread) — training continues during the
+        write instead of stalling for it. `restore`/`close` (and Orbax's
+        own next-save barrier) wait for any in-flight write, so the
+        trade-off is purely latency-hiding, never torn reads."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.async_save = async_save
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
@@ -40,13 +52,18 @@ class CheckpointManager:
         self._mgr.save(
             step, args=ocp.args.StandardSave(state), force=force
         )
-        self._mgr.wait_until_finished()
+        if not self.async_save:
+            self._mgr.wait_until_finished()
         if metadata is not None and jax.process_index() == 0:
             import json
 
             (self.directory / f"meta_{step}.json").write_text(
                 json.dumps(metadata)
             )
+
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed to disk."""
+        self._mgr.wait_until_finished()
 
     def read_metadata(self, step: int | None = None) -> dict:
         """Sidecar metadata saved with `save(..., metadata=...)`; {} when the
@@ -73,6 +90,7 @@ class CheckpointManager:
         a mixed committed placement would make the next jitted step fail
         with 'incompatible devices' (covered by
         tests/test_parallel.py::test_checkpoint_restore_onto_mesh)."""
+        self._mgr.wait_until_finished()  # async saves commit before reads
         if step is None:
             step = self.latest_step()
         if step is None:

@@ -64,6 +64,10 @@ class TrainConfig:
     log_every: int = 10
     checkpoint_every_epochs: int = 10
     keep_checkpoints: int = 3
+    # Async checkpoint writes: save() returns once the state is snapshotted
+    # off-device and the disk write proceeds in a background thread
+    # (train/checkpoint.py); restore/close wait for in-flight writes.
+    async_checkpoint: bool = False
     seed: int = 0
     sigma: float = 2.0  # fixed encode spread (ProbMap default)
     decode_sigma: float = -1.0  # loss decoder spread (ArgMaxProbMap default)

@@ -520,7 +520,9 @@ class Trainer:
         cfg = self.cfg
         logger = MetricsLogger(cfg.out_dir)
         ckpt = CheckpointManager(
-            f"{cfg.out_dir}/checkpoints", keep=cfg.keep_checkpoints
+            f"{cfg.out_dir}/checkpoints",
+            keep=cfg.keep_checkpoints,
+            async_save=cfg.async_checkpoint,
         )
         start_step = 0
         if cfg.resume and ckpt.latest_step() is not None:
@@ -596,6 +598,7 @@ class Trainer:
                 ckpt.latest_step() != step_idx
             ):
                 ckpt.save(step_idx, self.state, metadata=layout_metadata(cfg))
+        ckpt.wait()  # commit any in-flight async save before the check
         if ckpt.latest_step() != step_idx:
             ckpt.save(
                 step_idx,

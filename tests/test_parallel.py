@@ -109,6 +109,48 @@ def test_batch_sharding_layout(tmp_path):
     assert shards.spec == jax.sharding.PartitionSpec("data")
 
 
+def test_head_batch_spec():
+    """Head-input reshard spec: batch-shard over every >1 mesh axis; None
+    under dp-only meshes or indivisible batches."""
+    from jax.sharding import PartitionSpec as P
+
+    from probpose_pytorch_tpu.parallel import head_batch_spec
+
+    assert head_batch_spec(None, 8) is None
+    assert head_batch_spec(make_mesh(8, 1), 8) is None  # dp-only
+    assert head_batch_spec(make_mesh(8, 2), 8) == P(("data", "model"))
+    assert head_batch_spec(
+        make_mesh(8, 2, pipeline_parallel=2), 8
+    ) == P(("data", "model", "pipe"))
+    assert head_batch_spec(make_mesh(8, 2), 4) is None  # 4 % 8 != 0
+
+
+def test_head_reshard_on_tp_mesh(tmp_path):
+    """On a tensor-parallel mesh the model reshards the trunk output so the
+    head runs data-parallel over BOTH axes (no redundant head compute on
+    the model axis): outputs match the no-mesh model exactly and carry the
+    all-axes batch sharding."""
+    from jax.sharding import PartitionSpec as P
+
+    from probpose_pytorch_tpu.models.model import build_model
+
+    cfg = _cfg(tmp_path).model
+    mesh = make_mesh(8, model_parallel=2)
+    m_ref = build_model(cfg)
+    m_mesh = build_model(cfg, mesh=mesh)
+    x = jnp.asarray(
+        np.random.RandomState(3).rand(8, 64, 48, 3), jnp.float32
+    )
+    variables = m_ref.init(jax.random.PRNGKey(0), x)
+    out_ref = m_ref.apply(variables, x)
+    out = jax.jit(lambda v, a: m_mesh.apply(v, a))(
+        variables, shard_batch(x, mesh)
+    )
+    for a, b in zip(out, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    assert out[0].sharding.spec == P(("data", "model"))
+
+
 def test_hybrid_mesh_single_slice_fallback():
     from probpose_pytorch_tpu.parallel import make_hybrid_mesh
 

@@ -102,6 +102,35 @@ class TestTrainer:
         trainer2.fit(_data(cfg), max_steps=1)
         assert int(trainer2.state.step) == 3
 
+    def test_async_checkpoint_roundtrip(self, tmp_path):
+        """async_checkpoint=True: fit returns with the write committed
+        (fit waits before close), a fresh trainer resumes from it, and a
+        direct async save followed by restore yields identical leaves
+        (restore waits for the in-flight write)."""
+        import dataclasses
+
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        cfg = dataclasses.replace(_tiny_cfg(tmp_path), async_checkpoint=True)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        trainer.fit(_data(cfg), max_steps=2)
+        assert int(trainer.state.step) == 2
+        trainer2 = Trainer.create(cfg, steps_per_epoch=2)
+        trainer2.fit(_data(cfg), max_steps=1)
+        assert int(trainer2.state.step) == 3
+
+        ckpt = CheckpointManager(tmp_path / "async_ck", async_save=True)
+        ckpt.save(7, trainer2.state)
+        restored = ckpt.restore(trainer2.state)  # waits for the write
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            restored.params,
+            trainer2.state.params,
+        )
+        ckpt.close()
+
     def test_nonfinite_loss_recovers_from_checkpoint(self, tmp_path, capsys):
         """Failure containment (train/loop.py fit): NaN-poisoned batches
         corrupt the params (no optax guard: max_nonfinite_skips=0); two
