@@ -125,12 +125,50 @@ class TopDownPredictor:
     # pixels produce the values out-of-frame samples produced anyway.
     # None disables (exact frame shapes).
     frame_size_multiple: int | None = 64
+    # "int8": post-training dynamic-quantized backbone matmuls
+    # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
+    # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
+    # quantize/dequantize elementwise passes cost more than the int8 MXU
+    # saves — docs/PERF.md "int8 serving"), with ~0.9998 feature
+    # correlation. Plain ViT backbones only (no prefix tokens / adapters);
+    # single-device (mesh=None).
+    quantize: str | None = None
 
     def __post_init__(self):
         import jax
 
         self._jitted: dict[tuple, Any] = {}
         self._jax = jax
+        if self.quantize is not None:
+            if self.quantize != "int8":
+                raise ValueError(f"unknown quantize mode {self.quantize!r}")
+            if self.mesh is not None:
+                raise ValueError("quantize='int8' is single-device only")
+            bb = self.model.backbone
+            from probpose_pytorch_tpu.models.vit import ViTBackbone
+
+            if not isinstance(bb, ViTBackbone) or bb.num_prefix_tokens or (
+                bb.adapter_hidden
+            ):
+                raise ValueError(
+                    "quantize='int8' supports plain ViTBackbones (no prefix "
+                    "tokens, no adapters)"
+                )
+            from probpose_pytorch_tpu.models.vit_int8 import (
+                quantize_vit_params,
+            )
+
+            head_vars = {"params": self.variables["params"]["head"]}
+            if "batch_stats" in self.variables:
+                head_vars["batch_stats"] = self.variables["batch_stats"][
+                    "head"
+                ]
+            self.variables = {
+                "qparams": quantize_vit_params(
+                    self.variables["params"]["backbone"], depth=bb.depth
+                ),
+                "head": head_vars,
+            }
         if self.mesh is not None:
             from probpose_pytorch_tpu.parallel.sharding import shard_params
 
@@ -161,7 +199,24 @@ class TopDownPredictor:
             crops = crop_resize(
                 frames, boxes, self.input_size, self.preprocess_method
             )
-            pred = self.model.apply(variables, crops, train=False)
+            if self.quantize == "int8":
+                from probpose_pytorch_tpu.models.vit_int8 import (
+                    vit_forward_int8,
+                )
+
+                bb = self.model.backbone
+                feats = vit_forward_int8(
+                    variables["qparams"],
+                    crops,
+                    patch_size=bb.patch_size,
+                    depth=bb.depth,
+                    num_heads=bb.num_heads,
+                )
+                pred = self.model.head.apply(
+                    variables["head"], feats, train=False
+                )
+            else:
+                pred = self.model.apply(variables, crops, train=False)
             (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
             H, W = self.input_size
             kpts = untransform_keypoints(kpts, boxes, (H, W))
@@ -250,6 +305,7 @@ def load_predictor(
     checkpoint_dir: str | Path,
     config_path: str | Path | None = None,
     ema: bool = False,
+    quantize: str | None = None,
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -281,6 +337,7 @@ def load_predictor(
         variables=variables,
         codec=trainer.encode_codec,
         input_size=cfg.model.img_size,
+        quantize=quantize,
     )
 
 
@@ -298,13 +355,24 @@ def main(argv: Sequence[str] | None = None) -> None:
                         help="normalize heatmap PNGs to their max")
     parser.add_argument("--prob-threshold", type=float, default=0.9)
     parser.add_argument("--ema", action="store_true", help="use EMA params")
+    parser.add_argument(
+        "--int8",
+        action="store_true",
+        help="post-training int8-quantized backbone matmuls (opt-in; "
+        "measured slower than bf16 at ViT-S/B on v5e — docs/PERF.md)",
+    )
     args = parser.parse_args(argv)
 
     import PIL.Image
 
     from probpose_pytorch_tpu.viz import draw_keypoints
 
-    predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    predictor = load_predictor(
+        args.checkpoint,
+        args.config,
+        ema=args.ema,
+        quantize="int8" if args.int8 else None,
+    )
     predictor.return_heatmaps = True  # one forward serves decode + PNG dump
     if args.input_size:
         h, w = (int(v) for v in args.input_size.split(","))

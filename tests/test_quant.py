@@ -47,6 +47,100 @@ class TestPrimitives:
         assert np.asarray(q).max() == 0
 
 
+class TestQuantizedPredictor:
+    def test_int8_predictor_tracks_f32(self, tmp_path):
+        """TopDownPredictor(quantize='int8') runs the full serving path
+        (fused crop -> int8 backbone -> head -> decode -> untransform) and
+        its keypoints track the f32 predictor within the quantization
+        error budget."""
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-q",
+            dict(embed_dim=64, depth=2, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48),
+                num_keypoints=5,
+                backbone="vit-tiny-q",
+                compute_dtype="float32",
+                deconv_out_channels=(32, 32),
+                deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+            out_dir=str(tmp_path / "run"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        kw = dict(
+            model=trainer.model,
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+            return_heatmaps=True,
+        )
+        pred_f32 = TopDownPredictor(variables=variables, **kw)
+        pred_int8 = TopDownPredictor(
+            variables=variables, quantize="int8", **kw
+        )
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 255, (4, 128, 96, 3), dtype=np.uint8)
+        boxes = np.tile(
+            np.array([[8, 8, 80, 112]], np.float32), (4, 1)
+        )
+        out8 = pred_int8(frames, boxes)
+        outf = pred_f32(frames, boxes)
+        assert out8["keypoints"].shape == outf["keypoints"].shape
+        assert np.isfinite(out8["keypoints"]).all()
+        assert (out8["probabilities"] >= 0).all()
+        assert (out8["probabilities"] <= 1).all()
+        # An untrained model's heatmaps are diffuse, so decoded argmax
+        # locations are chaotic under any perturbation — the fidelity
+        # signal is the heatmap field itself (cf. the 0.9998 correlation
+        # measured on trained ViT-S features, docs/PERF.md).
+        corr = np.corrcoef(
+            out8["heatmaps"].ravel().astype(np.float64),
+            outf["heatmaps"].ravel().astype(np.float64),
+        )[0, 1]
+        assert corr > 0.95, corr
+
+    def test_rejects_prefix_token_backbones(self, tmp_path):
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.head import ProbMapHead
+        from probpose_pytorch_tpu.models.model import ProbPoseModel
+
+        bb = ViTBackbone(
+            img_size=(64, 48), patch_size=16, embed_dim=64, depth=2,
+            num_heads=2, dtype=jnp.float32, num_prefix_tokens=2,
+        )
+        head = ProbMapHead(
+            out_channels=5,
+            pool_sizes=((2, 2), (2, 2)),
+            deconv_out_channels=(32, 32),
+            deconv_kernel_sizes=(4, 4),
+        )
+        model = ProbPoseModel(backbone=bb, head=head)
+        x = jnp.zeros((1, 64, 48, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        import pytest
+
+        with pytest.raises(ValueError, match="prefix"):
+            TopDownPredictor(
+                model=model,
+                variables=variables,
+                codec=None,
+                input_size=(64, 48),
+                quantize="int8",
+            )
+
+
 class TestQuantizedViT:
     def test_matches_f32_forward(self):
         m = ViTBackbone(
