@@ -26,13 +26,31 @@ def main(argv=None) -> None:
     parser.add_argument("--max-samples", type=int, default=None)
     parser.add_argument("--bbox-scale", type=float, default=1.25)
     parser.add_argument("--ema", action="store_true")
+    parser.add_argument(
+        "--data-parallel",
+        action="store_true",
+        help="shard eval batches over all devices (dp mesh); the batch "
+        "size is rounded up to a device-count multiple",
+    )
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.data.coco import COCOPoseDataset
     from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
     from probpose_pytorch_tpu.inference import load_predictor
 
-    predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from probpose_pytorch_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            mesh = make_mesh(n_dev, model_parallel=1)
+            args.batch_size = -(-args.batch_size // n_dev) * n_dev
+    predictor = load_predictor(
+        args.checkpoint, args.config, ema=args.ema, mesh=mesh
+    )
     dataset = COCOPoseDataset(
         args.annotations,
         args.images,

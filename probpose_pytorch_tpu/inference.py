@@ -306,6 +306,7 @@ def load_predictor(
     config_path: str | Path | None = None,
     ema: bool = False,
     quantize: str | None = None,
+    mesh: Any = None,
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -338,6 +339,7 @@ def load_predictor(
         codec=trainer.encode_codec,
         input_size=cfg.model.img_size,
         quantize=quantize,
+        mesh=mesh,
     )
 
 

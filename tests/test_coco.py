@@ -245,3 +245,18 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rec) >= {"AP", "AP50", "AR"}
     assert 0.0 <= rec["AP"] <= 1.0 or rec["AP"] == -1.0
+
+    # Data-parallel eval over the 8-device mesh: identical metrics (the
+    # batch is rounded up to a device-count multiple and the predictor
+    # shards it over the dp mesh).
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--data-parallel",
+    ])
+    rec_dp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k, v in rec.items():
+        assert rec_dp[k] == pytest.approx(v, abs=1e-6), k
