@@ -27,6 +27,12 @@ def main(argv=None) -> None:
     parser.add_argument("--bbox-scale", type=float, default=1.25)
     parser.add_argument("--ema", action="store_true")
     parser.add_argument(
+        "--flip-test",
+        action="store_true",
+        help="flip-test TTA (average with the mirrored forward; COCO-17 "
+        "left/right pairs)",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -49,7 +55,11 @@ def main(argv=None) -> None:
             mesh = make_mesh(n_dev, model_parallel=1)
             args.batch_size = -(-args.batch_size // n_dev) * n_dev
     predictor = load_predictor(
-        args.checkpoint, args.config, ema=args.ema, mesh=mesh
+        args.checkpoint,
+        args.config,
+        ema=args.ema,
+        mesh=mesh,
+        flip_test=args.flip_test,
     )
     dataset = COCOPoseDataset(
         args.annotations,

@@ -125,6 +125,13 @@ class TopDownPredictor:
     # pixels produce the values out-of-frame samples produced anyway.
     # None disables (exact frame shapes).
     frame_size_multiple: int | None = 64
+    # Flip-test TTA: a second forward on the W-mirrored crops, heatmaps
+    # mirrored back with left/right channels swapped, predictions averaged
+    # (standard top-down eval practice; ~2x compute for a small AP gain).
+    # Baked into the jitted program — and therefore into exported serving
+    # bundles. flip_pairs defaults to the COCO-17 skeleton.
+    flip_test: bool = False
+    flip_pairs: tuple = None  # type: ignore[assignment]
     # "int8": post-training dynamic-quantized backbone matmuls
     # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
@@ -195,10 +202,7 @@ class TopDownPredictor:
             untransform_keypoints,
         )
 
-        def run(variables, frames, boxes):
-            crops = crop_resize(
-                frames, boxes, self.input_size, self.preprocess_method
-            )
+        def forward(variables, crops):
             if self.quantize == "int8":
                 from probpose_pytorch_tpu.models.vit_int8 import (
                     vit_forward_int8,
@@ -212,11 +216,29 @@ class TopDownPredictor:
                     depth=bb.depth,
                     num_heads=bb.num_heads,
                 )
-                pred = self.model.head.apply(
+                return self.model.head.apply(
                     variables["head"], feats, train=False
                 )
-            else:
-                pred = self.model.apply(variables, crops, train=False)
+            return self.model.apply(variables, crops, train=False)
+
+        def run(variables, frames, boxes):
+            crops = crop_resize(
+                frames, boxes, self.input_size, self.preprocess_method
+            )
+            pred = forward(variables, crops)
+            if self.flip_test:
+                from probpose_pytorch_tpu.ops.augment import (
+                    COCO_FLIP_PAIRS,
+                    average_flip_pred,
+                )
+
+                pairs = (
+                    self.flip_pairs
+                    if self.flip_pairs is not None
+                    else COCO_FLIP_PAIRS
+                )
+                pred_f = forward(variables, crops[:, :, ::-1, :])
+                pred = average_flip_pred(pred, pred_f, pairs)
             (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
             H, W = self.input_size
             kpts = untransform_keypoints(kpts, boxes, (H, W))
@@ -234,12 +256,13 @@ class TopDownPredictor:
 
         return run
 
-    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
-        """frames: (B, Hs, Ws, 3) uint8; boxes: (B, 4) xywh. Returns a dict of
-        numpy arrays with frame-space keypoints."""
+    def _dispatch(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        """Enqueue one batch on the device and return the (still in-flight)
+        device output dict — JAX async dispatch means this returns as soon
+        as the program is enqueued, not when it finishes."""
         import jax.numpy as jnp
 
-        key = (frames.shape, boxes.shape, self.return_heatmaps)
+        key = (frames.shape, boxes.shape, self.return_heatmaps, self.flip_test)
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
         frames = jnp.asarray(frames)
@@ -248,8 +271,39 @@ class TopDownPredictor:
             from probpose_pytorch_tpu.parallel.sharding import shard_batch
 
             frames, boxes = shard_batch((frames, boxes), self.mesh)
-        out = self._jitted[key](self.variables, frames, boxes)
+        return self._jitted[key](self.variables, frames, boxes)
+
+    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        """frames: (B, Hs, Ws, 3) uint8; boxes: (B, 4) xywh. Returns a dict of
+        numpy arrays with frame-space keypoints."""
+        out = self._dispatch(frames, boxes)
         return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict_stream(self, batches, depth: int = 2):
+        """Stream serving: iterate (frames, boxes) batches, yield output
+        dicts in order, keeping up to `depth` batches in flight. Uploads +
+        dispatch run on a worker thread while the main thread downloads
+        results, so batch i+1's host→device transfer overlaps batch i's
+        compute and device→host readback — transfers block the calling
+        thread on tunneled/PCIe links, so same-thread async dispatch alone
+        cannot overlap them; the thread pipeline can. This is the
+        wall-clock serving path for video / request streams. depth=2
+        suffices; larger depths only add device memory pressure."""
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        in_flight: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for frames, boxes in batches:
+                in_flight.append(pool.submit(self._dispatch, frames, boxes))
+                if len(in_flight) > depth:
+                    out = in_flight.popleft().result()
+                    yield {k: np.asarray(v) for k, v in out.items()}
+            while in_flight:
+                out = in_flight.popleft().result()
+                yield {k: np.asarray(v) for k, v in out.items()}
 
     def predict_frame(
         self,
@@ -307,6 +361,7 @@ def load_predictor(
     ema: bool = False,
     quantize: str | None = None,
     mesh: Any = None,
+    flip_test: bool = False,
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -340,6 +395,7 @@ def load_predictor(
         input_size=cfg.model.img_size,
         quantize=quantize,
         mesh=mesh,
+        flip_test=flip_test,
     )
 
 
@@ -363,6 +419,12 @@ def main(argv: Sequence[str] | None = None) -> None:
         help="post-training int8-quantized backbone matmuls (opt-in; "
         "measured slower than bf16 at ViT-S/B on v5e — docs/PERF.md)",
     )
+    parser.add_argument(
+        "--flip-test",
+        action="store_true",
+        help="flip-test TTA: average predictions with the horizontally "
+        "mirrored forward (COCO-17 left/right pairs)",
+    )
     args = parser.parse_args(argv)
 
     import PIL.Image
@@ -374,6 +436,7 @@ def main(argv: Sequence[str] | None = None) -> None:
         args.config,
         ema=args.ema,
         quantize="int8" if args.int8 else None,
+        flip_test=args.flip_test,
     )
     predictor.return_heatmaps = True  # one forward serves decode + PNG dump
     if args.input_size:

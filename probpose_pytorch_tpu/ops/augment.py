@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["AugmentConfig", "augment_boxes", "flip_crops_and_keypoints",
-           "color_jitter", "COCO_FLIP_PAIRS"]
+           "color_jitter", "average_flip_pred", "COCO_FLIP_PAIRS"]
 
 # Left/right keypoint index pairs for the 17-keypoint COCO skeleton.
 COCO_FLIP_PAIRS = (
@@ -118,3 +118,24 @@ def color_jitter(
     )
     mean = jnp.mean(crops, axis=(1, 2, 3), keepdims=True)
     return jnp.clip((crops - mean) * c + mean + b, 0.0, 1.0)
+
+
+def average_flip_pred(
+    pred: tuple[jax.Array, ...],
+    pred_flipped: tuple[jax.Array, ...],
+    pairs: Sequence[tuple[int, int]],
+) -> tuple[jax.Array, ...]:
+    """Average a head 5-tuple with its horizontally-flipped twin (flip-test
+    TTA). `pred_flipped` is the model's output on the W-mirrored crops; its
+    heatmaps mirror back along W and swap left/right channels, the per-
+    keypoint scalars (probability/visibility/oks/error, each (B, K, 1, 1))
+    swap channels only. Under the codec's x_hm ∈ [0, W_hm−1] affine
+    (codec.py:131-133) an array reverse along W is the exact mirror, so no
+    sub-pixel shift correction is needed (unlike shift_heatmap conventions
+    tied to align-corners-false codecs)."""
+    hm, *scalars = pred
+    hm_f, *scalars_f = pred_flipped
+    out = [(hm + _swap_pairs(hm_f[..., ::-1], pairs)) * 0.5]
+    for s, sf in zip(scalars, scalars_f):
+        out.append((s + _swap_pairs(sf, pairs)) * 0.5)
+    return tuple(out)

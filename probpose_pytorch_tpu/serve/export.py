@@ -1,0 +1,251 @@
+"""StableHLO serving bundles: export the predictor, reload without model code.
+
+`export_predictor_bundle` serializes the `TopDownPredictor`'s whole fused
+serving program — per-box crop+resize+normalize, backbone forward (incl. the
+packed Pallas attention kernel when exporting on TPU), head, expected-value
+decode, frame-space un-mapping — once per batch bucket via `jax.export`, and
+writes a self-contained directory:
+
+    bundle/
+      manifest.json   # input size, buckets, frame shape, platforms, version
+      params.npz      # the variables pytree, flattened with '/'-joined keys
+      fn_b{B}.bin     # serialized jax.export.Exported per bucket
+
+`ServingBundle.load` reconstructs a callable from that directory alone — no
+flax model definitions, TrainConfig, or codec objects needed on the serving
+host; the deployment dependency surface is jax + numpy. This is the
+TPU-native replacement for the reference's pickle-the-module deployment
+(reference inference.py:62-70) and mirrors the `predict_frame` bucket-padding
+semantics (inference.py): variable box counts pad up a bucket ladder, frames
+zero-pad to the exported frame shape (zero padding is exactly the
+out-of-extent sampling the cropper already performs, ops/preprocess.py).
+
+Buckets are static shapes by design: one compiled program per bucket matches
+how the predictor already serves (XLA static-shape model), and keeps the
+Pallas kernel's grid static.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import numpy as np
+
+BUNDLE_VERSION = 1
+
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    from collections.abc import Mapping
+
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            if "/" in k:
+                raise ValueError(f"param key {k!r} contains '/'")
+            out.update(_flatten(v, f"{prefix}{k}/"))
+        return out
+    out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: dict[str, np.ndarray]) -> dict[str, Any]:
+    tree: dict[str, Any] = {}
+    for key, value in flat.items():
+        node = tree
+        *parents, leaf = key.split("/")
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+    return tree
+
+
+def export_predictor_bundle(
+    predictor: Any,
+    out_dir: str | Path,
+    buckets: Sequence[int],
+    frame_shape: tuple[int, int],
+    platforms: Sequence[str] | None = None,
+) -> Path:
+    """Export `predictor` (a TopDownPredictor) as a serving bundle.
+
+    buckets: ascending batch sizes; each becomes one exported program.
+    frame_shape: (H, W) of the frames the bundle accepts (smaller frames
+        zero-pad up at serve time).
+    platforms: lowering platforms for `jax.export` (default: the current
+        backend).
+    """
+    import jax
+
+    if predictor.mesh is not None:
+        raise ValueError(
+            "bundle export is single-device; pass a mesh-free predictor "
+            "(data-parallel serving replicates single-device bundles)"
+        )
+    buckets = tuple(sorted(int(b) for b in buckets))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"invalid buckets {buckets}")
+    Hf, Wf = (int(v) for v in frame_shape)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    variables = predictor.variables
+    var_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        variables,
+    )
+    fn = predictor._fn()
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    for b in buckets:
+        exported = jax.export.export(jax.jit(fn), **kwargs)(
+            var_abs,
+            jax.ShapeDtypeStruct((b, Hf, Wf, 3), np.uint8),
+            jax.ShapeDtypeStruct((b, 4), np.float32),
+        )
+        (out_dir / f"fn_b{b}.bin").write_bytes(exported.serialize())
+    np.savez(out_dir / "params.npz", **_flatten(variables))
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "buckets": list(buckets),
+        "frame_shape": [Hf, Wf],
+        "input_size": list(predictor.input_size),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "return_heatmaps": bool(predictor.return_heatmaps),
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out_dir
+
+
+@dataclasses.dataclass
+class ServingBundle:
+    """A loaded serving bundle: frames + boxes -> keypoints, no model code.
+
+    Programs deserialize lazily per bucket on first use.
+    """
+
+    directory: Path
+    manifest: dict
+    variables: dict
+
+    @classmethod
+    def load(cls, directory: str | Path) -> "ServingBundle":
+        directory = Path(directory)
+        manifest = json.loads((directory / "manifest.json").read_text())
+        if manifest.get("version") != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {manifest.get('version')} != "
+                f"{BUNDLE_VERSION} (re-export with this release)"
+            )
+        with np.load(directory / "params.npz") as z:
+            variables = _unflatten({k: z[k] for k in z.files})
+        self = cls(directory=directory, manifest=manifest, variables=variables)
+        self._programs: dict[int, Any] = {}
+        return self
+
+    @property
+    def buckets(self) -> tuple[int, ...]:
+        return tuple(self.manifest["buckets"])
+
+    @property
+    def frame_shape(self) -> tuple[int, int]:
+        return tuple(self.manifest["frame_shape"])
+
+    def _program(self, bucket: int):
+        if bucket not in self._programs:
+            import jax
+
+            blob = (self.directory / f"fn_b{bucket}.bin").read_bytes()
+            self._programs[bucket] = jax.export.deserialize(bytearray(blob))
+        return self._programs[bucket]
+
+    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        """frames: (B, H, W, 3) uint8 with (H, W) <= the exported frame
+        shape (zero-padded up); boxes: (B, 4) xywh, B must be an exported
+        bucket. Returns numpy arrays (frame-space keypoints etc.)."""
+        b = len(frames)
+        if b not in self.buckets:
+            raise ValueError(f"batch {b} is not an exported bucket {self.buckets}")
+        frames = self._pad_frames(np.asarray(frames, np.uint8))
+        out = self._program(b).call(
+            self.variables, frames, np.asarray(boxes, np.float32)
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def _pad_frames(self, frames: np.ndarray) -> np.ndarray:
+        Hf, Wf = self.frame_shape
+        B, H, W, C = frames.shape
+        if (H, W) == (Hf, Wf):
+            return frames
+        if H > Hf or W > Wf:
+            raise ValueError(
+                f"frame {(H, W)} exceeds the exported shape {(Hf, Wf)}"
+            )
+        return np.pad(frames, ((0, 0), (0, Hf - H), (0, Wf - W), (0, 0)))
+
+    def predict_frame(self, frame: np.ndarray, boxes: np.ndarray) -> dict:
+        """Variable-count boxes on one frame: pads the box list to the next
+        exported bucket (chunking past the largest) and strips the padding —
+        the bundle-side mirror of TopDownPredictor.predict_frame."""
+        n = len(boxes)
+        if n == 0:
+            return {}
+        top = self.buckets[-1]
+        bucket = next((b for b in self.buckets if b >= n), None)
+        if bucket is None:
+            parts = [
+                self.predict_frame(frame, boxes[i : i + top])
+                for i in range(0, n, top)
+            ]
+            return {
+                k: np.concatenate([p[k] for p in parts]) for k in parts[0]
+            }
+        boxes = np.asarray(boxes, np.float32)
+        padded = np.concatenate(
+            [boxes, np.tile(boxes[-1:], (bucket - n, 1))], axis=0
+        )
+        frames = np.broadcast_to(
+            np.asarray(frame, np.uint8), (bucket, *frame.shape)
+        )
+        out = self(frames, padded)
+        return {k: v[:n] for k, v in out.items()}
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="Export a checkpoint as a StableHLO serving bundle"
+    )
+    parser.add_argument("--checkpoint", type=Path, required=True,
+                        help="Orbax checkpoint directory")
+    parser.add_argument("--config", type=Path, default=None,
+                        help="TrainConfig JSON (default: beside checkpoint)")
+    parser.add_argument("--out", type=Path, required=True,
+                        help="bundle output directory")
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="comma-separated batch buckets (default: the "
+                        "autotuned ladder for this hardware)")
+    parser.add_argument("--frame-size", type=str, required=True,
+                        help="H,W frame shape the bundle accepts")
+    parser.add_argument("--ema", action="store_true", help="use EMA params")
+    args = parser.parse_args(argv)
+
+    from probpose_pytorch_tpu.inference import (
+        load_predictor,
+        tuned_bucket_ladder,
+        tuned_serving_batch,
+    )
+
+    if args.buckets:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+    else:
+        buckets = tuned_bucket_ladder() or (tuned_serving_batch(),)
+    frame_shape = tuple(int(v) for v in args.frame_size.split(","))
+    predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
+    export_predictor_bundle(predictor, args.out, buckets, frame_shape)
+    print(f"wrote bundle {args.out} (buckets {buckets}, frame {frame_shape})")
+
+
+if __name__ == "__main__":
+    main()

@@ -98,6 +98,11 @@ class TrainConfig:
     # ZeRO-1-style optimizer-state sharding over the data axis
     # (parallel/sharding.py:opt_state_shardings); dp-only meshes.
     shard_opt_state: bool = False
+    # Device batches kept ready ahead of the step: host->device uploads run
+    # on a worker thread so batch i+1's transfer overlaps step i's compute
+    # (uploads block the calling thread, so the loop alone cannot overlap
+    # them). <=1 disables (synchronous upload per step).
+    device_prefetch: int = 2
 
     # ----- (de)serialization -----
     def to_json(self) -> str:

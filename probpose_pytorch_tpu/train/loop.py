@@ -511,6 +511,30 @@ class Trainer:
             }
         return shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
 
+    def _prefetched(self, batches) -> Any:
+        """Iterate `batches` with `device_prefetch` device batches kept
+        ready: uploads (`_device_batch`) run on a worker thread so the next
+        batch's host->device transfer overlaps the current step's compute.
+        Uploads block the thread that issues them, so the plain loop cannot
+        overlap them with the (async-dispatched) step; the worker thread
+        can. Order is preserved; <=1 falls back to synchronous uploads."""
+        depth = int(getattr(self.cfg, "device_prefetch", 0))
+        if depth <= 1:
+            for batch in batches:
+                yield self._device_batch(batch)
+            return
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for batch in batches:
+                pending.append(pool.submit(self._device_batch, batch))
+                if len(pending) >= depth:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
     def fit(
         self,
         train_batches: Callable[[], Iterable[dict[str, Any]]],
@@ -538,8 +562,7 @@ class Trainer:
         for epoch in range(cfg.epochs):
             if done:
                 break
-            for batch in train_batches():
-                batch = self._device_batch(batch)
+            for batch in self._prefetched(train_batches()):
                 self.state, metrics = self.train_step(self.state, batch)
                 if step_idx % cfg.log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}

@@ -132,6 +132,27 @@ def test_multiperson_predictor(tmp_path):
     x1 = boxes[:, None, 0] + 2 * boxes[:, None, 2]
     assert ((out["keypoints"][..., 0] >= x0) & (out["keypoints"][..., 0] <= x1)).all()
 
+    # predict_stream: same results, order preserved, batches stay in flight.
+    batches = []
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        batches.append(
+            (
+                r.integers(0, 256, (3, 120, 160, 3), dtype=np.uint8),
+                r.uniform([0, 0, 40, 50], [60, 40, 90, 70], (3, 4)).astype(
+                    np.float32
+                ),
+            )
+        )
+    streamed = list(predictor.predict_stream(iter(batches), depth=2))
+    assert len(streamed) == 5
+    for (f, b), got in zip(batches, streamed):
+        want = predictor(f, b)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="depth"):
+        next(predictor.predict_stream(iter(batches), depth=0))
+
 
 def test_host_metrics_match_on_device():
     import jax.numpy as jnp

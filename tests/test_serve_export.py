@@ -1,0 +1,230 @@
+"""Serving bundles: jax.export roundtrip, bucket/frame padding, CLI.
+
+The bundle must reproduce the live predictor exactly (same traced program,
+same params) and must load without touching the model-building code paths.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.models.vit import ViTConfig
+
+ViTConfig.PRESETS.setdefault(
+    "vit-tiny-e2e", dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0)
+)
+
+
+def _tiny_predictor(out_dir):
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48),
+            num_keypoints=5,
+            backbone="vit-tiny-e2e",
+            compute_dtype="float32",
+            deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4),
+            pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir=str(out_dir),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    predictor = TopDownPredictor(
+        model=trainer.model,
+        variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+    return trainer, predictor
+
+
+def _frames_boxes(rng, b, h=60, w=62):
+    frames = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    boxes = np.stack(
+        [
+            rng.uniform(0, w / 2, b),
+            rng.uniform(0, h / 2, b),
+            rng.uniform(10, w / 2, b),
+            rng.uniform(10, h / 2, b),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return frames, boxes
+
+
+@pytest.fixture(scope="module")
+def bundle_env(tmp_path_factory):
+    from probpose_pytorch_tpu.serve import (
+        ServingBundle,
+        export_predictor_bundle,
+    )
+
+    root = tmp_path_factory.mktemp("bundle")
+    _, predictor = _tiny_predictor(root / "run")
+    out = export_predictor_bundle(
+        predictor, root / "bundle", buckets=(1, 4), frame_shape=(64, 64)
+    )
+    return predictor, ServingBundle.load(out)
+
+
+class TestBundle:
+    def test_manifest(self, bundle_env):
+        _, bundle = bundle_env
+        assert bundle.buckets == (1, 4)
+        assert bundle.frame_shape == (64, 64)
+        assert (bundle.directory / "fn_b1.bin").exists()
+        assert (bundle.directory / "fn_b4.bin").exists()
+
+    def test_roundtrip_matches_predictor(self, bundle_env):
+        predictor, bundle = bundle_env
+        rng = np.random.default_rng(0)
+        frames, boxes = _frames_boxes(rng, 4, h=64, w=64)
+        live = predictor(frames, boxes)
+        exported = bundle(frames, boxes)
+        assert set(live) == set(exported)
+        for k in live:
+            np.testing.assert_allclose(
+                exported[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
+
+    def test_frame_zero_padding_matches_predictor_semantics(self, bundle_env):
+        """A smaller frame zero-pads up to the exported shape; the cropper
+        treats out-of-extent samples as black, so results equal the live
+        predictor on the same (unpadded) frame."""
+        predictor, bundle = bundle_env
+        rng = np.random.default_rng(1)
+        frames, boxes = _frames_boxes(rng, 4, h=50, w=40)
+        live = predictor(frames, boxes)
+        exported = bundle(frames, boxes)
+        for k in live:
+            np.testing.assert_allclose(
+                exported[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
+
+    def test_oversized_frame_rejected(self, bundle_env):
+        _, bundle = bundle_env
+        rng = np.random.default_rng(2)
+        frames, boxes = _frames_boxes(rng, 4, h=65, w=64)
+        with pytest.raises(ValueError, match="exceeds"):
+            bundle(frames, boxes)
+
+    def test_non_bucket_batch_rejected(self, bundle_env):
+        _, bundle = bundle_env
+        rng = np.random.default_rng(3)
+        frames, boxes = _frames_boxes(rng, 3, h=64, w=64)
+        with pytest.raises(ValueError, match="bucket"):
+            bundle(frames, boxes)
+
+    def test_predict_frame_pads_and_chunks(self, bundle_env):
+        predictor, bundle = bundle_env
+        rng = np.random.default_rng(4)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        # n=3 pads to bucket 4; n=9 chunks past the top bucket (4,4,1).
+        for n in (3, 9):
+            _, boxes = _frames_boxes(rng, n, h=64, w=64)
+            out = bundle.predict_frame(frame, boxes)
+            live = predictor.predict_frame(frame, boxes, buckets=(1, 4))
+            assert len(out["keypoints"]) == n
+            np.testing.assert_allclose(
+                out["keypoints"], live["keypoints"], rtol=1e-6, atol=1e-6
+            )
+
+    def test_load_does_not_need_model_code(self, bundle_env, monkeypatch):
+        """The deployment promise: a loaded bundle serves without building
+        models — flax model construction must never run."""
+        _, bundle = bundle_env
+        import probpose_pytorch_tpu.models.model as model_mod
+        from probpose_pytorch_tpu.serve import ServingBundle
+
+        def boom(*a, **k):  # pragma: no cover - would fail the test
+            raise AssertionError("model code invoked during bundle serving")
+
+        monkeypatch.setattr(model_mod, "build_model", boom)
+        fresh = ServingBundle.load(bundle.directory)
+        rng = np.random.default_rng(5)
+        frames, boxes = _frames_boxes(rng, 1, h=64, w=64)
+        out = fresh(frames, boxes)
+        assert out["keypoints"].shape[0] == 1
+
+    def test_version_gate(self, bundle_env, tmp_path):
+        _, bundle = bundle_env
+        import shutil
+
+        from probpose_pytorch_tpu.serve import ServingBundle
+
+        copy = tmp_path / "old"
+        shutil.copytree(bundle.directory, copy)
+        manifest = json.loads((copy / "manifest.json").read_text())
+        manifest["version"] = 0
+        (copy / "manifest.json").write_text(json.dumps(manifest))
+        with pytest.raises(ValueError, match="version"):
+            ServingBundle.load(copy)
+
+
+def test_flatten_roundtrip():
+    from probpose_pytorch_tpu.serve.export import _flatten, _unflatten
+
+    tree = {
+        "params": {"backbone": {"w": np.arange(6).reshape(2, 3)}, "b": np.ones(2)},
+        "batch_stats": {"head": {"mean": np.zeros(3)}},
+    }
+    flat = _flatten(tree)
+    assert set(flat) == {
+        "params/backbone/w",
+        "params/b",
+        "batch_stats/head/mean",
+    }
+    back = _unflatten(flat)
+    np.testing.assert_array_equal(back["params"]["backbone"]["w"], tree["params"]["backbone"]["w"])
+    np.testing.assert_array_equal(back["batch_stats"]["head"]["mean"], np.zeros(3))
+
+
+def test_export_cli(tmp_path):
+    """Checkpoint dir -> bundle via the CLI entry point."""
+    from probpose_pytorch_tpu.serve.export import main
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    trainer, predictor = _tiny_predictor(tmp_path / "run")
+    ckpt_dir = tmp_path / "run" / "checkpoints"
+    ckpt = CheckpointManager(ckpt_dir)
+    ckpt.save(0, trainer.state, force=True)
+    trainer.cfg.save(tmp_path / "run" / "config.json")
+    out = tmp_path / "bundle"
+    main(
+        [
+            "--checkpoint", str(ckpt_dir),
+            "--out", str(out),
+            "--buckets", "2",
+            "--frame-size", "64,64",
+        ]
+    )
+    from probpose_pytorch_tpu.serve import ServingBundle
+
+    bundle = ServingBundle.load(out)
+    rng = np.random.default_rng(6)
+    frames, boxes = _frames_boxes(rng, 2, h=64, w=64)
+    live = predictor(frames, boxes)
+    exported = bundle(frames, boxes)
+    np.testing.assert_allclose(
+        exported["keypoints"], live["keypoints"], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_mesh_predictor_rejected(tmp_path):
+    from probpose_pytorch_tpu.serve import export_predictor_bundle
+
+    _, predictor = _tiny_predictor(tmp_path / "run")
+    predictor.mesh = object()  # any non-None mesh marker
+    with pytest.raises(ValueError, match="single-device"):
+        export_predictor_bundle(
+            predictor, tmp_path / "b", buckets=(1,), frame_shape=(64, 64)
+        )

@@ -102,6 +102,19 @@ class TestTrainer:
         trainer2.fit(_data(cfg), max_steps=1)
         assert int(trainer2.state.step) == 3
 
+    def test_device_prefetch_matches_synchronous(self, tmp_path):
+        """Threaded upload prefetch must not change training numerics or
+        batch order: identical final params vs the synchronous path."""
+        final = {}
+        for depth in (0, 2):
+            out = tmp_path / f"pf{depth}"
+            cfg = _tiny_cfg(out, device_prefetch=depth, resume=False)
+            trainer = Trainer.create(cfg, steps_per_epoch=2)
+            trainer.fit(_data(cfg), max_steps=2)
+            final[depth] = jax.tree_util.tree_leaves(trainer.state.params)
+        for a, b in zip(final[0], final[2]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_async_checkpoint_roundtrip(self, tmp_path):
         """async_checkpoint=True: fit returns with the write committed
         (fit waits before close), a fresh trainer resumes from it, and a
