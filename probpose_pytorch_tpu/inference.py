@@ -310,6 +310,9 @@ class TopDownPredictor:
         frame: np.ndarray,
         boxes: np.ndarray,
         buckets: tuple[int, ...] | None = None,
+        nms: str | None = None,
+        nms_threshold: float = 0.9,
+        nms_sigmas: np.ndarray | None = None,
     ) -> dict:
         """Variable-count detector boxes on one frame: pads the box list to
         the next bucket size (bounding recompilation to len(buckets) programs)
@@ -319,7 +322,41 @@ class TopDownPredictor:
         beat padding up to the next rung are pruned), else powers of two up
         to the autotuned serving batch (`tuned_serving_batch`). The frame is
         likewise zero-padded to a `frame_size_multiple` size bucket so
-        variable camera resolutions stay within a bounded program count."""
+        variable camera resolutions stay within a bounded program count.
+
+        nms: None | "oks" | "soft_oks" — pose-level OKS-NMS over the
+        results (duplicate detector boxes yield duplicate poses otherwise;
+        ops/oks_nms.py). Pose score = mean over keypoints of
+        score·probability (the eval pipeline's instance score); box w·h is
+        the OKS area. Adds "pose_scores" to the output; "soft_oks" returns
+        decayed scores."""
+        if nms is not None:
+            raw = self.predict_frame(frame, boxes, buckets)
+            if not raw:
+                return raw
+            from probpose_pytorch_tpu.ops.oks_nms import oks_nms, soft_oks_nms
+
+            pose_scores = (
+                raw["scores"] * raw["probabilities"][:, 0, :]
+            ).mean(axis=1)
+            boxes = np.asarray(boxes, np.float32)
+            areas = boxes[:, 2] * boxes[:, 3]
+            if nms == "oks":
+                keep = oks_nms(
+                    raw["keypoints"], pose_scores, areas,
+                    threshold=nms_threshold, sigmas=nms_sigmas,
+                )
+                kept_scores = pose_scores[keep]
+            elif nms == "soft_oks":
+                keep, kept_scores = soft_oks_nms(
+                    raw["keypoints"], pose_scores, areas,
+                    threshold=nms_threshold, sigmas=nms_sigmas,
+                )
+            else:
+                raise ValueError(f"unknown nms mode {nms!r}")
+            out = {k: v[keep] for k, v in raw.items()}
+            out["pose_scores"] = np.asarray(kept_scores, np.float32)
+            return out
         if buckets is None:
             buckets = tuned_bucket_ladder()
         if buckets is None:
