@@ -55,6 +55,13 @@ def _permute_qkv(params: Any, num_heads: int, invert: bool) -> Any:
             return leaf[:, perm_for(leaf.shape[1] // 3)]
         if "attn" not in joined or "qkv" not in joined:
             return leaf
+        # LoRA delta on qkv (models/lora.py): b's columns live in the same
+        # 3C packing as the qkv kernel's and permute identically; a is
+        # layout-invariant (input-side).
+        if "qkv_lora" in names and names[-1] == "b" and leaf.ndim == 2:
+            return leaf[:, perm_for(leaf.shape[1] // 3)]
+        if "qkv_lora" in names:
+            return leaf
         if names[-1] == "kernel" and leaf.ndim == 2:
             return leaf[:, perm_for(leaf.shape[0])]
         if names[-1] == "bias" and leaf.ndim == 1:

@@ -79,6 +79,12 @@ class ModelConfig:
     # per-block checkpoints). Trainer.create sets pp_stages from the mesh.
     pp_stages: int = 1
     pp_microbatches: int = 0  # 0 = auto (parallel.pipeline.pick_microbatches)
+    # LoRA fine-tuning (models/lora.py): rank-r deltas on the ViT's
+    # qkv/proj/fc1/fc2 projections; 0 = off. Train only the deltas (+head)
+    # with TrainConfig.train_lora_only; fold into the base kernels for
+    # deployment with models.lora.merge_lora_params.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def heatmap_size(self) -> tuple[int, int]:
@@ -99,6 +105,8 @@ def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
     attention ride shard_map over the mesh's data axis under data
     parallelism — it does not affect parameters or numerics."""
     if cfg.backbone.startswith("conv"):
+        if cfg.lora_rank:
+            raise ValueError("lora_rank applies to ViT backbones only")
         from probpose_pytorch_tpu.models.convnet import (
             CONV_PRESETS,
             ConvBackbone,
@@ -129,6 +137,8 @@ def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
             mesh=mesh,
             pp_stages=cfg.pp_stages,
             pp_microbatches=cfg.pp_microbatches,
+            lora_rank=cfg.lora_rank,
+            lora_alpha=cfg.lora_alpha,
             **vit_kw,
         )
     head = ProbMapHead(

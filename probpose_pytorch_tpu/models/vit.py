@@ -51,13 +51,29 @@ class MlpBlock(nn.Module):
     # tanh-approximate gelu is the TPU-fast default; imported torch/timm
     # checkpoints (incl. RADIO) were trained with the exact erf form.
     exact_gelu: bool = False
+    lora_rank: int = 0  # rank-r LoRA deltas on fc1/fc2 (models/lora.py)
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=not self.exact_gelu)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
-        return x
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        if self.lora_rank:
+            from probpose_pytorch_tpu.models.lora import LoRADelta
+
+            h = h + LoRADelta(
+                self.hidden_dim, self.lora_rank, self.lora_alpha,
+                dtype=self.dtype, name="fc1_lora",
+            )(x)
+        h = nn.gelu(h, approximate=not self.exact_gelu)
+        out = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(h)
+        if self.lora_rank:
+            from probpose_pytorch_tpu.models.lora import LoRADelta
+
+            out = out + LoRADelta(
+                self.out_dim, self.lora_rank, self.lora_alpha,
+                dtype=self.dtype, name="fc2_lora",
+            )(h)
+        return out
 
 
 class Attention(nn.Module):
@@ -80,12 +96,37 @@ class Attention(nn.Module):
     # has no GSPMD rule and would be fed a replicated batch). None =
     # single-device. Tensor parallelism (model axis > 1) must use "einsum".
     mesh: Any = None
+    lora_rank: int = 0  # rank-r LoRA deltas on qkv/proj (models/lora.py)
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         head_dim = C // self.num_heads
         qkv = nn.Dense(3 * C, dtype=self.dtype, name="qkv")(x)
+        if self.lora_rank:
+            # Activation-side delta: the (x·A)·B columns follow whatever
+            # packing the base qkv kernel uses (qkv-major or head-major),
+            # so LoRA composes with every attn_impl unchanged; layout
+            # conversions permute lora b like the kernel columns
+            # (compat/layouts.py).
+            from probpose_pytorch_tpu.models.lora import LoRADelta
+
+            qkv = qkv + LoRADelta(
+                3 * C, self.lora_rank, self.lora_alpha,
+                dtype=self.dtype, name="qkv_lora",
+            )(x)
+
+        def project(out):
+            y = nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            if self.lora_rank:
+                from probpose_pytorch_tpu.models.lora import LoRADelta
+
+                y = y + LoRADelta(
+                    C, self.lora_rank, self.lora_alpha,
+                    dtype=self.dtype, name="proj_lora",
+                )(out)
+            return y
         if self.impl in ("fused", "fused_tp") and _fused_kernels_enabled():
             # Packed-layout VMEM kernel with recompute VJP: f32 softmax at
             # better-than-bf16-einsum speed (54.9% MFU fwd / 64.7% fwd+bwd at
@@ -128,7 +169,7 @@ class Attention(nn.Module):
                 out = packed_attention(
                     qkv, self.num_heads, layout=layout
                 )
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            return project(out)
         if self.impl == "fused_tp":
             # head-major einsum fallback (off-TPU without interpret mode):
             # same parameter semantics as the kernel path.
@@ -144,7 +185,7 @@ class Attention(nn.Module):
             from probpose_pytorch_tpu.ops.pallas import fused_attention
 
             out = fused_attention(q, k, v, group=16).reshape(B, N, C)
-            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+            return project(out)
         scale = 1.0 / np.sqrt(head_dim)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         # f32 softmax is the safe default for training; serving configs set
@@ -154,7 +195,7 @@ class Attention(nn.Module):
             self.dtype
         )
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+        return project(out)
 
 
 class _LayerNormParams(nn.Module):
@@ -209,6 +250,8 @@ class Block(nn.Module):
     mlp_impl: str = "dense"  # "fused" = VMEM LN+MLP+residual kernel on TPU
     exact_gelu: bool = False
     mesh: Any = None  # for shard_map-wrapped fused attention under dp
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x):
@@ -220,6 +263,8 @@ class Block(nn.Module):
             softmax_dtype=self.softmax_dtype,
             impl=self.attn_impl,
             mesh=self.mesh,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             name="attn",
         )(y)
         if self.mlp_impl == "fused" and jax.default_backend() == "tpu":
@@ -247,7 +292,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + MlpBlock(
             int(C * self.mlp_ratio), C, dtype=self.dtype,
-            exact_gelu=self.exact_gelu, name="mlp",
+            exact_gelu=self.exact_gelu, lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha, name="mlp",
         )(y)
         return x
 
@@ -480,6 +526,11 @@ class ViTBackbone(nn.Module):
     # compat.stack_vit_blocks/unstack_vit_blocks). 0 microbatches = auto.
     pp_stages: int = 1
     pp_microbatches: int = 0
+    # LoRA fine-tuning (models/lora.py): rank-r deltas on qkv/proj/fc1/fc2.
+    # Composes with attn_impl 'einsum'/'fused'/'fused_tp'; not with the
+    # stacked pipeline layout or the fused LN+MLP kernel (validated below).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @property
     def grid_size(self) -> tuple[int, int]:
@@ -520,6 +571,17 @@ class ViTBackbone(nn.Module):
                 ), x],
                 axis=1,
             )
+        if self.lora_rank:
+            if self.pp_stages > 1:
+                raise ValueError(
+                    "lora_rank > 0 does not compose with the stacked "
+                    "pipeline-parallel trunk layout (pp_stages > 1)"
+                )
+            if self.mlp_impl == "fused":
+                raise ValueError(
+                    "lora_rank > 0 does not compose with mlp_impl='fused' "
+                    "(the VMEM LN+MLP kernel bypasses the Dense modules)"
+                )
         if self.pp_stages > 1:
             x = self._pp_trunk(x)
         else:
@@ -534,6 +596,8 @@ class ViTBackbone(nn.Module):
                     mlp_impl=self.mlp_impl,
                     exact_gelu=self.exact_gelu,
                     mesh=self.mesh,
+                    lora_rank=self.lora_rank,
+                    lora_alpha=self.lora_alpha,
                     name=f"block{i}",
                 )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)

@@ -103,6 +103,10 @@ class TrainConfig:
     # (uploads block the calling thread, so the loop alone cannot overlap
     # them). <=1 disables (synchronous upload per step).
     device_prefetch: int = 2
+    # LoRA-only fine-tuning: train the LoRA deltas (model.lora_rank > 0)
+    # and the head; every other parameter gets zero updates
+    # (models/lora.py:lora_frozen_labels via optax.multi_transform).
+    train_lora_only: bool = False
 
     # ----- (de)serialization -----
     def to_json(self) -> str:

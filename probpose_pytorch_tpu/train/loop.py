@@ -449,7 +449,18 @@ class Trainer:
             freeze_oks=cfg.freeze_oks,
         )
         total_steps = steps_per_epoch * cfg.epochs
-        tx = make_optimizer(cfg.optim, total_steps)
+        frozen_labels = None
+        if cfg.train_lora_only:
+            if cfg.model.lora_rank <= 0:
+                raise ValueError(
+                    "train_lora_only requires model.lora_rank > 0"
+                )
+            from probpose_pytorch_tpu.models.lora import lora_frozen_labels
+
+            # Passed as a callable: optax.multi_transform resolves it
+            # against the actual param tree at init time.
+            frozen_labels = lora_frozen_labels
+        tx = make_optimizer(cfg.optim, total_steps, frozen_labels)
         rng = jax.random.PRNGKey(cfg.seed)
         H, W = cfg.model.img_size
         sample = jnp.zeros((1, H, W, 3), jnp.float32)
