@@ -38,6 +38,13 @@ def main(argv=None) -> None:
         help="shard eval batches over all devices (dp mesh); the batch "
         "size is rounded up to a device-count multiple",
     )
+    parser.add_argument(
+        "--model-parallel",
+        type=int,
+        default=1,
+        help="with --data-parallel: shard attention heads over a model "
+        "axis of this size (tensor-parallel serving for big backbones)",
+    )
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.data.coco import COCOPoseDataset
@@ -52,8 +59,9 @@ def main(argv=None) -> None:
 
         n_dev = len(jax.devices())
         if n_dev > 1:
-            mesh = make_mesh(n_dev, model_parallel=1)
-            args.batch_size = -(-args.batch_size // n_dev) * n_dev
+            mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
+            dp = n_dev // args.model_parallel
+            args.batch_size = -(-args.batch_size // dp) * dp
     predictor = load_predictor(
         args.checkpoint,
         args.config,

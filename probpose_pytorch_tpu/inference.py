@@ -179,19 +179,53 @@ class TopDownPredictor:
         if self.mesh is not None:
             from probpose_pytorch_tpu.parallel.sharding import shard_params
 
-            self.variables = shard_params(self.variables, self.mesh)
-            # Rebuild the backbone with the mesh so fused Pallas attention
-            # rides shard_map over the data axis instead of being replicated
-            # by GSPMD (params are untouched — mesh is static metadata).
             backbone = getattr(self.model, "backbone", None)
-            if (
+            impl = getattr(backbone, "attn_impl", None)
+            model_size = dict(self.mesh.shape).get("model", 1)
+            if model_size > 1 and backbone is not None:
+                # Tensor-parallel serving: heads shard over the model axis.
+                # The fused kernel needs the head-major qkv packing
+                # ('fused_tp'); qkv-major variables convert losslessly
+                # (compat/layouts.py) BEFORE Megatron sharding. Heads that
+                # don't divide the model axis fall back to einsum, which
+                # GSPMD tensor-parallelizes with its own collectives.
+                heads = getattr(backbone, "num_heads", 0)
+                if impl in ("fused", "fused_tp") and heads % model_size == 0:
+                    if impl == "fused":
+                        from probpose_pytorch_tpu.compat.layouts import (
+                            qkv_to_head_major,
+                        )
+
+                        self.variables = qkv_to_head_major(
+                            self.variables, heads
+                        )
+                    self.model = self.model.clone(
+                        backbone=backbone.clone(
+                            attn_impl="fused_tp", mesh=self.mesh
+                        ),
+                        mesh=self.mesh,  # head reshards batch over all axes
+                    )
+                elif impl in ("fused", "fused_tp", "pallas"):
+                    self.model = self.model.clone(
+                        backbone=backbone.clone(
+                            attn_impl="einsum", mesh=None
+                        ),
+                        mesh=self.mesh,
+                    )
+                else:
+                    self.model = self.model.clone(mesh=self.mesh)
+            elif (
                 backbone is not None
-                and getattr(backbone, "attn_impl", None) == "fused"
+                and impl == "fused"
                 and getattr(backbone, "mesh", None) is None
             ):
+                # Data-parallel mesh: the fused Pallas attention rides
+                # shard_map over the data axis instead of being replicated
+                # by GSPMD (params untouched — mesh is static metadata).
                 self.model = self.model.clone(
                     backbone=backbone.clone(mesh=self.mesh)
                 )
+            self.variables = shard_params(self.variables, self.mesh)
 
     def _fn(self):
         import jax

@@ -543,3 +543,49 @@ def test_zero1_opt_state_sharding(tmp_path):
     np.testing.assert_allclose(
         float(m_z["loss"]), float(m_ref["loss"]), rtol=1e-5
     )
+
+
+def test_tp_mesh_predictor_matches_single_device(tmp_path, monkeypatch):
+    """Tensor-parallel serving: TopDownPredictor on a (data=2, model=2) mesh
+    auto-upgrades the fused backbone to 'fused_tp' (converting the qkv-major
+    variables to head-major before Megatron sharding) and matches the
+    single-device fused predictor numerically."""
+    monkeypatch.setenv("PROBPOSE_PALLAS_INTERPRET", "1")
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+
+    cfg = _fused_cfg(tmp_path)
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    variables = {
+        "params": trainer.state.params,
+        "batch_stats": trainer.state.batch_stats,
+    }
+    kw = dict(
+        codec=trainer.encode_codec, input_size=cfg.model.img_size
+    )
+    single = TopDownPredictor(
+        model=trainer.model, variables=variables, **kw
+    )
+    mesh = make_mesh(4, model_parallel=2)  # {data: 2, model: 2}
+    tp = TopDownPredictor(
+        model=trainer.model, variables=variables, mesh=mesh, **kw
+    )
+    assert tp.model.backbone.attn_impl == "fused_tp"
+    assert tp.model.mesh is mesh  # head reshards over every axis
+    # Megatron sharding actually applied to the converted qkv kernel
+    qkv_sh = tp.variables["params"]["backbone"]["block0"]["attn"]["qkv"][
+        "kernel"
+    ].sharding
+    assert qkv_sh.spec == jax.sharding.PartitionSpec(None, "model")
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (4, 80, 96, 3), dtype=np.uint8)
+    boxes = rng.uniform([0, 0, 30, 40], [40, 30, 60, 50], (4, 4)).astype(
+        np.float32
+    )
+    out1 = single(frames, boxes)
+    out2 = tp(frames, boxes)
+    assert set(out1) == set(out2)
+    for k in out1:
+        np.testing.assert_allclose(
+            out2[k], out1[k], rtol=1e-4, atol=1e-4, err_msg=k
+        )
