@@ -17,7 +17,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_weight", "int8_matmul", "dynamic_quantize_rows"]
+__all__ = [
+    "quantize_weight",
+    "int8_matmul",
+    "dynamic_quantize_rows",
+    "weight_only_matmul",
+]
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -58,3 +63,29 @@ def int8_matmul(
     if bias is not None:
         y = y + bias.astype(jnp.float32)[None, :]
     return y.reshape(*lead, w_q.shape[1]).astype(out_dtype)
+
+
+def weight_only_matmul(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """y = x @ dequant(W) (+ bias): int8 weights, full-precision activations.
+
+    The latency-mode variant of int8_matmul: weights are stored int8 in HBM
+    (half the bf16 bytes) and dequantized on the fly into the matmul's
+    compute dtype; activations are untouched, so the elementwise
+    quantize/dequantize cost that made dynamic int8 e2e-negative at
+    ViT-S/B (docs/PERF.md "int8 serving") never applies. Only wins where
+    the matmul is WEIGHT-bound — tiny token counts (single-frame latency
+    serving of wide models); at throughput batches the convert either
+    fuses into the dot (free, but no bytes saved on activations) or
+    materializes a scratch copy. Measured honestly in
+    scripts/bench_weight_only_int8.py.
+    """
+    w = w_q.astype(x.dtype) * w_scale.astype(x.dtype)[None, :]
+    y = x @ w
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

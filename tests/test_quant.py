@@ -46,6 +46,23 @@ class TestPrimitives:
         assert np.isfinite(np.asarray(s)).all()
         assert np.asarray(q).max() == 0
 
+    def test_weight_only_matmul_close_to_f32(self):
+        """Weight-only variant: activations untouched, so the only error is
+        the int8 weight rounding (tighter than dynamic int8_matmul)."""
+        from probpose_pytorch_tpu.ops.quant import weight_only_matmul
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(32, 96)).astype(np.float32)
+        w = rng.normal(size=(96, 64)).astype(np.float32)
+        b = rng.normal(size=(64,)).astype(np.float32)
+        q, s = quantize_weight(jnp.asarray(w))
+        y = np.asarray(
+            weight_only_matmul(jnp.asarray(x), q, s, jnp.asarray(b))
+        )
+        ref = x @ w + b
+        rel = np.abs(y - ref).max() / np.abs(ref).max()
+        assert rel < 0.01, rel
+
 
 class TestQuantizedPredictor:
     def test_int8_predictor_tracks_f32(self, tmp_path):
