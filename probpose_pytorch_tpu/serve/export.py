@@ -185,6 +185,38 @@ class ServingBundle:
             )
         return np.pad(frames, ((0, 0), (0, Hf - H), (0, Wf - W), (0, 0)))
 
+    def predict_stream(self, batches, depth: int = 2):
+        """Stream serving over (frames, boxes) batches with uploads +
+        dispatch on a worker thread (the bundle-side mirror of
+        TopDownPredictor.predict_stream): batch i+1's transfer overlaps
+        batch i's compute/readback. Yields output dicts in order."""
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def dispatch(frames, boxes):
+            frames = self._pad_frames(np.asarray(frames, np.uint8))
+            return self._program(len(frames)).call(
+                self.variables, frames, np.asarray(boxes, np.float32)
+            )
+
+        pending: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            for frames, boxes in batches:
+                if len(frames) not in self.buckets:
+                    raise ValueError(
+                        f"batch {len(frames)} is not an exported bucket "
+                        f"{self.buckets}"
+                    )
+                pending.append(pool.submit(dispatch, frames, boxes))
+                if len(pending) > depth:
+                    out = pending.popleft().result()
+                    yield {k: np.asarray(v) for k, v in out.items()}
+            while pending:
+                out = pending.popleft().result()
+                yield {k: np.asarray(v) for k, v in out.items()}
+
     def predict_frame(self, frame: np.ndarray, boxes: np.ndarray) -> dict:
         """Variable-count boxes on one frame: pads the box list to the next
         exported bucket (chunking past the largest) and strips the padding —

@@ -191,6 +191,87 @@ class TestLoRATraining:
             for a, b in zip(h1, h0)
         )
 
+    def test_merge_lora_cli(self, tmp_path):
+        """End-to-end deployment conversion: train a LoRA run, checkpoint
+        it, fold the deltas with the merge CLI, and check the merged
+        (rank-0) checkpoint reproduces the LoRA model's forward exactly."""
+        from probpose_pytorch_tpu.compat.merge_lora import main as merge_main
+        from probpose_pytorch_tpu.data import (
+            SyntheticPoseDataset,
+            batch_iterator,
+        )
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+        from probpose_pytorch_tpu.train.loop import (
+            layout_metadata,
+            restore_state_with_layout,
+        )
+
+        run = tmp_path / "run"
+        cfg = TrainConfig(
+            model=_cfg(lora_rank=2),
+            train_lora_only=True,
+            epochs=1,
+            train_batch_size=2,
+            val_every=1000,
+            log_every=1,
+            out_dir=str(run),
+        )
+        run.mkdir(parents=True)
+        cfg.save(run / "config.json")
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        ds = SyntheticPoseDataset(4, cfg.model.img_size, 5, seed=3)
+        state = trainer.state
+        for b in batch_iterator(ds, 2, shuffle=False, num_workers=1):
+            state, _ = trainer.train_step(state, b)
+        ckpt = CheckpointManager(run / "checkpoints")
+        ckpt.save(int(state.step), state, force=True,
+                  metadata=layout_metadata(cfg))
+        ckpt.close()
+
+        out = tmp_path / "merged"
+        merge_main(["--checkpoint", str(run / "checkpoints"),
+                    "--out", str(out)])
+
+        merged_cfg = TrainConfig.load(out / "config.json")
+        assert merged_cfg.model.lora_rank == 0
+        assert merged_cfg.train_lora_only is False
+        target = Trainer.create(merged_cfg, steps_per_epoch=1)
+        merged = restore_state_with_layout(
+            CheckpointManager(out / "checkpoints"), target.state, merged_cfg
+        )
+        assert int(merged.step) == int(state.step)
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 64, 48, 3)),
+            jnp.float32,
+        )
+        lora_out = trainer.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False,
+        )
+        merged_out = target.model.apply(
+            {"params": merged.params, "batch_stats": merged.batch_stats},
+            x, train=False,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            ),
+            lora_out, merged_out,
+        )
+
+    def test_merge_lora_cli_rejects_rank0(self, tmp_path):
+        from probpose_pytorch_tpu.compat.merge_lora import main as merge_main
+        from probpose_pytorch_tpu.train import TrainConfig
+
+        run = tmp_path / "run"
+        run.mkdir()
+        TrainConfig(model=_cfg(), out_dir=str(run)).save(run / "config.json")
+        with pytest.raises(ValueError, match="nothing to merge"):
+            merge_main(["--checkpoint", str(run / "checkpoints"),
+                        "--out", str(tmp_path / "m")])
+
     def test_train_lora_only_requires_rank(self, tmp_path):
         from probpose_pytorch_tpu.train import TrainConfig, Trainer
 

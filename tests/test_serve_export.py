@@ -110,6 +110,27 @@ class TestBundle:
                 exported[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
             )
 
+    def test_predict_stream_matches_sync(self, bundle_env):
+        predictor, bundle = bundle_env
+        rng = np.random.default_rng(7)
+        batches = [_frames_boxes(rng, b, h=50, w=40) for b in (4, 1, 4, 4, 1)]
+        streamed = list(bundle.predict_stream(iter(batches), depth=2))
+        assert len(streamed) == len(batches)
+        for (frames, boxes), out in zip(batches, streamed):
+            sync = bundle(frames, boxes)
+            assert set(out) == set(sync)
+            for k in sync:
+                np.testing.assert_allclose(
+                    out[k], sync[k], rtol=1e-6, atol=1e-6, err_msg=k
+                )
+
+    def test_predict_stream_rejects_non_bucket(self, bundle_env):
+        _, bundle = bundle_env
+        rng = np.random.default_rng(8)
+        batches = [_frames_boxes(rng, 3, h=50, w=40)]
+        with pytest.raises(ValueError, match="bucket"):
+            list(bundle.predict_stream(iter(batches)))
+
     def test_oversized_frame_rejected(self, bundle_env):
         _, bundle = bundle_env
         rng = np.random.default_rng(2)
