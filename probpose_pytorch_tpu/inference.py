@@ -390,6 +390,9 @@ class TopDownPredictor:
                 raise ValueError(f"unknown nms mode {nms!r}")
             out = {k: v[keep] for k, v in raw.items()}
             out["pose_scores"] = np.asarray(kept_scores, np.float32)
+            # Input-box indices of the kept poses, so callers (e.g. the
+            # video pipeline) can map outputs back to their detector boxes.
+            out["keep"] = np.asarray(keep, np.int64)
             return out
         if buckets is None:
             buckets = tuned_bucket_ladder()

@@ -39,7 +39,16 @@ def pairwise_oks(
     """
     kpts = np.asarray(keypoints, np.float32)
     n, k = kpts.shape[0], kpts.shape[1]
-    sig = np.asarray(COCO_SIGMAS if sigmas is None else sigmas, np.float32)
+    if sigmas is None:
+        # COCO sigmas for the COCO-17 skeleton; uniform at the COCO mean
+        # for any other keypoint count.
+        sig = (
+            np.asarray(COCO_SIGMAS, np.float32)
+            if k == len(COCO_SIGMAS)
+            else np.full((k,), float(np.mean(COCO_SIGMAS)), np.float32)
+        )
+    else:
+        sig = np.asarray(sigmas, np.float32)
     if sig.shape[0] != k:
         raise ValueError(f"sigmas K={sig.shape[0]} != keypoints K={k}")
     var = (2.0 * sig) ** 2  # (K,)

@@ -1,0 +1,341 @@
+"""Video / frame-sequence pose pipeline: boxes -> poses -> tracks -> smooth.
+
+End-to-end sequence tool stitching the serving stack together: per-frame
+top-down prediction (`TopDownPredictor.predict_frame` — autotuned batch
+buckets, optional pose OKS-NMS), OKS-greedy track association across frames
+(`OksTracker`), and one-euro temporal smoothing per track
+(`utils/smoothing.PoseSmoother`). The reference has no video pipeline at all
+(SURVEY.md §2.4) — its inference.py handles one image; this is part of the
+superset serving stack.
+
+    python -m probpose_pytorch_tpu.video \
+        --checkpoint runs/flagship/checkpoints --frames frames_dir_or.npy \
+        [--boxes boxes.json] [--fps 30] [--nms soft_oks] [--no-smooth] \
+        [--render] --out out_dir
+
+Frames: a directory of image files (sorted by name; any PIL format) or a
+`.npy`/`.npz` stack of shape (T, H, W, 3) uint8. Boxes: a JSON list with one
+entry per frame, each a list of [x, y, w, h] detector boxes (frame pixels);
+omitted boxes default to one full-frame box per frame, matching the single
+-image CLI. Output: `poses.jsonl` (one record per frame: track ids, raw and
+smoothed keypoints, per-keypoint probabilities, pose scores) and, with
+--render, `frame_%06d.png` overlays.
+
+Host-side control plane (tracking, smoothing, IO) runs in NumPy; all chip
+work stays inside the predictor's jitted per-bucket programs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from probpose_pytorch_tpu.ops.oks_nms import COCO_SIGMAS
+
+__all__ = ["iter_frames", "load_boxes", "OksTracker", "run_video", "main"]
+
+_IMAGE_SUFFIXES = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def iter_frames(path: str | Path) -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) uint8 frames from a directory of images (sorted by
+    filename) or a .npy/.npz stack of shape (T, H, W, 3)."""
+    path = Path(path)
+    if path.is_dir():
+        files = sorted(
+            p for p in path.iterdir()
+            if p.suffix.lower() in _IMAGE_SUFFIXES
+        )
+        if not files:
+            raise ValueError(f"no image files in {path}")
+        import PIL.Image
+
+        for f in files:
+            yield np.asarray(PIL.Image.open(f).convert("RGB"), np.uint8)
+        return
+    if path.suffix == ".npy":
+        stack = np.load(path)
+    elif path.suffix == ".npz":
+        with np.load(path) as z:
+            stack = z[z.files[0]]
+    else:
+        raise ValueError(
+            f"{path}: expected a frame directory or a .npy/.npz stack"
+        )
+    if stack.ndim != 4 or stack.shape[-1] != 3:
+        raise ValueError(f"frame stack shape {stack.shape} != (T, H, W, 3)")
+    for frame in stack:
+        yield np.asarray(frame, np.uint8)
+
+
+def load_boxes(path: str | Path) -> list[np.ndarray]:
+    """Per-frame detector boxes from JSON: a list with one entry per frame,
+    each a list of [x, y, w, h]. Empty per-frame lists are allowed."""
+    raw = json.loads(Path(path).read_text())
+    if not isinstance(raw, list):
+        raise ValueError(f"{path}: expected a per-frame list of box lists")
+    return [np.asarray(b, np.float32).reshape(-1, 4) for b in raw]
+
+
+def _cross_oks(
+    kpts_a: np.ndarray,
+    areas_a: np.ndarray,
+    kpts_b: np.ndarray,
+    areas_b: np.ndarray,
+    sigmas: np.ndarray,
+) -> np.ndarray:
+    """(M, N) OKS between two pose sets — the detection-vs-detection form
+    (mean of the two instance areas), as in ops/oks_nms.pairwise_oks."""
+    var = (2.0 * np.asarray(sigmas, np.float32)) ** 2
+    d2 = np.sum(
+        (kpts_a[:, None, :, :] - kpts_b[None, :, :, :]) ** 2, axis=-1
+    )  # (M, N, K)
+    mean_area = 0.5 * (
+        np.asarray(areas_a, np.float32)[:, None]
+        + np.asarray(areas_b, np.float32)[None, :]
+    )
+    e = d2 / var[None, None, :] / (mean_area[..., None] + np.spacing(1)) / 2.0
+    return np.exp(-e).mean(axis=-1)
+
+
+class OksTracker:
+    """Greedy OKS association of per-frame poses to persistent track ids.
+
+    update(keypoints (N, K, 2), areas (N,)) -> (N,) int track ids. Each call
+    advances one frame: current poses are matched to the previous poses of
+    live tracks greedily by descending OKS (one-to-one, matches below
+    `threshold` rejected); unmatched poses open new tracks; tracks unseen
+    for more than `max_gap` frames are dropped. Detector/tracker ids, when
+    available, are better — this covers the common top-down case where the
+    detector is stateless.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 0.3,
+        max_gap: int = 30,
+        sigmas: np.ndarray | None = None,
+    ):
+        self.threshold = float(threshold)
+        self.max_gap = int(max_gap)
+        # None -> resolved at first update: COCO sigmas for K=17, else a
+        # uniform sigma at the COCO mean (non-COCO keypoint sets).
+        self.sigmas = (
+            None if sigmas is None else np.asarray(sigmas, np.float32)
+        )
+        self._next_id = 0
+        self._frame = 0
+        # tid -> (keypoints (K, 2), area, last-seen frame index)
+        self._tracks: dict[int, tuple[np.ndarray, float, int]] = {}
+
+    def update(self, keypoints: np.ndarray, areas: np.ndarray) -> np.ndarray:
+        kpts = np.asarray(keypoints, np.float32)
+        ar = np.asarray(areas, np.float32).reshape(-1)
+        n = len(kpts)
+        if self.sigmas is None and n:
+            k = kpts.shape[1]
+            self.sigmas = (
+                np.asarray(COCO_SIGMAS, np.float32)
+                if k == len(COCO_SIGMAS)
+                else np.full((k,), float(np.mean(COCO_SIGMAS)), np.float32)
+            )
+        ids = np.full((n,), -1, np.int64)
+        live = [
+            (tid, k, a)
+            for tid, (k, a, seen) in self._tracks.items()
+            if self._frame - seen <= self.max_gap
+        ]
+        if live and n:
+            prev_k = np.stack([k for _, k, _ in live])
+            prev_a = np.asarray([a for _, _, a in live], np.float32)
+            oks = _cross_oks(prev_k, prev_a, kpts, ar, self.sigmas)
+            flat = np.argsort(-oks, axis=None)
+            used_t = np.zeros(len(live), bool)
+            used_p = np.zeros(n, bool)
+            for f in flat:
+                ti, pi = divmod(int(f), n)
+                if used_t[ti] or used_p[pi]:
+                    continue
+                if oks[ti, pi] < self.threshold:
+                    break  # sorted descending — nothing further matches
+                ids[pi] = live[ti][0]
+                used_t[ti] = used_p[pi] = True
+        for i in range(n):
+            if ids[i] < 0:
+                ids[i] = self._next_id
+                self._next_id += 1
+            self._tracks[int(ids[i])] = (kpts[i], float(ar[i]), self._frame)
+        stale = [
+            tid
+            for tid, (_, _, seen) in self._tracks.items()
+            if self._frame - seen > self.max_gap
+        ]
+        for tid in stale:
+            del self._tracks[tid]
+        self._frame += 1
+        return ids
+
+
+def run_video(
+    predictor,
+    frames,
+    boxes: Sequence[np.ndarray] | None = None,
+    fps: float = 30.0,
+    nms: str | None = "soft_oks",
+    nms_threshold: float = 0.9,
+    smooth: bool = True,
+    track_threshold: float = 0.3,
+    smoother=None,
+    tracker: OksTracker | None = None,
+) -> Iterator[dict]:
+    """Run the full sequence pipeline; yields one record dict per frame.
+
+    predictor: a TopDownPredictor. frames: iterable of (H, W, 3) uint8.
+    boxes: per-frame (N_i, 4) xywh arrays (None -> one full-frame box per
+    frame). Records carry numpy arrays: frame index, time, track_ids,
+    keypoints (raw), smoothed (== raw when smooth=False), probabilities,
+    scores, pose_scores, boxes.
+    """
+    if tracker is None:
+        tracker = OksTracker(threshold=track_threshold)
+    if smooth and smoother is None:
+        from probpose_pytorch_tpu.utils.smoothing import PoseSmoother
+
+        smoother = PoseSmoother()
+    for i, frame in enumerate(frames):
+        t = i / fps
+        if boxes is None:
+            fb = np.array(
+                [[0, 0, frame.shape[1], frame.shape[0]]], np.float32
+            )
+        else:
+            fb = np.asarray(boxes[i], np.float32).reshape(-1, 4)
+        if len(fb) == 0:
+            yield {
+                "frame": i, "t": t,
+                "track_ids": np.zeros((0,), np.int64),
+                "keypoints": np.zeros((0,) + (0, 2), np.float32),
+                "smoothed": np.zeros((0,) + (0, 2), np.float32),
+                "probabilities": np.zeros((0, 0), np.float32),
+                "scores": np.zeros((0, 0), np.float32),
+                "pose_scores": np.zeros((0,), np.float32),
+                "boxes": fb,
+            }
+            continue
+        out = predictor.predict_frame(
+            frame, fb, nms=nms, nms_threshold=nms_threshold
+        )
+        kpts = out["keypoints"]
+        probs = out["probabilities"][:, 0, :]
+        if "pose_scores" in out:
+            pose_scores = out["pose_scores"]
+            kept_boxes = fb[out["keep"]]
+        else:
+            pose_scores = (out["scores"] * probs).mean(axis=1)
+            kept_boxes = fb
+        areas = kept_boxes[:, 2] * kept_boxes[:, 3]
+        ids = tracker.update(kpts, areas)
+        smoothed = (
+            smoother.update(kpts, ids, t) if smoother is not None else kpts
+        )
+        yield {
+            "frame": i,
+            "t": t,
+            "track_ids": ids,
+            "keypoints": kpts,
+            "smoothed": smoothed,
+            "probabilities": probs,
+            "scores": out["scores"],
+            "pose_scores": np.asarray(pose_scores, np.float32),
+            "boxes": kept_boxes,
+        }
+
+
+def main(argv: Sequence[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="ProbPose-TPU video / frame-sequence inference"
+    )
+    parser.add_argument("--checkpoint", type=Path, required=True)
+    parser.add_argument("--config", type=Path, default=None,
+                        help="TrainConfig JSON (default: beside checkpoint)")
+    parser.add_argument("--frames", type=Path, required=True,
+                        help="frame directory or (T, H, W, 3) .npy/.npz")
+    parser.add_argument("--boxes", type=Path, default=None,
+                        help="per-frame [[x,y,w,h], ...] JSON "
+                        "(default: full-frame box)")
+    parser.add_argument("--out", type=Path, required=True)
+    parser.add_argument("--fps", type=float, default=30.0)
+    parser.add_argument("--nms", choices=("oks", "soft_oks", "none"),
+                        default="soft_oks")
+    parser.add_argument("--nms-threshold", type=float, default=0.9)
+    parser.add_argument("--track-threshold", type=float, default=0.3)
+    parser.add_argument("--no-smooth", action="store_true")
+    parser.add_argument("--render", action="store_true",
+                        help="write frame_%%06d.png overlays")
+    parser.add_argument("--prob-threshold", type=float, default=0.9)
+    parser.add_argument("--ema", action="store_true", help="use EMA params")
+    parser.add_argument("--flip-test", action="store_true")
+    args = parser.parse_args(argv)
+
+    from probpose_pytorch_tpu.inference import load_predictor
+
+    predictor = load_predictor(
+        args.checkpoint, args.config, ema=args.ema, flip_test=args.flip_test
+    )
+    boxes = load_boxes(args.boxes) if args.boxes else None
+    args.out.mkdir(parents=True, exist_ok=True)
+
+    frames = iter_frames(args.frames)
+    last: dict = {}
+    if args.render:
+        # run_video pulls each frame before yielding its record, so `last`
+        # always holds the record's frame when the record arrives.
+        def _remember(it):
+            for f in it:
+                last["frame"] = f
+                yield f
+
+        frames = _remember(frames)
+
+    n = 0
+    with (args.out / "poses.jsonl").open("w") as sink:
+        for rec in run_video(
+            predictor,
+            frames,
+            boxes=boxes,
+            fps=args.fps,
+            nms=None if args.nms == "none" else args.nms,
+            nms_threshold=args.nms_threshold,
+            smooth=not args.no_smooth,
+            track_threshold=args.track_threshold,
+        ):
+            sink.write(json.dumps(
+                {
+                    k: v.tolist() if isinstance(v, np.ndarray) else v
+                    for k, v in rec.items()
+                }
+            ) + "\n")
+            if args.render:
+                import PIL.Image
+
+                from probpose_pytorch_tpu.viz import draw_keypoints
+
+                img = PIL.Image.fromarray(last["frame"])
+                for p in range(len(rec["smoothed"])):
+                    draw_keypoints(
+                        img,
+                        rec["smoothed"][p],
+                        rec["probabilities"][p],
+                        prob_threshold=args.prob_threshold,
+                    )
+                img.save(args.out / f"frame_{rec['frame']:06d}.png")
+            n += 1
+    print(f"wrote {args.out}/poses.jsonl ({n} frames)")
+
+
+if __name__ == "__main__":
+    main()

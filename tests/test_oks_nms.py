@@ -45,8 +45,13 @@ class TestPairwiseOKS:
         np.testing.assert_allclose(masked[0, 1], 1.0, atol=1e-6)
 
     def test_sigma_length_validated(self):
+        # explicit sigmas must match K
         with pytest.raises(ValueError, match="sigmas"):
-            pairwise_oks(np.zeros((1, 5, 2)), np.ones(1))
+            pairwise_oks(np.zeros((1, 5, 2)), np.ones(1), sigmas=np.ones(17))
+        # default sigmas adapt to non-COCO keypoint counts (uniform at the
+        # COCO mean): identical poses → OKS 1
+        oks = pairwise_oks(np.zeros((2, 5, 2)), np.ones(2))
+        np.testing.assert_allclose(oks, 1.0)
 
 
 class TestOKSNMS:

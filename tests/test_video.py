@@ -1,0 +1,265 @@
+"""Video pipeline: frame IO, OKS track association, sequence run, CLI.
+
+The reference has no video surface (SURVEY.md §2.4); this covers the
+superset sequence tool in probpose_pytorch_tpu/video.py.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.models.vit import ViTConfig
+from probpose_pytorch_tpu.video import (
+    OksTracker,
+    iter_frames,
+    load_boxes,
+    run_video,
+)
+
+ViTConfig.PRESETS.setdefault(
+    "vit-tiny-e2e", dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0)
+)
+
+
+class TestFrameIO:
+    def test_npy_stack(self, tmp_path):
+        rng = np.random.default_rng(0)
+        stack = rng.integers(0, 256, (3, 32, 40, 3), dtype=np.uint8)
+        np.save(tmp_path / "v.npy", stack)
+        frames = list(iter_frames(tmp_path / "v.npy"))
+        assert len(frames) == 3
+        np.testing.assert_array_equal(frames[1], stack[1])
+
+    def test_directory_sorted(self, tmp_path):
+        import PIL.Image
+
+        rng = np.random.default_rng(1)
+        stack = rng.integers(0, 256, (3, 16, 16, 3), dtype=np.uint8)
+        # write out of order; iteration must sort by name
+        for i in (2, 0, 1):
+            PIL.Image.fromarray(stack[i]).save(tmp_path / f"f_{i:03d}.png")
+        frames = list(iter_frames(tmp_path))
+        for i in range(3):
+            np.testing.assert_array_equal(frames[i], stack[i])
+
+    def test_bad_inputs(self, tmp_path):
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(ValueError, match="no image"):
+            list(iter_frames(tmp_path / "empty"))
+        np.save(tmp_path / "bad.npy", np.zeros((4, 8, 8)))
+        with pytest.raises(ValueError, match="T, H, W, 3"):
+            list(iter_frames(tmp_path / "bad.npy"))
+
+    def test_load_boxes(self, tmp_path):
+        p = tmp_path / "b.json"
+        p.write_text(json.dumps([[[0, 0, 10, 10], [5, 5, 4, 4]], []]))
+        boxes = load_boxes(p)
+        assert len(boxes) == 2
+        assert boxes[0].shape == (2, 4)
+        assert boxes[1].shape == (0, 4)
+
+
+def _pose(cx, cy, k=5, spread=20.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.array([cx, cy], np.float32) + rng.uniform(
+        -spread, spread, (k, 2)
+    ).astype(np.float32)
+
+
+class TestOksTracker:
+    def test_stable_ids_under_motion(self):
+        sig = np.full((5,), 0.05, np.float32)
+        tr = OksTracker(threshold=0.3, sigmas=sig)
+        a, b = _pose(100, 100, seed=1), _pose(300, 100, seed=2)
+        area = np.array([1600.0, 1600.0], np.float32)
+        ids0 = tr.update(np.stack([a, b]), area)
+        assert sorted(ids0.tolist()) == [0, 1]
+        # both drift a little; order in the array flips
+        ids1 = tr.update(np.stack([b + 2.0, a + 2.0]), area)
+        assert ids1[0] == ids0[1] and ids1[1] == ids0[0]
+
+    def test_new_person_gets_new_id(self):
+        sig = np.full((5,), 0.05, np.float32)
+        tr = OksTracker(threshold=0.3, sigmas=sig)
+        a = _pose(100, 100, seed=3)
+        area = np.array([1600.0], np.float32)
+        (id_a,) = tr.update(a[None], area)
+        c = _pose(400, 300, seed=4)
+        ids = tr.update(
+            np.stack([a, c]), np.array([1600.0, 1600.0], np.float32)
+        )
+        assert ids[0] == id_a and ids[1] != id_a
+
+    def test_track_dropped_after_gap(self):
+        sig = np.full((5,), 0.05, np.float32)
+        tr = OksTracker(threshold=0.3, max_gap=1, sigmas=sig)
+        a = _pose(100, 100, seed=5)
+        area = np.array([1600.0], np.float32)
+        (id0,) = tr.update(a[None], area)
+        empty = np.zeros((0, 5, 2), np.float32)
+        tr.update(empty, np.zeros((0,), np.float32))
+        tr.update(empty, np.zeros((0,), np.float32))
+        (id1,) = tr.update(a[None], area)
+        assert id1 != id0, "track should have expired after max_gap frames"
+
+    def test_one_to_one_matching(self):
+        """Two current poses near one old track: only the better match
+        inherits the id; the other opens a new track."""
+        sig = np.full((5,), 0.05, np.float32)
+        tr = OksTracker(threshold=0.1, sigmas=sig)
+        a = _pose(100, 100, seed=6)
+        area = np.array([1600.0], np.float32)
+        (id0,) = tr.update(a[None], area)
+        ids = tr.update(
+            np.stack([a + 8.0, a + 1.0]),
+            np.array([1600.0, 1600.0], np.float32),
+        )
+        assert ids[1] == id0 and ids[0] != id0
+
+
+@pytest.fixture(scope="module")
+def tiny_predictor():
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir="/tmp/video-test-run",
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    return TopDownPredictor(
+        model=trainer.model,
+        variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+
+
+class TestRunVideo:
+    def test_static_scene_stable_tracks(self, tiny_predictor):
+        """Identical frames + identical boxes → identical poses, stable
+        track ids, and (eventually) smoothing == raw (static signal)."""
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        boxes = [
+            np.array([[0, 0, 32, 32], [30, 30, 32, 32]], np.float32)
+        ] * 3
+        recs = list(
+            run_video(
+                tiny_predictor,
+                iter([frame] * 3),
+                boxes=boxes,
+                nms=None,
+                track_threshold=0.05,
+            )
+        )
+        assert [r["frame"] for r in recs] == [0, 1, 2]
+        ids = [r["track_ids"].tolist() for r in recs]
+        assert ids[0] == ids[1] == ids[2]
+        np.testing.assert_array_equal(
+            recs[0]["keypoints"], recs[2]["keypoints"]
+        )
+        # static input: the one-euro filter converges to the signal
+        np.testing.assert_allclose(
+            recs[2]["smoothed"], recs[2]["keypoints"], atol=1.0
+        )
+        assert recs[0]["boxes"].shape == (2, 4)
+        assert recs[0]["pose_scores"].shape == (2,)
+
+    def test_empty_boxes_frame(self, tiny_predictor):
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        boxes = [
+            np.array([[0, 0, 32, 32]], np.float32),
+            np.zeros((0, 4), np.float32),
+            np.array([[0, 0, 32, 32]], np.float32),
+        ]
+        recs = list(
+            run_video(tiny_predictor, iter([frame] * 3), boxes=boxes,
+                      nms=None)
+        )
+        assert len(recs[1]["track_ids"]) == 0
+        assert len(recs[0]["track_ids"]) == 1
+        assert len(recs[2]["track_ids"]) == 1
+
+    def test_nms_path_maps_boxes(self, tiny_predictor):
+        """Duplicate boxes under soft_oks NMS: outputs shrink, and the
+        surviving poses' boxes come from the kept input boxes."""
+        rng = np.random.default_rng(2)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        boxes = [np.array(
+            [[0, 0, 32, 32], [0, 0, 32, 32], [1, 1, 32, 32]], np.float32
+        )]
+        recs = list(
+            run_video(tiny_predictor, iter([frame]), boxes=boxes,
+                      nms="oks", nms_threshold=0.9)
+        )
+        r = recs[0]
+        n = len(r["track_ids"])
+        assert n < 3, "duplicate boxes should be suppressed"
+        assert r["boxes"].shape == (n, 4)
+        assert r["keypoints"].shape[0] == n
+
+
+def test_video_cli(tmp_path):
+    """End-to-end CLI: checkpoint + npy stack + boxes JSON → poses.jsonl
+    + rendered overlays."""
+    import PIL.Image
+
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+    from probpose_pytorch_tpu.video import main as video_main
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=4, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(8, 8),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir=str(tmp_path / "run"),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    run = tmp_path / "run"
+    run.mkdir(parents=True, exist_ok=True)
+    cfg.save(run / "config.json")
+    ckpt = CheckpointManager(run / "checkpoints", keep=1)
+    ckpt.save(0, trainer.state, force=True)
+    ckpt.close()
+
+    rng = np.random.default_rng(0)
+    np.save(
+        tmp_path / "vid.npy",
+        rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8),
+    )
+    (tmp_path / "boxes.json").write_text(
+        json.dumps([[[0, 0, 40, 40]], [[0, 0, 40, 40]]])
+    )
+    out = tmp_path / "out"
+    video_main([
+        "--checkpoint", str(run / "checkpoints"),
+        "--config", str(run / "config.json"),
+        "--frames", str(tmp_path / "vid.npy"),
+        "--boxes", str(tmp_path / "boxes.json"),
+        "--out", str(out),
+        "--render", "--prob-threshold", "0.0",
+    ])
+    lines = (out / "poses.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert np.asarray(rec["keypoints"]).shape == (1, 4, 2)
+    assert np.asarray(rec["smoothed"]).shape == (1, 4, 2)
+    assert rec["track_ids"] == [0]
+    img = PIL.Image.open(out / "frame_000000.png")
+    assert img.size == (64, 64)
