@@ -1,0 +1,415 @@
+"""Production pose-serving server: dynamic micro-batching over HTTP.
+
+The reference has no serving story (its inference.py handles one image from
+argv, reference inference.py:60-128); this is the deployment front of the
+superset serving stack. Two layers, separately usable:
+
+* `MicroBatcher` — the batching core, HTTP-free. Concurrent callers
+  `submit(frame, boxes)` crops; a dispatcher thread coalesces everything
+  pending (across requests) into one padded bucket-size batch per device
+  dispatch, so p99 latency under concurrent load rides the chip's
+  throughput path instead of serializing one tiny program per request.
+  Buckets bound compilation exactly like `predict_frame`; padding rows
+  replicate a real crop and are stripped before completion. Results are
+  per-request futures.
+
+* `PoseHTTPServer` / `main` — a stdlib ThreadingHTTPServer front end:
+
+      python -m probpose_pytorch_tpu.serve.server \
+          --checkpoint runs/flagship/checkpoints --port 8000
+      # or: --bundle export_dir/   (serve a StableHLO bundle, no model code)
+
+  POST /predict   {"frame_b64": <base64 raw HxWx3 uint8>,
+                   "shape": [H, W, 3], "boxes": [[x,y,w,h], ...]}
+                  -> {"keypoints": ..., "scores": ..., ...} (JSON lists)
+  GET  /healthz   -> {"ok": true}
+  GET  /stats     -> request/crop counts, batch-size histogram, latency
+                     quantiles (ms) since start.
+
+The JSON+base64 protocol is deliberately dependency-free (no proto/grpc in
+this environment); the batching core is transport-agnostic, so a different
+front end can wrap `MicroBatcher` directly.
+
+Frames are zero-padded to the server's fixed frame shape (the semantics-free
+padding of ops/preprocess.py — out-of-extent samples are black); each crop
+row carries its request's padded frame, so crops from different requests
+batch together in one (B, Hf, Wf, 3) dispatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import json
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from pathlib import Path
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+__all__ = ["MicroBatcher", "PoseHTTPServer", "main"]
+
+
+class MicroBatcher:
+    """Coalesce concurrent (frame, boxes) requests into bucket-size batches.
+
+    runner: callable (frames (B, Hf, Wf, 3) uint8, boxes (B, 4) f32) ->
+    dict of (B, ...) arrays — a `TopDownPredictor` or `ServingBundle`.
+    buckets: ascending batch sizes the runner accepts (compilation bound).
+    max_wait_ms: how long the dispatcher waits for more work after the
+    first pending crop before dispatching a partial batch — the classic
+    latency/throughput knob (0 disables coalescing delay).
+    frame_shape: (Hf, Wf) all frames are zero-padded to.
+    """
+
+    def __init__(
+        self,
+        runner: Callable[[np.ndarray, np.ndarray], dict],
+        buckets: Sequence[int],
+        frame_shape: tuple[int, int],
+        max_wait_ms: float = 5.0,
+    ):
+        self.runner = runner
+        self.buckets = tuple(sorted(int(b) for b in buckets))
+        if not self.buckets or self.buckets[0] < 1:
+            raise ValueError(f"invalid buckets {self.buckets}")
+        self.frame_shape = (int(frame_shape[0]), int(frame_shape[1]))
+        self.max_wait_ms = float(max_wait_ms)
+        self._queue: deque = deque()  # (frames, boxes, future)
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._closed = False
+        self.stats = {
+            "requests": 0,
+            "crops": 0,
+            "dispatches": 0,
+            "batch_sizes": [],
+            "latency_ms": [],
+        }
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="microbatcher", daemon=True
+        )
+        self._thread.start()
+
+    # -- client side -------------------------------------------------------
+
+    def submit(self, frame: np.ndarray, boxes: np.ndarray) -> Future:
+        """Enqueue one request (one frame, N boxes). The future resolves to
+        a dict of (N, ...) numpy arrays, or raises the dispatch error."""
+        if self._closed:
+            raise RuntimeError("batcher is closed")
+        frame = self._pad_frame(np.asarray(frame, np.uint8))
+        boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+        fut: Future = Future()
+        if len(boxes) == 0:
+            fut.set_result({})
+            return fut
+        # one frame row per crop so requests with different frames batch
+        frames = np.broadcast_to(
+            frame[None], (len(boxes),) + frame.shape
+        )
+        with self._lock:
+            self._queue.append((frames, boxes, fut, time.perf_counter()))
+            self.stats["requests"] += 1
+            self.stats["crops"] += len(boxes)
+        self._wake.set()
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._wake.set()
+        self._thread.join(timeout=10)
+        with self._lock:
+            pending = list(self._queue)
+            self._queue.clear()
+        for _, _, fut, _ in pending:
+            fut.set_exception(RuntimeError("batcher closed"))
+
+    # -- dispatcher --------------------------------------------------------
+
+    def _pad_frame(self, frame: np.ndarray) -> np.ndarray:
+        Hf, Wf = self.frame_shape
+        H, W, C = frame.shape
+        if (H, W) == (Hf, Wf):
+            return frame
+        if H > Hf or W > Wf:
+            raise ValueError(
+                f"frame {(H, W)} exceeds the server frame shape {(Hf, Wf)}"
+            )
+        return np.pad(frame, ((0, Hf - H), (0, Wf - W), (0, 0)))
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            self._wake.wait()
+            if self._closed:
+                return
+            # coalescing window: let concurrent requests pile up
+            if self.max_wait_ms > 0:
+                deadline = time.perf_counter() + self.max_wait_ms / 1e3
+                while time.perf_counter() < deadline:
+                    with self._lock:
+                        pending = sum(len(b) for _, b, _, _ in self._queue)
+                    if pending >= self.buckets[-1]:
+                        break
+                    time.sleep(min(0.001, self.max_wait_ms / 1e3))
+            batch = []
+            count = 0
+            with self._lock:
+                self._wake.clear()
+                # pop requests while they fit in the top bucket (always at
+                # least one, so a single oversized request still dispatches
+                # — _run_batch splits it)
+                while self._queue:
+                    n = len(self._queue[0][1])
+                    if batch and count + n > self.buckets[-1]:
+                        break
+                    batch.append(self._queue.popleft())
+                    count += n
+                    if count >= self.buckets[-1]:
+                        break
+            if not batch:
+                continue
+            self._run_batch(batch, count)
+            with self._lock:
+                if self._queue:
+                    self._wake.set()
+
+    def _run_batch(self, batch, count: int) -> None:
+        bucket = next((b for b in self.buckets if b >= count), None)
+        if bucket is None:
+            # only a single request can exceed the top bucket (the dispatch
+            # loop never coalesces past it): split into top-bucket chunks
+            top = self.buckets[-1]
+            frames, boxes, fut, t0 = batch[0]
+            try:
+                parts = [
+                    self._call_padded(
+                        frames[i:i + top], boxes[i:i + top], top
+                    )
+                    for i in range(0, len(boxes), top)
+                ]
+                fut.set_result({
+                    k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]
+                })
+                self._note(len(boxes), t0)
+                with self._lock:
+                    self.stats["dispatches"] += len(parts)
+                    self.stats["batch_sizes"].append(int(len(boxes)))
+            except Exception as e:  # noqa: BLE001 — future carries it
+                fut.set_exception(e)
+            return
+        frames = np.concatenate([f for f, _, _, _ in batch])
+        boxes = np.concatenate([b for _, b, _, _ in batch])
+        try:
+            out = self._call_padded(frames, boxes, bucket)
+        except Exception as e:  # noqa: BLE001 — futures carry it
+            for _, _, fut, _ in batch:
+                fut.set_exception(e)
+            return
+        i = 0
+        for _, b, fut, t0 in batch:
+            n = len(b)
+            fut.set_result({k: v[i:i + n] for k, v in out.items()})
+            self._note(n, t0)
+            i += n
+        with self._lock:
+            self.stats["dispatches"] += 1
+            self.stats["batch_sizes"].append(int(len(boxes)))
+
+    def _call_padded(self, frames, boxes, bucket: int) -> dict:
+        n = len(boxes)
+        if n < bucket:
+            pad = bucket - n
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)]
+            )
+            boxes = np.concatenate(
+                [boxes, np.repeat(boxes[-1:], pad, axis=0)]
+            )
+        out = self.runner(np.ascontiguousarray(frames), boxes)
+        return {k: np.asarray(v)[:n] for k, v in out.items()}
+
+    def _note(self, n: int, t0: float) -> None:
+        ms = (time.perf_counter() - t0) * 1e3
+        with self._lock:
+            self.stats["latency_ms"].append(ms)
+            # bound the in-memory windows (quantiles reflect recent load)
+            if len(self.stats["latency_ms"]) > 10_000:
+                del self.stats["latency_ms"][:5_000]
+            if len(self.stats["batch_sizes"]) > 10_000:
+                del self.stats["batch_sizes"][:5_000]
+
+    def stats_snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self.stats["latency_ms"])
+            sizes = list(self.stats["batch_sizes"])
+            out = {
+                "requests": self.stats["requests"],
+                "crops": self.stats["crops"],
+                "dispatches": self.stats["dispatches"],
+            }
+        if lat:
+            q = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+            out["latency_ms"] = {
+                "p50": round(q(0.50), 3),
+                "p90": round(q(0.90), 3),
+                "p99": round(q(0.99), 3),
+                "max": round(lat[-1], 3),
+            }
+        if sizes:
+            out["mean_batch"] = round(float(np.mean(sizes)), 2)
+            out["max_batch"] = int(max(sizes))
+        return out
+
+
+def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
+    # generous default: the FIRST request on each bucket pays the XLA
+    # compile (~20-40 s on TPU); steady-state requests return in ms.
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            elif self.path == "/stats":
+                self._reply(200, batcher.stats_snapshot())
+            else:
+                self._reply(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._reply(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length))
+                shape = tuple(int(v) for v in req["shape"])
+                if len(shape) != 3 or shape[2] != 3:
+                    raise ValueError(f"shape {shape} != (H, W, 3)")
+                raw = base64.b64decode(req["frame_b64"])
+                frame = np.frombuffer(raw, np.uint8)
+                if frame.size != shape[0] * shape[1] * shape[2]:
+                    raise ValueError(
+                        f"{frame.size} bytes != shape {shape}"
+                    )
+                frame = frame.reshape(shape)
+                boxes = np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+            except Exception as e:  # noqa: BLE001 — client error -> 400
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                out = batcher.submit(frame, boxes).result(
+                    timeout=request_timeout_s
+                )
+            except Exception as e:  # noqa: BLE001 — server error -> 500
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200, {k: v.tolist() for k, v in out.items()})
+
+    return Handler
+
+
+class PoseHTTPServer:
+    """ThreadingHTTPServer wrapping a MicroBatcher; `serve_forever` in the
+    calling thread or `start()`/`shutdown()` for embedding (tests)."""
+
+    def __init__(self, batcher: MicroBatcher, host: str = "0.0.0.0",
+                 port: int = 8000, request_timeout_s: float = 300.0):
+        from http.server import ThreadingHTTPServer
+
+        self.batcher = batcher
+        self.httpd = ThreadingHTTPServer(
+            (host, port), _make_handler(batcher, request_timeout_s)
+        )
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> None:
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        self.batcher.close()
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="pose serving server")
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", type=Path,
+                     help="Orbax checkpoint directory (live predictor)")
+    src.add_argument("--bundle", type=Path,
+                     help="exported StableHLO bundle directory")
+    parser.add_argument("--config", type=Path, default=None)
+    parser.add_argument("--host", default="0.0.0.0")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--frame-shape", type=str, default="1080,1920",
+                        help="H,W all frames are padded to")
+    parser.add_argument("--buckets", type=str, default=None,
+                        help="comma-separated batch buckets "
+                        "(default: autotuned ladder)")
+    parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--ema", action="store_true")
+    args = parser.parse_args(argv)
+
+    frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
+    if args.bundle:
+        from probpose_pytorch_tpu.serve.export import ServingBundle
+
+        bundle = ServingBundle.load(args.bundle)
+        runner, buckets = bundle, bundle.buckets
+        frame_shape = bundle.frame_shape
+    else:
+        from probpose_pytorch_tpu.inference import (
+            load_predictor,
+            tuned_bucket_ladder,
+            tuned_serving_batch,
+        )
+
+        predictor = load_predictor(
+            args.checkpoint, args.config, ema=args.ema
+        )
+        runner = predictor
+        buckets = tuned_bucket_ladder() or (tuned_serving_batch(),)
+    if args.buckets:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+
+    batcher = MicroBatcher(
+        runner, buckets, frame_shape, max_wait_ms=args.max_wait_ms
+    )
+    server = PoseHTTPServer(batcher, args.host, args.port)
+    print(
+        f"serving on {args.host}:{server.port} "
+        f"(buckets {tuple(buckets)}, frame {frame_shape}, "
+        f"wait {args.max_wait_ms} ms)"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

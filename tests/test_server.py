@@ -1,0 +1,277 @@
+"""Serving server: micro-batching core and the HTTP front end.
+
+The MicroBatcher must coalesce concurrent requests into bucket-size
+dispatches without corrupting per-request results (order, padding strip,
+splitting); the HTTP layer must round-trip the JSON+base64 protocol.
+"""
+
+import base64
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
+
+
+class EchoRunner:
+    """Identifies every crop row in the output so tests can check that
+    batching/padding/splitting never mixes rows up."""
+
+    def __init__(self, buckets):
+        self.buckets = set(buckets)
+        self.calls = []
+
+    def __call__(self, frames, boxes):
+        assert len(frames) == len(boxes)
+        assert len(frames) in self.buckets, (
+            f"dispatch size {len(frames)} not an allowed bucket"
+        )
+        self.calls.append(len(frames))
+        return {
+            "echo_box": np.asarray(boxes, np.float32).copy(),
+            "frame_mean": frames.reshape(len(frames), -1).astype(
+                np.float64
+            ).mean(axis=1),
+        }
+
+
+def _frame(seed, h=16, w=16):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+
+
+class TestMicroBatcher:
+    def test_single_request_pads_and_strips(self):
+        runner = EchoRunner({4})
+        mb = MicroBatcher(runner, (4,), (16, 16), max_wait_ms=0)
+        try:
+            boxes = np.array([[1, 2, 3, 4], [5, 6, 7, 8]], np.float32)
+            out = mb.submit(_frame(0), boxes).result(timeout=10)
+            np.testing.assert_array_equal(out["echo_box"], boxes)
+            assert out["echo_box"].shape == (2, 4)  # padding stripped
+            assert runner.calls == [4]
+        finally:
+            mb.close()
+
+    def test_concurrent_requests_coalesce(self):
+        runner = EchoRunner({1, 8})
+        mb = MicroBatcher(runner, (1, 8), (16, 16), max_wait_ms=50)
+        try:
+            boxes = [
+                np.array([[i, i, 10, 10]], np.float32) for i in range(6)
+            ]
+            futs = [
+                mb.submit(_frame(i), boxes[i]) for i in range(6)
+            ]
+            outs = [f.result(timeout=10) for f in futs]
+            for i, out in enumerate(outs):
+                np.testing.assert_array_equal(out["echo_box"], boxes[i])
+                # each crop carried its own request's frame
+                np.testing.assert_allclose(
+                    out["frame_mean"][0],
+                    _frame(i).astype(np.float64).mean(),
+                )
+            assert len(runner.calls) < 6, (
+                f"no coalescing happened: {runner.calls}"
+            )
+        finally:
+            mb.close()
+
+    def test_oversized_request_splits(self):
+        runner = EchoRunner({4})
+        mb = MicroBatcher(runner, (4,), (16, 16), max_wait_ms=0)
+        try:
+            boxes = np.arange(10 * 4, dtype=np.float32).reshape(10, 4)
+            out = mb.submit(_frame(3), boxes).result(timeout=10)
+            np.testing.assert_array_equal(out["echo_box"], boxes)
+            assert runner.calls == [4, 4, 4]
+        finally:
+            mb.close()
+
+    def test_empty_boxes(self):
+        runner = EchoRunner({2})
+        mb = MicroBatcher(runner, (2,), (16, 16), max_wait_ms=0)
+        try:
+            out = mb.submit(
+                _frame(4), np.zeros((0, 4), np.float32)
+            ).result(timeout=10)
+            assert out == {}
+            assert runner.calls == []
+        finally:
+            mb.close()
+
+    def test_runner_error_propagates(self):
+        def broken(frames, boxes):
+            raise RuntimeError("chip on fire")
+
+        mb = MicroBatcher(broken, (2,), (16, 16), max_wait_ms=0)
+        try:
+            fut = mb.submit(_frame(5), np.ones((1, 4), np.float32))
+            with pytest.raises(RuntimeError, match="chip on fire"):
+                fut.result(timeout=10)
+        finally:
+            mb.close()
+
+    def test_oversized_frame_rejected(self):
+        mb = MicroBatcher(EchoRunner({2}), (2,), (16, 16), max_wait_ms=0)
+        try:
+            with pytest.raises(ValueError, match="exceeds"):
+                mb.submit(_frame(6, h=17), np.ones((1, 4), np.float32))
+        finally:
+            mb.close()
+
+    def test_stats(self):
+        runner = EchoRunner({2})
+        mb = MicroBatcher(runner, (2,), (16, 16), max_wait_ms=0)
+        try:
+            mb.submit(_frame(7), np.ones((2, 4), np.float32)).result(
+                timeout=10
+            )
+            s = mb.stats_snapshot()
+            assert s["requests"] == 1 and s["crops"] == 2
+            assert s["dispatches"] == 1
+            assert s["latency_ms"]["p50"] > 0
+        finally:
+            mb.close()
+
+    def test_closed_rejects(self):
+        mb = MicroBatcher(EchoRunner({2}), (2,), (16, 16), max_wait_ms=0)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.submit(_frame(8), np.ones((1, 4), np.float32))
+
+
+@pytest.fixture(scope="module")
+def http_env():
+    """A live PoseHTTPServer over a real tiny predictor on an OS-assigned
+    port; yields (server, base_url, predictor)."""
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.models.vit import ViTConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    ViTConfig.PRESETS.setdefault(
+        "vit-tiny-e2e",
+        dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+    )
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0,
+        ),
+        out_dir="/tmp/server-test-run",
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    predictor = TopDownPredictor(
+        model=trainer.model,
+        variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+    batcher = MicroBatcher(
+        predictor, (1, 4), (64, 64), max_wait_ms=2.0
+    )
+    server = PoseHTTPServer(batcher, host="127.0.0.1", port=0)
+    server.start()
+    try:
+        yield server, f"http://127.0.0.1:{server.port}", predictor
+    finally:
+        server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestHTTP:
+    def test_healthz_and_stats(self, http_env):
+        _, base, _ = http_env
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            s = json.loads(r.read())
+        assert "requests" in s
+
+    def test_predict_matches_direct(self, http_env):
+        _, base, predictor = http_env
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (60, 62, 3), dtype=np.uint8)
+        boxes = [[2.0, 3.0, 30.0, 40.0], [10.0, 5.0, 25.0, 35.0]]
+        status, out = _post(base + "/predict", {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": list(frame.shape),
+            "boxes": boxes,
+        })
+        assert status == 200
+        # direct reference: pad the frame like the server does
+        padded = np.pad(frame, ((0, 4), (0, 2), (0, 0)))
+        direct = predictor(
+            np.stack([padded, padded]), np.asarray(boxes, np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["keypoints"]), direct["keypoints"],
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_concurrent_http_batching(self, http_env):
+        server, base, _ = http_env
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        payload = {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": [64, 64, 3],
+            "boxes": [[0.0, 0.0, 30.0, 30.0]],
+        }
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = _post(base + "/predict", payload)
+
+        threads = [
+            threading.Thread(target=worker, args=(i,)) for i in range(4)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        ref = None
+        for status, out in results:
+            assert status == 200
+            kp = np.asarray(out["keypoints"])
+            assert kp.shape == (1, 5, 2)
+            if ref is None:
+                ref = kp
+            else:
+                np.testing.assert_allclose(kp, ref, rtol=1e-5, atol=1e-5)
+
+    def test_bad_request_400(self, http_env):
+        _, base, _ = http_env
+        status, out = _post(base + "/predict", {
+            "frame_b64": base64.b64encode(b"abc").decode(),
+            "shape": [64, 64, 3],
+            "boxes": [[0, 0, 1, 1]],
+        })
+        assert status == 400 and "error" in out
+
+    def test_unknown_path_404(self, http_env):
+        _, base, _ = http_env
+        status, out = _post(base + "/nope", {})
+        assert status == 404
