@@ -12,5 +12,11 @@ from probpose_pytorch_tpu.serve.export import (
     ServingBundle,
     export_predictor_bundle,
 )
+from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
 
-__all__ = ["ServingBundle", "export_predictor_bundle"]
+__all__ = [
+    "ServingBundle",
+    "export_predictor_bundle",
+    "MicroBatcher",
+    "PoseHTTPServer",
+]
