@@ -137,7 +137,11 @@ class TopDownPredictor:
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
     # quantize/dequantize elementwise passes cost more than the int8 MXU
     # saves — docs/PERF.md "int8 serving"), with ~0.9998 feature
-    # correlation. Plain ViT backbones only (no prefix tokens / adapters);
+    # correlation. "int8_wo": weight-only int8 (bf16 activations) — the
+    # latency-mode variant; wins where the matmuls are weight-bandwidth-
+    # bound (single-crop serving of wide models: 1.43x measured at ViT-H
+    # width, scripts/bench_weight_only_int8.py), parity at throughput
+    # batches. Plain ViT backbones only (no prefix tokens / adapters);
     # single-device (mesh=None).
     quantize: str | None = None
 
@@ -147,10 +151,10 @@ class TopDownPredictor:
         self._jitted: dict[tuple, Any] = {}
         self._jax = jax
         if self.quantize is not None:
-            if self.quantize != "int8":
+            if self.quantize not in ("int8", "int8_wo"):
                 raise ValueError(f"unknown quantize mode {self.quantize!r}")
             if self.mesh is not None:
-                raise ValueError("quantize='int8' is single-device only")
+                raise ValueError(f"quantize={self.quantize!r} is single-device only")
             bb = self.model.backbone
             from probpose_pytorch_tpu.models.vit import ViTBackbone
 
@@ -237,7 +241,7 @@ class TopDownPredictor:
         )
 
         def forward(variables, crops):
-            if self.quantize == "int8":
+            if self.quantize in ("int8", "int8_wo"):
                 from probpose_pytorch_tpu.models.vit_int8 import (
                     vit_forward_int8,
                 )
@@ -249,6 +253,7 @@ class TopDownPredictor:
                     patch_size=bb.patch_size,
                     depth=bb.depth,
                     num_heads=bb.num_heads,
+                    weight_only=self.quantize == "int8_wo",
                 )
                 return self.model.head.apply(
                     variables["head"], feats, train=False
@@ -494,6 +499,13 @@ def main(argv: Sequence[str] | None = None) -> None:
         "measured slower than bf16 at ViT-S/B on v5e — docs/PERF.md)",
     )
     parser.add_argument(
+        "--int8-weight-only",
+        action="store_true",
+        help="weight-only int8 backbone matmuls (bf16 activations): the "
+        "latency-mode variant for weight-bound geometries (wide models, "
+        "tiny batches)",
+    )
+    parser.add_argument(
         "--flip-test",
         action="store_true",
         help="flip-test TTA: average predictions with the horizontally "
@@ -509,7 +521,11 @@ def main(argv: Sequence[str] | None = None) -> None:
         args.checkpoint,
         args.config,
         ema=args.ema,
-        quantize="int8" if args.int8 else None,
+        quantize=(
+            "int8_wo" if args.int8_weight_only
+            else "int8" if args.int8
+            else None
+        ),
         flip_test=args.flip_test,
     )
     predictor.return_heatmaps = True  # one forward serves decode + PNG dump

@@ -16,7 +16,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from probpose_pytorch_tpu.ops.quant import int8_matmul, quantize_weight
+from probpose_pytorch_tpu.ops.quant import (
+    int8_matmul,
+    quantize_weight,
+    weight_only_matmul,
+)
 
 __all__ = ["quantize_vit_params", "vit_forward_int8"]
 
@@ -55,7 +59,13 @@ def _layernorm(x: jax.Array, p: dict) -> jax.Array:
     return y * p["scale"] + p["bias"]
 
 
-def _qdense(x: jax.Array, p: dict) -> jax.Array:
+def _qdense(x: jax.Array, p: dict, weight_only: bool = False) -> jax.Array:
+    if weight_only:
+        # bf16 activations: the weight-only win is HBM bytes on the weight
+        # read; an f32 activation matmul would halve MXU throughput.
+        return weight_only_matmul(
+            x.astype(jnp.bfloat16), p["kernel_q"], p["scale"], p["bias"]
+        )
     return int8_matmul(x, p["kernel_q"], p["scale"], p["bias"])
 
 
@@ -66,10 +76,19 @@ def vit_forward_int8(
     patch_size: int,
     depth: int,
     num_heads: int,
+    weight_only: bool = False,
 ) -> jax.Array:
     """(B, H, W, 3) -> (B, H/p, W/p, C) features, int8 matmuls throughout the
     transformer. Numerically validated against the f32/bf16 flax forward in
-    tests/test_quant.py."""
+    tests/test_quant.py.
+
+    weight_only=True keeps activations in bf16 and stores only the weights
+    int8 (ops/quant.py:weight_only_matmul) — the latency-mode variant:
+    wins where matmuls are weight-bandwidth-bound (single-crop serving of
+    wide models; 1.43x measured on a ViT-H-width layer,
+    scripts/bench_weight_only_int8.py), parity at throughput batches, and
+    closer to the f32 forward than dynamic int8 since activations are
+    never quantized."""
     B, H, W, _ = images.shape
     gh, gw = H // patch_size, W // patch_size
 
@@ -91,18 +110,18 @@ def vit_forward_int8(
     for i in range(depth):
         blk = qparams[f"block{i}"]
         y = _layernorm(x, blk["norm1"])
-        qkv = _qdense(y, blk["attn.qkv"]).reshape(B, N, 3, num_heads, head_dim)
+        qkv = _qdense(y, blk["attn.qkv"], weight_only).reshape(B, N, 3, num_heads, head_dim)
         q, k, v = jnp.moveaxis(qkv, 2, 0)
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(
             jnp.bfloat16
         )
         o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
-        x = x + _qdense(o, blk["attn.proj"])
+        x = x + _qdense(o, blk["attn.proj"], weight_only)
         y = _layernorm(x, blk["norm2"])
-        h = _qdense(y, blk["mlp.fc1"])
+        h = _qdense(y, blk["mlp.fc1"], weight_only)
         h = jax.nn.gelu(h)
-        x = x + _qdense(h, blk["mlp.fc2"])
+        x = x + _qdense(h, blk["mlp.fc2"], weight_only)
 
     x = _layernorm(x, qparams["norm"]).astype(jnp.float32)
     return x.reshape(B, gh, gw, C)

@@ -4,6 +4,7 @@ vs the f32 flax forward."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probpose_pytorch_tpu.models.vit import ViTBackbone
 from probpose_pytorch_tpu.models.vit_int8 import (
@@ -65,7 +66,8 @@ class TestPrimitives:
 
 
 class TestQuantizedPredictor:
-    def test_int8_predictor_tracks_f32(self, tmp_path):
+    @pytest.mark.parametrize("mode", ["int8", "int8_wo"])
+    def test_int8_predictor_tracks_f32(self, tmp_path, mode):
         """TopDownPredictor(quantize='int8') runs the full serving path
         (fused crop -> int8 backbone -> head -> decode -> untransform) and
         its keypoints track the f32 predictor within the quantization
@@ -105,7 +107,7 @@ class TestQuantizedPredictor:
         )
         pred_f32 = TopDownPredictor(variables=variables, **kw)
         pred_int8 = TopDownPredictor(
-            variables=variables, quantize="int8", **kw
+            variables=variables, quantize=mode, **kw
         )
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 255, (4, 128, 96, 3), dtype=np.uint8)
@@ -178,3 +180,27 @@ class TestQuantizedViT:
         # correlation stays near 1
         corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
         assert corr > 0.99, corr
+
+    def test_weight_only_tracks_f32_tighter_than_dynamic(self):
+        """weight_only=True never quantizes activations, so its feature
+        error vs the f32 forward must be no worse than dynamic int8's."""
+        m = ViTBackbone(
+            img_size=(64, 48), patch_size=16, embed_dim=64, depth=3,
+            num_heads=2, dtype=jnp.float32,
+        )
+        x = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 48, 3))
+        variables = m.init(jax.random.PRNGKey(3), x)
+        ref = np.asarray(m.apply(variables, x))
+        qparams = quantize_vit_params(variables["params"], depth=3)
+        dyn = np.asarray(
+            vit_forward_int8(qparams, x, patch_size=16, depth=3,
+                             num_heads=2)
+        )
+        wo = np.asarray(
+            vit_forward_int8(qparams, x, patch_size=16, depth=3,
+                             num_heads=2, weight_only=True)
+        )
+        err = lambda y: np.abs(y - ref).mean() / (np.abs(ref).mean() + 1e-9)
+        assert err(wo) < 0.1
+        assert err(wo) <= err(dyn) * 1.05, (err(wo), err(dyn))
+        assert np.corrcoef(wo.ravel(), ref.ravel())[0, 1] > 0.99
