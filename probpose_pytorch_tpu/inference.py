@@ -260,7 +260,14 @@ class TopDownPredictor:
                 )
             return self.model.apply(variables, crops, train=False)
 
-        def run(variables, frames, boxes):
+        def run(variables, frames, boxes, frame_ids=None):
+            if frame_ids is not None:
+                # indexed serving: frames holds each UNIQUE frame once
+                # (F, Hs, Ws, 3) and frame_ids (B,) maps crops to frames —
+                # the host->device link carries each frame once instead of
+                # once per crop; the gather is one HBM pass (~free next to
+                # any transfer link).
+                frames = jnp.take(frames, frame_ids, axis=0)
             crops = crop_resize(
                 frames, boxes, self.input_size, self.preprocess_method
             )
@@ -295,27 +302,58 @@ class TopDownPredictor:
 
         return run
 
-    def _dispatch(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+    def _dispatch(
+        self,
+        frames: np.ndarray,
+        boxes: np.ndarray,
+        frame_ids: np.ndarray | None = None,
+    ) -> dict:
         """Enqueue one batch on the device and return the (still in-flight)
         device output dict — JAX async dispatch means this returns as soon
         as the program is enqueued, not when it finishes."""
         import jax.numpy as jnp
 
-        key = (frames.shape, boxes.shape, self.return_heatmaps, self.flip_test)
+        key = (
+            frames.shape,
+            boxes.shape,
+            None if frame_ids is None else frame_ids.shape,
+            self.return_heatmaps,
+            self.flip_test,
+        )
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
         frames = jnp.asarray(frames)
         boxes = jnp.asarray(boxes)
         if self.mesh is not None:
+            if frame_ids is not None:
+                raise ValueError(
+                    "indexed frames are single-device; mesh serving takes "
+                    "per-crop frames"
+                )
             from probpose_pytorch_tpu.parallel.sharding import shard_batch
 
             frames, boxes = shard_batch((frames, boxes), self.mesh)
+        if frame_ids is not None:
+            return self._jitted[key](
+                self.variables, frames, boxes,
+                jnp.asarray(frame_ids, jnp.int32),
+            )
         return self._jitted[key](self.variables, frames, boxes)
 
-    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
-        """frames: (B, Hs, Ws, 3) uint8; boxes: (B, 4) xywh. Returns a dict of
-        numpy arrays with frame-space keypoints."""
-        out = self._dispatch(frames, boxes)
+    def __call__(
+        self,
+        frames: np.ndarray,
+        boxes: np.ndarray,
+        frame_ids: np.ndarray | None = None,
+    ) -> dict:
+        """frames: (B, Hs, Ws, 3) uint8; boxes: (B, 4) xywh. Returns a dict
+        of numpy arrays with frame-space keypoints.
+
+        frame_ids (B,) int switches to indexed serving: frames then holds
+        each unique frame once, (F, Hs, Ws, 3), and crop i reads
+        frames[frame_ids[i]] — F transfers instead of B (the win for
+        multi-person frames on any transfer-bound link)."""
+        out = self._dispatch(frames, boxes, frame_ids)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def predict_stream(self, batches, depth: int = 2):
@@ -335,8 +373,10 @@ class TopDownPredictor:
 
         in_flight: deque = deque()
         with ThreadPoolExecutor(max_workers=1) as pool:
-            for frames, boxes in batches:
-                in_flight.append(pool.submit(self._dispatch, frames, boxes))
+            for item in batches:
+                # (frames, boxes) or (frames, boxes, frame_ids) — the
+                # indexed form uploads each unique frame once (see __call__)
+                in_flight.append(pool.submit(self._dispatch, *item))
                 if len(in_flight) > depth:
                     out = in_flight.popleft().result()
                     yield {k: np.asarray(v) for k, v in out.items()}
@@ -429,8 +469,14 @@ class TopDownPredictor:
         padded = np.concatenate(
             [boxes, np.tile(boxes[-1:], (bucket - n, 1))], axis=0
         ).astype(np.float32)
-        frames = np.broadcast_to(frame, (bucket, *frame.shape))
-        out = self(frames, padded)
+        if self.mesh is None:
+            # indexed: the frame crosses the host->device link ONCE, not
+            # once per bucket row
+            out = self(
+                frame[None], padded, np.zeros((bucket,), np.int32)
+            )
+        else:
+            out = self(np.broadcast_to(frame, (bucket, *frame.shape)), padded)
         return {k: v[:n] for k, v in out.items()}
 
 

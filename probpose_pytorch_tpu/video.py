@@ -36,7 +36,14 @@ import numpy as np
 
 from probpose_pytorch_tpu.ops.oks_nms import COCO_SIGMAS
 
-__all__ = ["iter_frames", "load_boxes", "OksTracker", "run_video", "main"]
+__all__ = [
+    "iter_frames",
+    "load_boxes",
+    "OksTracker",
+    "run_video",
+    "run_video_stream",
+    "main",
+]
 
 _IMAGE_SUFFIXES = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
@@ -226,33 +233,222 @@ def run_video(
                 "boxes": fb,
             }
             continue
-        out = predictor.predict_frame(
-            frame, fb, nms=nms, nms_threshold=nms_threshold
+        out = predictor.predict_frame(frame, fb)
+        yield _postprocess_frame(
+            out, fb, i, t, nms, nms_threshold, tracker, smoother
         )
-        kpts = out["keypoints"]
-        probs = out["probabilities"][:, 0, :]
-        if "pose_scores" in out:
-            pose_scores = out["pose_scores"]
-            kept_boxes = fb[out["keep"]]
+
+
+def _postprocess_frame(
+    out: dict,
+    fb: np.ndarray,
+    i: int,
+    t: float,
+    nms: str | None,
+    nms_threshold: float,
+    tracker: OksTracker,
+    smoother,
+) -> dict:
+    """Shared per-frame tail: optional pose OKS-NMS (same scoring as
+    predict_frame's), track association, smoothing, record assembly."""
+    kpts = out["keypoints"]
+    probs = out["probabilities"][:, 0, :]
+    pose_scores = (out["scores"] * probs).mean(axis=1)
+    kept_boxes = fb
+    if nms is not None and len(kpts):
+        from probpose_pytorch_tpu.ops.oks_nms import oks_nms, soft_oks_nms
+
+        areas = fb[:, 2] * fb[:, 3]
+        if nms == "oks":
+            keep = oks_nms(kpts, pose_scores, areas,
+                           threshold=nms_threshold)
+            kept_scores = pose_scores[keep]
+        elif nms == "soft_oks":
+            keep, kept_scores = soft_oks_nms(
+                kpts, pose_scores, areas, threshold=nms_threshold
+            )
         else:
-            pose_scores = (out["scores"] * probs).mean(axis=1)
-            kept_boxes = fb
-        areas = kept_boxes[:, 2] * kept_boxes[:, 3]
-        ids = tracker.update(kpts, areas)
-        smoothed = (
-            smoother.update(kpts, ids, t) if smoother is not None else kpts
+            raise ValueError(f"unknown nms mode {nms!r}")
+        out = {k: v[keep] for k, v in out.items()}
+        kpts, probs = out["keypoints"], out["probabilities"][:, 0, :]
+        pose_scores = np.asarray(kept_scores, np.float32)
+        kept_boxes = fb[keep]
+    areas = kept_boxes[:, 2] * kept_boxes[:, 3]
+    ids = tracker.update(kpts, areas)
+    smoothed = smoother.update(kpts, ids, t) if smoother is not None else kpts
+    return {
+        "frame": i,
+        "t": t,
+        "track_ids": ids,
+        "keypoints": kpts,
+        "smoothed": smoothed,
+        "probabilities": probs,
+        "scores": out["scores"],
+        "pose_scores": np.asarray(pose_scores, np.float32),
+        "boxes": kept_boxes,
+    }
+
+
+def run_video_stream(
+    predictor,
+    frames,
+    boxes: Sequence[np.ndarray] | None = None,
+    fps: float = 30.0,
+    nms: str | None = "soft_oks",
+    nms_threshold: float = 0.9,
+    smooth: bool = True,
+    track_threshold: float = 0.3,
+    batch: int | None = None,
+    frame_shape: tuple[int, int] | None = None,
+    depth: int = 2,
+) -> Iterator[dict]:
+    """Throughput mode of `run_video`: crops from consecutive frames are
+    flattened into fixed-size `batch` device dispatches driven through
+    `predictor.predict_stream` (upload/compute overlap), so sequence
+    processing rides the chip's throughput path instead of one
+    latency-sized program per frame. One compiled program total
+    (fixed batch, fixed frame shape).
+
+    frame_shape: (H, W) every frame is zero-padded to (default: the first
+    frame's shape rounded up to the predictor's `frame_size_multiple`);
+    frames exceeding it raise. batch: crops per dispatch (default: the
+    autotuned serving batch). Output records are identical in shape and
+    semantics to `run_video`'s; NMS runs host-side per frame with the same
+    scoring. Results lag the input by up to `batch` crops plus `depth`
+    in-flight batches — tracking and smoothing stay sequential on the
+    reassembled frames.
+
+    Each unique frame crosses the host->device link ONCE per batch
+    (indexed serving — frame_ids into a deduplicated frame array, padded
+    to a power-of-two count so the program set stays bounded); measured
+    6.7x over per-frame mode at 6 people/frame on the tunneled v5e link
+    (docs/PERF.md "video stream"). Numerics: identical to per-frame mode
+    in f32 (tested); under bf16 the different batch shape compiles a
+    different XLA tiling, so results can differ at heatmap-noise level —
+    sub-pixel on trained models (the indexed gather itself is bit-exact
+    vs replicated frames at equal batch, verified on TPU).
+    """
+    from collections import deque
+
+    if batch is None:
+        from probpose_pytorch_tpu.inference import tuned_serving_batch
+
+        batch = tuned_serving_batch()
+    tracker = OksTracker(threshold=track_threshold)
+    smoother = None
+    if smooth:
+        from probpose_pytorch_tpu.utils.smoothing import PoseSmoother
+
+        smoother = PoseSmoother()
+
+    meta: deque = deque()  # (frame_idx, t, n_boxes, fb) in input order
+    state = {"shape": frame_shape}
+
+    def pad_frame(frame: np.ndarray) -> np.ndarray:
+        if state["shape"] is None:
+            m = predictor.frame_size_multiple or 1
+            state["shape"] = (
+                -(-frame.shape[0] // m) * m,
+                -(-frame.shape[1] // m) * m,
+            )
+        Hf, Wf = state["shape"]
+        H, W = frame.shape[:2]
+        if H > Hf or W > Wf:
+            raise ValueError(
+                f"frame {(H, W)} exceeds the stream frame shape "
+                f"{(Hf, Wf)} — pass frame_shape= explicitly"
+            )
+        if (H, W) == (Hf, Wf):
+            return frame
+        return np.pad(frame, ((0, Hf - H), (0, Wf - W), (0, 0)))
+
+    def assemble(buf_frames, buf_b, buf_ids):
+        """Pad crops to `batch` and unique frames to a power-of-two count
+        (bounded program set: log2(batch) frame buckets x 1 crop bucket).
+        Frames upload ONCE each (indexed serving, inference.py __call__
+        frame_ids) — the transfer win that makes this the throughput mode."""
+        pad = batch - len(buf_b)
+        if pad:
+            buf_b = buf_b + [buf_b[-1]] * pad
+            buf_ids = buf_ids + [buf_ids[-1]] * pad
+        f = len(buf_frames)
+        fcap = 1 << (f - 1).bit_length() if f > 1 else 1
+        if fcap > f:
+            blank = np.zeros_like(buf_frames[0])
+            buf_frames = buf_frames + [blank] * (fcap - f)
+        return (
+            np.stack(buf_frames),
+            np.stack(buf_b).astype(np.float32),
+            np.asarray(buf_ids, np.int32),
         )
-        yield {
-            "frame": i,
-            "t": t,
-            "track_ids": ids,
-            "keypoints": kpts,
-            "smoothed": smoothed,
-            "probabilities": probs,
-            "scores": out["scores"],
-            "pose_scores": np.asarray(pose_scores, np.float32),
-            "boxes": kept_boxes,
-        }
+
+    def crop_batches():
+        buf_frames: list = []
+        buf_b: list = []
+        buf_ids: list = []
+        for i, frame in enumerate(frames):
+            t = i / fps
+            if boxes is None:
+                fb = np.array(
+                    [[0, 0, frame.shape[1], frame.shape[0]]], np.float32
+                )
+            else:
+                fb = np.asarray(boxes[i], np.float32).reshape(-1, 4)
+            meta.append((i, t, len(fb), fb))
+            if len(fb) == 0:
+                continue
+            padded = pad_frame(np.asarray(frame, np.uint8))
+            remaining = list(fb)
+            while remaining:
+                space = batch - len(buf_b)
+                take = remaining[:space]
+                remaining = remaining[space:]
+                buf_frames.append(padded)
+                buf_ids.extend([len(buf_frames) - 1] * len(take))
+                buf_b.extend(take)
+                if len(buf_b) == batch:
+                    yield assemble(buf_frames, buf_b, buf_ids)
+                    buf_frames, buf_b, buf_ids = [], [], []
+        if buf_b:
+            yield assemble(buf_frames, buf_b, buf_ids)
+
+    rows: dict[str, np.ndarray] = {}
+    filled = 0
+
+    def pop_frames():
+        nonlocal filled, rows
+        while meta and meta[0][2] <= filled:
+            i, t, n, fb = meta.popleft()
+            if n == 0:
+                yield {
+                    "frame": i, "t": t,
+                    "track_ids": np.zeros((0,), np.int64),
+                    "keypoints": np.zeros((0, 0, 2), np.float32),
+                    "smoothed": np.zeros((0, 0, 2), np.float32),
+                    "probabilities": np.zeros((0, 0), np.float32),
+                    "scores": np.zeros((0, 0), np.float32),
+                    "pose_scores": np.zeros((0,), np.float32),
+                    "boxes": fb,
+                }
+                continue
+            out = {k: v[:n] for k, v in rows.items()}
+            rows = {k: v[n:] for k, v in rows.items()}
+            filled -= n
+            yield _postprocess_frame(
+                out, fb, i, t, nms, nms_threshold, tracker, smoother
+            )
+
+    for got in predictor.predict_stream(crop_batches(), depth=depth):
+        pending = sum(m[2] for m in meta) - filled
+        valid = min(batch, pending)  # tail batch carries padding rows
+        for k, v in got.items():
+            v = v[:valid]
+            rows[k] = (
+                np.concatenate([rows[k], v]) if k in rows else v.copy()
+            )
+        filled += valid
+        yield from pop_frames()
+    yield from pop_frames()
 
 
 def main(argv: Sequence[str] | None = None) -> None:
@@ -279,7 +475,14 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser.add_argument("--prob-threshold", type=float, default=0.9)
     parser.add_argument("--ema", action="store_true", help="use EMA params")
     parser.add_argument("--flip-test", action="store_true")
+    parser.add_argument("--stream-batch", type=int, default=None,
+                        help="throughput mode: flatten crops across frames "
+                        "into batches of this size driven through "
+                        "predict_stream (0 = autotuned batch); incompatible "
+                        "with --render (results lag the frame read)")
     args = parser.parse_args(argv)
+    if args.stream_batch is not None and args.render:
+        parser.error("--stream-batch is incompatible with --render")
 
     from probpose_pytorch_tpu.inference import load_predictor
 
@@ -301,18 +504,26 @@ def main(argv: Sequence[str] | None = None) -> None:
 
         frames = _remember(frames)
 
+    common = dict(
+        boxes=boxes,
+        fps=args.fps,
+        nms=None if args.nms == "none" else args.nms,
+        nms_threshold=args.nms_threshold,
+        smooth=not args.no_smooth,
+        track_threshold=args.track_threshold,
+    )
+    if args.stream_batch is not None:
+        records = run_video_stream(
+            predictor, frames,
+            batch=args.stream_batch or None,
+            **common,
+        )
+    else:
+        records = run_video(predictor, frames, **common)
+
     n = 0
     with (args.out / "poses.jsonl").open("w") as sink:
-        for rec in run_video(
-            predictor,
-            frames,
-            boxes=boxes,
-            fps=args.fps,
-            nms=None if args.nms == "none" else args.nms,
-            nms_threshold=args.nms_threshold,
-            smooth=not args.no_smooth,
-            track_threshold=args.track_threshold,
-        ):
+        for rec in records:
             sink.write(json.dumps(
                 {
                     k: v.tolist() if isinstance(v, np.ndarray) else v

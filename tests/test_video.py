@@ -211,6 +211,82 @@ class TestRunVideo:
         assert r["keypoints"].shape[0] == n
 
 
+class TestRunVideoStream:
+    @pytest.mark.parametrize("nms", [None, "soft_oks"])
+    def test_matches_per_frame_mode(self, tiny_predictor, nms):
+        """Throughput mode (crops batched across frames) must reproduce the
+        per-frame mode record-for-record: same tracks, same smoothing, same
+        NMS survivors — batching is an execution detail, not semantics."""
+        from probpose_pytorch_tpu.video import run_video, run_video_stream
+
+        rng = np.random.default_rng(3)
+        frames = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(5)
+        ]
+        boxes = [
+            np.array([[0, 0, 32, 32], [30, 30, 32, 32]], np.float32),
+            np.array([[0, 0, 32, 32]], np.float32),
+            np.zeros((0, 4), np.float32),
+            np.array(
+                [[0, 0, 32, 32], [30, 30, 32, 32], [10, 10, 32, 32]],
+                np.float32,
+            ),
+            np.array([[5, 5, 40, 40]], np.float32),
+        ]
+        kw = dict(boxes=boxes, nms=nms, track_threshold=0.05)
+        ref = list(run_video(tiny_predictor, iter(frames), **kw))
+        # batch=4 spans frame boundaries; the tail batch carries padding
+        got = list(
+            run_video_stream(
+                tiny_predictor, iter(frames), batch=4, **kw
+            )
+        )
+        assert len(got) == len(ref) == 5
+        for r, g in zip(ref, got):
+            assert g["frame"] == r["frame"]
+            assert g["track_ids"].tolist() == r["track_ids"].tolist()
+            for k in ("keypoints", "smoothed", "probabilities",
+                      "pose_scores", "boxes"):
+                np.testing.assert_allclose(
+                    g[k], r[k], rtol=1e-5, atol=1e-5,
+                    err_msg=f"frame {r['frame']}: {k}",
+                )
+
+    def test_single_program_frame_padding(self, tiny_predictor):
+        """Frames smaller than the stream frame shape pad up; one compiled
+        program serves the whole sequence."""
+        from probpose_pytorch_tpu.video import run_video_stream
+
+        rng = np.random.default_rng(4)
+        frames = [
+            rng.integers(0, 256, (50, 40, 3), dtype=np.uint8),
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),
+        ]
+        boxes = [np.array([[0, 0, 30, 30]], np.float32)] * 2
+        recs = list(
+            run_video_stream(
+                tiny_predictor, iter(frames), boxes=boxes, batch=2,
+                frame_shape=(64, 64), nms=None,
+            )
+        )
+        assert [r["frame"] for r in recs] == [0, 1]
+        assert all(r["keypoints"].shape == (1, 5, 2) for r in recs)
+
+    def test_oversized_frame_raises(self, tiny_predictor):
+        from probpose_pytorch_tpu.video import run_video_stream
+
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, (80, 64, 3), dtype=np.uint8)]
+        with pytest.raises(ValueError, match="exceeds"):
+            list(
+                run_video_stream(
+                    tiny_predictor, iter(frames), batch=2,
+                    frame_shape=(64, 64),
+                )
+            )
+
+
 def test_video_cli(tmp_path):
     """End-to-end CLI: checkpoint + npy stack + boxes JSON → poses.jsonl
     + rendered overlays."""
