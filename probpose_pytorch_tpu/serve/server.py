@@ -63,14 +63,20 @@ class MicroBatcher:
     first pending crop before dispatching a partial batch — the classic
     latency/throughput knob (0 disables coalescing delay).
     frame_shape: (Hf, Wf) all frames are zero-padded to.
+    indexed: the runner supports frame_ids (a live TopDownPredictor) —
+    each request's frame then crosses the host->device link once instead
+    of once per crop; the unique-frame count pads to a power of two so the
+    program set stays log2(batch)-bounded. Leave False for ServingBundles
+    (exported programs take per-crop frames).
     """
 
     def __init__(
         self,
-        runner: Callable[[np.ndarray, np.ndarray], dict],
+        runner: Callable[..., dict],
         buckets: Sequence[int],
         frame_shape: tuple[int, int],
         max_wait_ms: float = 5.0,
+        indexed: bool = False,
     ):
         self.runner = runner
         self.buckets = tuple(sorted(int(b) for b in buckets))
@@ -78,6 +84,7 @@ class MicroBatcher:
             raise ValueError(f"invalid buckets {self.buckets}")
         self.frame_shape = (int(frame_shape[0]), int(frame_shape[1]))
         self.max_wait_ms = float(max_wait_ms)
+        self.indexed = bool(indexed)
         self._queue: deque = deque()  # (frames, boxes, future)
         self._lock = threading.Lock()
         self._wake = threading.Event()
@@ -107,12 +114,10 @@ class MicroBatcher:
         if len(boxes) == 0:
             fut.set_result({})
             return fut
-        # one frame row per crop so requests with different frames batch
-        frames = np.broadcast_to(
-            frame[None], (len(boxes),) + frame.shape
-        )
+        # the frame is stored ONCE per request; _run_batch replicates it
+        # per crop (non-indexed runners) or passes frame_ids (indexed)
         with self._lock:
-            self._queue.append((frames, boxes, fut, time.perf_counter()))
+            self._queue.append((frame, boxes, fut, time.perf_counter()))
             self.stats["requests"] += 1
             self.stats["crops"] += len(boxes)
         self._wake.set()
@@ -183,12 +188,10 @@ class MicroBatcher:
             # only a single request can exceed the top bucket (the dispatch
             # loop never coalesces past it): split into top-bucket chunks
             top = self.buckets[-1]
-            frames, boxes, fut, t0 = batch[0]
+            frame, boxes, fut, t0 = batch[0]
             try:
                 parts = [
-                    self._call_padded(
-                        frames[i:i + top], boxes[i:i + top], top
-                    )
+                    self._call([frame], [boxes[i:i + top]], top)
                     for i in range(0, len(boxes), top)
                 ]
                 fut.set_result({
@@ -202,10 +205,12 @@ class MicroBatcher:
             except Exception as e:  # noqa: BLE001 — future carries it
                 fut.set_exception(e)
             return
-        frames = np.concatenate([f for f, _, _, _ in batch])
-        boxes = np.concatenate([b for _, b, _, _ in batch])
         try:
-            out = self._call_padded(frames, boxes, bucket)
+            out = self._call(
+                [f for f, _, _, _ in batch],
+                [b for _, b, _, _ in batch],
+                bucket,
+            )
         except Exception as e:  # noqa: BLE001 — futures carry it
             for _, _, fut, _ in batch:
                 fut.set_exception(e)
@@ -218,19 +223,49 @@ class MicroBatcher:
             i += n
         with self._lock:
             self.stats["dispatches"] += 1
-            self.stats["batch_sizes"].append(int(len(boxes)))
+            self.stats["batch_sizes"].append(int(count))
 
-    def _call_padded(self, frames, boxes, bucket: int) -> dict:
-        n = len(boxes)
-        if n < bucket:
-            pad = bucket - n
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], pad, axis=0)]
-            )
+    def _call(self, req_frames, req_boxes, bucket: int) -> dict:
+        """One device dispatch for a list of (frame, boxes) requests: crops
+        pad to `bucket` (repeating the last crop); indexed mode passes each
+        unique frame once + frame_ids (frame count padded to a power of
+        two), non-indexed replicates frames per crop."""
+        counts = [len(b) for b in req_boxes]
+        n = sum(counts)
+        boxes = np.concatenate(req_boxes).astype(np.float32)
+        pad = bucket - n
+        if pad:
             boxes = np.concatenate(
                 [boxes, np.repeat(boxes[-1:], pad, axis=0)]
             )
-        out = self.runner(np.ascontiguousarray(frames), boxes)
+        if self.indexed:
+            ids = np.repeat(
+                np.arange(len(req_frames), dtype=np.int32), counts
+            )
+            if pad:
+                ids = np.concatenate(
+                    [ids, np.full((pad,), ids[-1], np.int32)]
+                )
+            f = len(req_frames)
+            fcap = 1 << (f - 1).bit_length() if f > 1 else 1
+            frames = np.stack(
+                list(req_frames)
+                + [np.zeros_like(req_frames[0])] * (fcap - f)
+            )
+            out = self.runner(frames, boxes, ids)
+        else:
+            rows = [
+                np.broadcast_to(fr[None], (c,) + fr.shape)
+                for fr, c in zip(req_frames, counts)
+            ]
+            if pad:
+                last = req_frames[-1]
+                rows.append(
+                    np.broadcast_to(last[None], (pad,) + last.shape)
+                )
+            out = self.runner(
+                np.ascontiguousarray(np.concatenate(rows)), boxes
+            )
         return {k: np.asarray(v)[:n] for k, v in out.items()}
 
     def _note(self, n: int, t0: float) -> None:
@@ -397,7 +432,9 @@ def main(argv=None) -> None:
         buckets = tuple(int(b) for b in args.buckets.split(","))
 
     batcher = MicroBatcher(
-        runner, buckets, frame_shape, max_wait_ms=args.max_wait_ms
+        runner, buckets, frame_shape,
+        max_wait_ms=args.max_wait_ms,
+        indexed=args.bundle is None,  # live predictors take frame_ids
     )
     server = PoseHTTPServer(batcher, args.host, args.port)
     print(

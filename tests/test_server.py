@@ -145,6 +145,44 @@ class TestMicroBatcher:
         with pytest.raises(RuntimeError, match="closed"):
             mb.submit(_frame(8), np.ones((1, 4), np.float32))
 
+    def test_indexed_mode_deduplicates_frames(self):
+        """indexed=True: the runner receives each request's frame ONCE
+        plus frame_ids mapping crops to frames — and results still come
+        back per request, rows intact."""
+        calls = []
+
+        def runner(frames, boxes, frame_ids):
+            assert len(boxes) == len(frame_ids)
+            assert frames.shape[0] & (frames.shape[0] - 1) == 0  # pow2
+            assert frames.shape[0] < len(boxes)  # deduplicated
+            calls.append((frames.shape[0], len(boxes)))
+            per_crop = frames[frame_ids]
+            return {
+                "echo_box": np.asarray(boxes, np.float32).copy(),
+                "frame_mean": per_crop.reshape(
+                    len(per_crop), -1
+                ).astype(np.float64).mean(axis=1),
+            }
+
+        mb = MicroBatcher(runner, (8,), (16, 16), max_wait_ms=50,
+                          indexed=True)
+        try:
+            boxes = [
+                np.array([[i, i, 10, 10], [i, i, 5, 5]], np.float32)
+                for i in range(3)
+            ]
+            futs = [mb.submit(_frame(10 + i), boxes[i]) for i in range(3)]
+            outs = [f.result(timeout=10) for f in futs]
+            for i, out in enumerate(outs):
+                np.testing.assert_array_equal(out["echo_box"], boxes[i])
+                np.testing.assert_allclose(
+                    out["frame_mean"],
+                    np.full(2, _frame(10 + i).astype(np.float64).mean()),
+                )
+            assert calls, "runner never invoked"
+        finally:
+            mb.close()
+
 
 @pytest.fixture(scope="module")
 def http_env():
@@ -179,7 +217,7 @@ def http_env():
         input_size=cfg.model.img_size,
     )
     batcher = MicroBatcher(
-        predictor, (1, 4), (64, 64), max_wait_ms=2.0
+        predictor, (1, 4), (64, 64), max_wait_ms=2.0, indexed=True
     )
     server = PoseHTTPServer(batcher, host="127.0.0.1", port=0)
     server.start()
