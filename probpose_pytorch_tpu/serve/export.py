@@ -63,12 +63,26 @@ def _unflatten(flat: dict[str, np.ndarray]) -> dict[str, Any]:
     return tree
 
 
+def _pow2_ladder(top: int) -> list[int]:
+    """Powers of two up to `top`, plus `top` itself — callers pad the
+    unique-frame count to min(next_pow2(F), bucket), so a non-power-of-two
+    bucket needs its own rung."""
+    out, f = [], 1
+    while f <= top:
+        out.append(f)
+        f *= 2
+    if out[-1] != top:
+        out.append(top)
+    return out
+
+
 def export_predictor_bundle(
     predictor: Any,
     out_dir: str | Path,
     buckets: Sequence[int],
     frame_shape: tuple[int, int],
     platforms: Sequence[str] | None = None,
+    indexed: bool = True,
 ) -> Path:
     """Export `predictor` (a TopDownPredictor) as a serving bundle.
 
@@ -77,6 +91,11 @@ def export_predictor_bundle(
         zero-pad up at serve time).
     platforms: lowering platforms for `jax.export` (default: the current
         backend).
+    indexed: also export frame-indexed programs (fn_b{B}_f{F}.bin for F a
+        power of two <= B) — the serving host then uploads each unique
+        frame once per dispatch instead of once per crop
+        (inference.py:__call__ frame_ids); predict_frame and the
+        micro-batching server use them automatically when present.
     """
     import jax
 
@@ -99,6 +118,7 @@ def export_predictor_bundle(
     )
     fn = predictor._fn()
     kwargs = {"platforms": list(platforms)} if platforms else {}
+    indexed_buckets: dict[str, list[int]] = {}
     for b in buckets:
         exported = jax.export.export(jax.jit(fn), **kwargs)(
             var_abs,
@@ -106,6 +126,17 @@ def export_predictor_bundle(
             jax.ShapeDtypeStruct((b, 4), np.float32),
         )
         (out_dir / f"fn_b{b}.bin").write_bytes(exported.serialize())
+        if indexed and b > 1:
+            fs = [f for f in _pow2_ladder(b)]
+            for f in fs:
+                ex = jax.export.export(jax.jit(fn), **kwargs)(
+                    var_abs,
+                    jax.ShapeDtypeStruct((f, Hf, Wf, 3), np.uint8),
+                    jax.ShapeDtypeStruct((b, 4), np.float32),
+                    jax.ShapeDtypeStruct((b,), np.int32),
+                )
+                (out_dir / f"fn_b{b}_f{f}.bin").write_bytes(ex.serialize())
+            indexed_buckets[str(b)] = fs
     np.savez(out_dir / "params.npz", **_flatten(variables))
     manifest = {
         "version": BUNDLE_VERSION,
@@ -114,6 +145,7 @@ def export_predictor_bundle(
         "input_size": list(predictor.input_size),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "return_heatmaps": bool(predictor.return_heatmaps),
+        "indexed_buckets": indexed_buckets,
     }
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return out_dir
@@ -153,25 +185,77 @@ class ServingBundle:
     def frame_shape(self) -> tuple[int, int]:
         return tuple(self.manifest["frame_shape"])
 
-    def _program(self, bucket: int):
-        if bucket not in self._programs:
+    @property
+    def indexed_buckets(self) -> dict[int, tuple[int, ...]]:
+        """{crop bucket: exported unique-frame counts} — empty for bundles
+        exported with indexed=False or by older releases."""
+        return {
+            int(b): tuple(fs)
+            for b, fs in self.manifest.get("indexed_buckets", {}).items()
+        }
+
+    def _program(self, bucket: int, f: int | None = None):
+        key = (bucket, f)
+        if key not in self._programs:
             import jax
 
-            blob = (self.directory / f"fn_b{bucket}.bin").read_bytes()
-            self._programs[bucket] = jax.export.deserialize(bytearray(blob))
-        return self._programs[bucket]
+            name = (
+                f"fn_b{bucket}.bin" if f is None else f"fn_b{bucket}_f{f}.bin"
+            )
+            blob = (self.directory / name).read_bytes()
+            self._programs[key] = jax.export.deserialize(bytearray(blob))
+        return self._programs[key]
 
-    def __call__(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+    def __call__(
+        self,
+        frames: np.ndarray,
+        boxes: np.ndarray,
+        frame_ids: np.ndarray | None = None,
+    ) -> dict:
         """frames: (B, H, W, 3) uint8 with (H, W) <= the exported frame
         shape (zero-padded up); boxes: (B, 4) xywh, B must be an exported
-        bucket. Returns numpy arrays (frame-space keypoints etc.)."""
-        b = len(frames)
+        bucket. Returns numpy arrays (frame-space keypoints etc.).
+
+        frame_ids (B,) int switches to an indexed program (when the bundle
+        exported them): frames then holds each unique frame once and its
+        count must be one of `indexed_buckets[B]` (powers of two — pad
+        with blank frames)."""
+        b = len(boxes)
         if b not in self.buckets:
             raise ValueError(f"batch {b} is not an exported bucket {self.buckets}")
         frames = self._pad_frames(np.asarray(frames, np.uint8))
-        out = self._program(b).call(
-            self.variables, frames, np.asarray(boxes, np.float32)
-        )
+        if frame_ids is not None:
+            fs = self.indexed_buckets.get(b, ())
+            f = len(frames)
+            if f not in fs:
+                if f == b:
+                    # no indexed program but one frame per crop anyway
+                    # (e.g. bucket 1): a host-side gather is free here
+                    out = self._program(b).call(
+                        self.variables,
+                        frames[np.asarray(frame_ids, np.int64)],
+                        np.asarray(boxes, np.float32),
+                    )
+                    return {k: np.asarray(v) for k, v in out.items()}
+                raise ValueError(
+                    f"unique-frame count {f} not exported for bucket {b} "
+                    f"(available: {fs})"
+                )
+            out = self._program(b, f).call(
+                self.variables,
+                frames,
+                np.asarray(boxes, np.float32),
+                np.asarray(frame_ids, np.int32),
+            )
+        else:
+            if len(frames) != b:
+                raise ValueError(
+                    f"{len(frames)} frames != {b} boxes (pass frame_ids "
+                    "for indexed serving)"
+                )
+            out = self._program(b).call(
+                self.variables, frames, np.asarray(boxes, np.float32)
+            )
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _pad_frames(self, frames: np.ndarray) -> np.ndarray:
@@ -186,36 +270,31 @@ class ServingBundle:
         return np.pad(frames, ((0, 0), (0, Hf - H), (0, Wf - W), (0, 0)))
 
     def predict_stream(self, batches, depth: int = 2):
-        """Stream serving over (frames, boxes) batches with uploads +
-        dispatch on a worker thread (the bundle-side mirror of
+        """Stream serving over (frames, boxes[, frame_ids]) batches with
+        uploads + dispatch on a worker thread (the bundle-side mirror of
         TopDownPredictor.predict_stream): batch i+1's transfer overlaps
-        batch i's compute/readback. Yields output dicts in order."""
+        batch i's compute/readback. Yields output dicts in order. The
+        3-tuple form uses the bundle's indexed programs (each unique frame
+        uploads once)."""
         if depth < 1:
             raise ValueError("depth must be >= 1")
         from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
-        def dispatch(frames, boxes):
-            frames = self._pad_frames(np.asarray(frames, np.uint8))
-            return self._program(len(frames)).call(
-                self.variables, frames, np.asarray(boxes, np.float32)
-            )
-
         pending: deque = deque()
         with ThreadPoolExecutor(max_workers=1) as pool:
-            for frames, boxes in batches:
-                if len(frames) not in self.buckets:
+            for item in batches:
+                b = len(item[1])
+                if b not in self.buckets:
                     raise ValueError(
-                        f"batch {len(frames)} is not an exported bucket "
+                        f"batch {b} is not an exported bucket "
                         f"{self.buckets}"
                     )
-                pending.append(pool.submit(dispatch, frames, boxes))
+                pending.append(pool.submit(self, *item))
                 if len(pending) > depth:
-                    out = pending.popleft().result()
-                    yield {k: np.asarray(v) for k, v in out.items()}
+                    yield pending.popleft().result()
             while pending:
-                out = pending.popleft().result()
-                yield {k: np.asarray(v) for k, v in out.items()}
+                yield pending.popleft().result()
 
     def predict_frame(self, frame: np.ndarray, boxes: np.ndarray) -> dict:
         """Variable-count boxes on one frame: pads the box list to the next
@@ -238,10 +317,16 @@ class ServingBundle:
         padded = np.concatenate(
             [boxes, np.tile(boxes[-1:], (bucket - n, 1))], axis=0
         )
-        frames = np.broadcast_to(
-            np.asarray(frame, np.uint8), (bucket, *frame.shape)
-        )
-        out = self(frames, padded)
+        frame = np.asarray(frame, np.uint8)
+        if 1 in self.indexed_buckets.get(bucket, ()):
+            # one frame upload instead of `bucket` (indexed program)
+            out = self(
+                frame[None], padded, np.zeros((bucket,), np.int32)
+            )
+        else:
+            out = self(
+                np.broadcast_to(frame, (bucket, *frame.shape)), padded
+            )
         return {k: v[:n] for k, v in out.items()}
 
 
@@ -261,6 +346,9 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser.add_argument("--frame-size", type=str, required=True,
                         help="H,W frame shape the bundle accepts")
     parser.add_argument("--ema", action="store_true", help="use EMA params")
+    parser.add_argument("--no-indexed", action="store_true",
+                        help="skip the frame-indexed programs (smaller "
+                        "bundle; serving then uploads frames per crop)")
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.inference import (
@@ -275,7 +363,10 @@ def main(argv: Sequence[str] | None = None) -> None:
         buckets = tuned_bucket_ladder() or (tuned_serving_batch(),)
     frame_shape = tuple(int(v) for v in args.frame_size.split(","))
     predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
-    export_predictor_bundle(predictor, args.out, buckets, frame_shape)
+    export_predictor_bundle(
+        predictor, args.out, buckets, frame_shape,
+        indexed=not args.no_indexed,
+    )
     print(f"wrote bundle {args.out} (buckets {buckets}, frame {frame_shape})")
 
 

@@ -248,6 +248,7 @@ class MicroBatcher:
                 )
             f = len(req_frames)
             fcap = 1 << (f - 1).bit_length() if f > 1 else 1
+            fcap = min(fcap, bucket)  # export ladder tops out at the bucket
             frames = np.stack(
                 list(req_frames)
                 + [np.zeros_like(req_frames[0])] * (fcap - f)
@@ -410,12 +411,14 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
+    indexed = True  # live predictors take frame_ids
     if args.bundle:
         from probpose_pytorch_tpu.serve.export import ServingBundle
 
         bundle = ServingBundle.load(args.bundle)
         runner, buckets = bundle, bundle.buckets
         frame_shape = bundle.frame_shape
+        indexed = bool(bundle.indexed_buckets)
     else:
         from probpose_pytorch_tpu.inference import (
             load_predictor,
@@ -434,7 +437,7 @@ def main(argv=None) -> None:
     batcher = MicroBatcher(
         runner, buckets, frame_shape,
         max_wait_ms=args.max_wait_ms,
-        indexed=args.bundle is None,  # live predictors take frame_ids
+        indexed=indexed,
     )
     server = PoseHTTPServer(batcher, args.host, args.port)
     print(

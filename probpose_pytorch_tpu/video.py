@@ -373,6 +373,7 @@ def run_video_stream(
             buf_ids = buf_ids + [buf_ids[-1]] * pad
         f = len(buf_frames)
         fcap = 1 << (f - 1).bit_length() if f > 1 else 1
+        fcap = min(fcap, batch)  # F never needs to exceed the crop count
         if fcap > f:
             blank = np.zeros_like(buf_frames[0])
             buf_frames = buf_frames + [blank] * (fcap - f)

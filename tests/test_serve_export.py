@@ -110,6 +110,60 @@ class TestBundle:
                 exported[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
             )
 
+    def test_indexed_manifest_and_call(self, bundle_env):
+        """Indexed programs: each unique frame uploads once; results match
+        the per-crop-frames program exactly on the same data."""
+        _, bundle = bundle_env
+        assert bundle.indexed_buckets == {4: (1, 2, 4)}
+        rng = np.random.default_rng(11)
+        fA = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        fB = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        boxes = _frames_boxes(rng, 4, h=64, w=64)[1]
+        ids = np.array([0, 0, 1, 1], np.int32)
+        plain = bundle(np.stack([fA, fA, fB, fB]), boxes)
+        indexed = bundle(np.stack([fA, fB]), boxes, ids)
+        for k in plain:
+            np.testing.assert_allclose(
+                indexed[k], plain[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
+
+    def test_indexed_frame_count_validated(self, bundle_env):
+        _, bundle = bundle_env
+        rng = np.random.default_rng(12)
+        frames = rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8)
+        boxes = _frames_boxes(rng, 4, h=64, w=64)[1]
+        with pytest.raises(ValueError, match="unique-frame count"):
+            bundle(frames, boxes, np.array([0, 1, 2, 2], np.int32))
+
+    def test_indexed_identity_fallback_bucket1(self, bundle_env):
+        """Bucket 1 has no indexed program (F==B==1); frame_ids still work
+        via the host-side gather fallback."""
+        predictor, bundle = bundle_env
+        rng = np.random.default_rng(13)
+        frames, boxes = _frames_boxes(rng, 1, h=64, w=64)
+        out = bundle(frames, boxes, np.zeros((1,), np.int32))
+        live = predictor(frames, boxes)
+        for k in live:
+            np.testing.assert_allclose(
+                out[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
+
+    def test_predict_stream_indexed_triples(self, bundle_env):
+        _, bundle = bundle_env
+        rng = np.random.default_rng(14)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        boxes = _frames_boxes(rng, 4, h=64, w=64)[1]
+        ids = np.zeros((4,), np.int32)
+        batches = [(frame[None], boxes, ids)] * 3
+        outs = list(bundle.predict_stream(iter(batches), depth=2))
+        sync = bundle(frame[None], boxes, ids)
+        assert len(outs) == 3
+        for out in outs:
+            for k in sync:
+                np.testing.assert_allclose(
+                    out[k], sync[k], rtol=1e-6, atol=1e-6, err_msg=k
+                )
+
     def test_predict_stream_matches_sync(self, bundle_env):
         predictor, bundle = bundle_env
         rng = np.random.default_rng(7)
