@@ -324,6 +324,36 @@ def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
                 self._reply(200, {"ok": True})
             elif self.path == "/stats":
                 self._reply(200, batcher.stats_snapshot())
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the same snapshot
+                s = batcher.stats_snapshot()
+                lines = [
+                    "# TYPE pose_requests_total counter",
+                    f"pose_requests_total {s['requests']}",
+                    "# TYPE pose_crops_total counter",
+                    f"pose_crops_total {s['crops']}",
+                    "# TYPE pose_dispatches_total counter",
+                    f"pose_dispatches_total {s['dispatches']}",
+                ]
+                if "latency_ms" in s:
+                    lines.append("# TYPE pose_request_latency_ms summary")
+                    for q, key in (("0.5", "p50"), ("0.9", "p90"),
+                                   ("0.99", "p99")):
+                        lines.append(
+                            f'pose_request_latency_ms{{quantile="{q}"}} '
+                            f"{s['latency_ms'][key]}"
+                        )
+                if "mean_batch" in s:
+                    lines.append("# TYPE pose_mean_batch_size gauge")
+                    lines.append(f"pose_mean_batch_size {s['mean_batch']}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header(
+                    "Content-Type", "text/plain; version=0.0.4"
+                )
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 

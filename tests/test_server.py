@@ -248,6 +248,21 @@ class TestHTTP:
             s = json.loads(r.read())
         assert "requests" in s
 
+    def test_prometheus_metrics(self, http_env):
+        _, base, _ = http_env
+        rng = np.random.default_rng(9)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        _post(base + "/predict", {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": [64, 64, 3],
+            "boxes": [[0.0, 0.0, 30.0, 30.0]],
+        })
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            assert "text/plain" in r.headers["Content-Type"]
+            text = r.read().decode()
+        assert "pose_requests_total" in text
+        assert 'pose_request_latency_ms{quantile="0.5"}' in text
+
     def test_predict_matches_direct(self, http_env):
         _, base, predictor = http_env
         rng = np.random.default_rng(0)
