@@ -13,7 +13,13 @@ from typing import Any
 from probpose_pytorch_tpu.models.model import ModelConfig
 from probpose_pytorch_tpu.ops.augment import AugmentConfig
 
-__all__ = ["OptimConfig", "LossWeights", "TrainConfig", "AugmentConfig"]
+__all__ = [
+    "OptimConfig",
+    "LossWeights",
+    "DistillConfig",
+    "TrainConfig",
+    "AugmentConfig",
+]
 
 
 @dataclass(frozen=True)
@@ -52,11 +58,30 @@ class LossWeights:
 
 
 @dataclass(frozen=True)
+class DistillConfig:
+    """Knowledge distillation from a frozen teacher checkpoint (superset —
+    the reference has no distillation). The teacher (any architecture with
+    the same crop size / keypoint count / heatmap geometry, e.g. ViT-L
+    teaching ViT-S) runs frozen inside the train step; the student adds
+    MSE terms pulling its heatmaps and scalar branches (probability /
+    visibility / oks) toward the teacher's. GT losses stay active — set
+    loss weights to taste for pure-teacher regimes."""
+
+    teacher_checkpoint: str = ""  # Orbax checkpoint directory (required)
+    teacher_config: str = ""  # TrainConfig JSON (default: beside ckpt)
+    ema_teacher: bool = True  # use the teacher's EMA params when present
+    weight: float = 1.0  # overall distill weight in the total loss
+    heatmap_weight: float = 1.0  # MSE on heatmaps
+    scalar_weight: float = 0.1  # MSE on the sigmoid scalar branches
+
+
+@dataclass(frozen=True)
 class TrainConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     loss_weights: LossWeights = field(default_factory=LossWeights)
     augment: AugmentConfig | None = None  # None = no augmentation (ref parity)
+    distill: DistillConfig | None = None  # None = no distillation
     epochs: int = 200
     train_batch_size: int = 32
     val_batch_size: int = 32
@@ -131,6 +156,7 @@ class TrainConfig:
                     "optim": OptimConfig,
                     "loss_weights": LossWeights,
                     "augment": AugmentConfig,
+                    "distill": DistillConfig,
                 }
                 if f.name in nested:
                     kwargs[k] = build(nested[f.name], v) if v is not None else None

@@ -193,12 +193,51 @@ def _encode_targets(codec: Codec, batch: dict[str, Any]) -> dict[str, Any]:
     )
 
 
+def _load_teacher(cfg: TrainConfig) -> tuple[Any, Any]:
+    """Build the frozen distillation teacher: (model, variables).
+
+    The teacher can be any architecture as long as its crop size, keypoint
+    count, and heatmap geometry match the student's (the MSE targets must
+    share shapes) — e.g. a trained ViT-L teaching a ViT-S student."""
+    from pathlib import Path
+
+    d = cfg.distill
+    ckpt_dir = Path(d.teacher_checkpoint)
+    config_path = (
+        Path(d.teacher_config)
+        if d.teacher_config
+        else ckpt_dir.parent / "config.json"
+    )
+    tcfg = TrainConfig.load(config_path)
+    if tcfg.model.img_size != cfg.model.img_size or (
+        tcfg.model.num_keypoints != cfg.model.num_keypoints
+    ):
+        raise ValueError(
+            "distillation teacher geometry mismatch: teacher "
+            f"img_size={tcfg.model.img_size} K={tcfg.model.num_keypoints} "
+            f"vs student img_size={cfg.model.img_size} "
+            f"K={cfg.model.num_keypoints}"
+        )
+    teacher_trainer = Trainer.create(tcfg, steps_per_epoch=1)
+    tstate = restore_state_with_layout(
+        CheckpointManager(ckpt_dir), teacher_trainer.state, tcfg
+    )
+    params = (
+        tstate.ema_params
+        if (d.ema_teacher and tstate.ema_params is not None)
+        else tstate.params
+    )
+    tvars = {"params": params, "batch_stats": tstate.batch_stats}
+    return teacher_trainer.model, tvars
+
+
 def make_train_step(
     model,
     encode_codec: Codec,
     loss_fn: ProbPoseLoss,
     tx: optax.GradientTransformation,
     cfg: TrainConfig,
+    teacher: tuple[Any, Any] | None = None,
 ) -> Callable:
     """Build the fused train step: (state, batch) -> (state, metrics).
 
@@ -279,6 +318,33 @@ def make_train_step(
                 learn_heatmaps_from_zeros=cfg.learn_heatmaps_from_zeros,
             )
             total = sum(losses[k] * w for k, w in weights.items())
+            if teacher is not None:
+                # knowledge distillation: MSE toward the frozen teacher's
+                # heatmaps and scalar branches on the SAME (augmented)
+                # crops, in the same compiled step — no extra host round
+                # trips. Teacher variables ride the closure (replicated on
+                # meshes, like the loss constants).
+                tmodel, tvars = teacher
+                d = cfg.distill
+                tpred = jax.tree_util.tree_map(
+                    jax.lax.stop_gradient,
+                    tmodel.apply(tvars, images, train=False),
+                )
+                mse = lambda a, b: jnp.mean(
+                    (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2
+                )
+                d_hm = mse(pred[0], tpred[0])
+                d_sc = (
+                    mse(pred[1], tpred[1])
+                    + mse(pred[2], tpred[2])
+                    + mse(pred[3], tpred[3])
+                ) / 3.0
+                losses = dict(
+                    losses, distill_heatmap=d_hm, distill_scalar=d_sc
+                )
+                total = total + d.weight * (
+                    d.heatmap_weight * d_hm + d.scalar_weight * d_sc
+                )
             return total, (losses, updates)
 
         (total, (losses, updates)), grads = jax.value_and_grad(
@@ -481,8 +547,13 @@ class Trainer:
                 state = state.replace(
                     opt_state=shard_opt_state(state.opt_state, mesh)
                 )
+        teacher = None
+        if cfg.distill is not None and cfg.distill.teacher_checkpoint:
+            teacher = _load_teacher(cfg)
         train_step = jax.jit(
-            make_train_step(model, encode_codec, loss_fn, tx, cfg),
+            make_train_step(
+                model, encode_codec, loss_fn, tx, cfg, teacher=teacher
+            ),
             donate_argnums=(0,),
         )
         eval_step = jax.jit(make_eval_step(model, encode_codec, loss_fn, cfg))
