@@ -10,9 +10,26 @@ from probpose_pytorch_tpu.train import TrainConfig, Trainer
 from probpose_pytorch_tpu.train.loop import make_train_step
 
 
+def test_all_shipped_configs_parse():
+    """Every preset in configs/ loads under strict unknown-key rejection."""
+    from pathlib import Path
+
+    skipped = {"autotune_serving.json"}
+    seen = 0
+    for p in sorted(Path("configs").glob("*.json")):
+        if p.name in skipped:
+            continue
+        cfg = TrainConfig.load(p)
+        assert cfg.model.num_keypoints > 0, p
+        seen += 1
+    assert seen >= 6
+
+
 @pytest.mark.parametrize(
     "path", ["configs/flagship_coco_vits.json",
-             "configs/reference_parity_fieldsynth.json"],
+             "configs/reference_parity_fieldsynth.json",
+             "configs/vitb_coco.json",
+             "configs/lora_finetune_vits.json"],
 )
 def test_config_train_step_traces(path):
     cfg = TrainConfig.load(path)
