@@ -132,6 +132,13 @@ class TrainConfig:
     # and the head; every other parameter gets zero updates
     # (models/lora.py:lora_frozen_labels via optax.multi_transform).
     train_lora_only: bool = False
+    # Best-checkpoint tracking: a validation metric name ("loss",
+    # "acc/pck", ...); whenever a validation pass improves it, the state is
+    # saved to <out_dir>/checkpoints_best (keep=1, metadata records the
+    # value — tracking survives resume). "" disables.
+    track_best_metric: str = ""
+    # "min" | "max" | "auto" (min iff the metric name contains "loss")
+    track_best_mode: str = "auto"
 
     # ----- (de)serialization -----
     def to_json(self) -> str:

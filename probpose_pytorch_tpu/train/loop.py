@@ -636,6 +636,23 @@ class Trainer:
             start_step = int(self.state.step)
             print(f"[trainer] resumed from step {start_step}")
 
+        best_ckpt = None
+        best_value = None
+        best_sign = 1.0
+        if cfg.track_best_metric:
+            mode = cfg.track_best_mode
+            if mode == "auto":
+                mode = "min" if "loss" in cfg.track_best_metric else "max"
+            if mode not in ("min", "max"):
+                raise ValueError(f"track_best_mode {cfg.track_best_mode!r}")
+            best_sign = 1.0 if mode == "min" else -1.0
+            best_ckpt = CheckpointManager(
+                f"{cfg.out_dir}/checkpoints_best", keep=1
+            )
+            prior = best_ckpt.read_metadata()
+            if prior.get("best_value") is not None:
+                best_value = float(prior["best_value"])
+
         step_idx = start_step
         t0 = time.time()
         done = False
@@ -694,7 +711,35 @@ class Trainer:
                     val_batches is not None
                     and step_idx % cfg.val_every == 0
                 ):
-                    self._validate(val_batches, logger, step_idx)
+                    val = self._validate(val_batches, logger, step_idx)
+                    if best_ckpt is not None and val is not None:
+                        if cfg.track_best_metric not in val:
+                            raise ValueError(
+                                f"track_best_metric "
+                                f"{cfg.track_best_metric!r} not among "
+                                f"validation metrics {sorted(val)}"
+                            )
+                        v = float(val[cfg.track_best_metric])
+                        if math.isfinite(v) and (
+                            best_value is None
+                            or best_sign * v < best_sign * best_value
+                        ):
+                            best_value = v
+                            best_ckpt.save(
+                                step_idx,
+                                self.state,
+                                force=True,
+                                metadata=dict(
+                                    layout_metadata(cfg),
+                                    best_value=v,
+                                    best_metric=cfg.track_best_metric,
+                                ),
+                            )
+                            print(
+                                f"[trainer] new best "
+                                f"{cfg.track_best_metric}={v:.5g} at step "
+                                f"{step_idx} -> checkpoints_best"
+                            )
                 step_idx += 1
                 if max_steps is not None and step_idx - start_step >= max_steps:
                     done = True
@@ -712,10 +757,12 @@ class Trainer:
                 metadata=layout_metadata(cfg),
             )
         ckpt.close()
+        if best_ckpt is not None:
+            best_ckpt.close()
         logger.close()
         return self.state
 
-    def _validate(self, val_batches, logger, step_idx) -> None:
+    def _validate(self, val_batches, logger, step_idx) -> dict | None:
         # Accumulate metric sums on device; a single host transfer at the
         # end (device_get of the summed tree) instead of one blocking
         # float() per metric per batch (VERDICT r1 weak #4).
@@ -730,10 +777,8 @@ class Trainer:
             )
             n += 1
         if total is None:
-            return
+            return None
         host = jax.device_get(total)
-        logger.log(
-            step_idx,
-            {k: float(v) / n for k, v in host.items()},
-            prefix="validation",
-        )
+        averaged = {k: float(v) / n for k, v in host.items()}
+        logger.log(step_idx, averaged, prefix="validation")
+        return averaged

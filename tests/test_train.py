@@ -102,6 +102,55 @@ class TestTrainer:
         trainer2.fit(_data(cfg), max_steps=1)
         assert int(trainer2.state.step) == 3
 
+    def test_track_best_checkpoint(self, tmp_path):
+        """track_best_metric saves improving validation passes to
+        checkpoints_best with the value in the sidecar metadata, restores
+        cleanly, and persists the best across resume."""
+        import json
+
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+        from probpose_pytorch_tpu.train.loop import (
+            restore_state_with_layout,
+        )
+
+        cfg = _tiny_cfg(
+            tmp_path, val_every=2, epochs=3, track_best_metric="loss"
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        trainer.fit(_data(cfg), val_batches=_data(cfg), max_steps=6)
+
+        best_dir = tmp_path / "run" / "checkpoints_best"
+        assert best_dir.exists()
+        best = CheckpointManager(best_dir)
+        meta = best.read_metadata()
+        assert meta["best_metric"] == "loss"
+        vals = [
+            json.loads(l)["validation/loss"]
+            for l in (tmp_path / "run" / "metrics.jsonl")
+            .read_text()
+            .splitlines()
+            if "validation/loss" in l
+        ]
+        assert vals, "no validation passes ran"
+        assert meta["best_value"] == pytest.approx(min(vals), rel=1e-6)
+        # restores onto a fresh trainer
+        fresh = Trainer.create(cfg, steps_per_epoch=2)
+        restored = restore_state_with_layout(best, fresh.state, cfg)
+        assert int(restored.step) >= 0
+        # resume keeps the prior best: a worse validation must not overwrite
+        trainer2 = Trainer.create(cfg, steps_per_epoch=2)
+        trainer2.fit(_data(cfg), val_batches=_data(cfg), max_steps=2)
+        meta2 = CheckpointManager(best_dir).read_metadata()
+        assert meta2["best_value"] <= meta["best_value"] + 1e-9
+
+    def test_track_best_unknown_metric_raises(self, tmp_path):
+        cfg = _tiny_cfg(
+            tmp_path, val_every=1, track_best_metric="acc/nonexistent"
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        with pytest.raises(ValueError, match="track_best_metric"):
+            trainer.fit(_data(cfg), val_batches=_data(cfg), max_steps=1)
+
     def test_device_prefetch_matches_synchronous(self, tmp_path):
         """Threaded upload prefetch must not change training numerics or
         batch order: identical final params vs the synchronous path."""
