@@ -40,3 +40,7 @@ from probpose_pytorch_tpu.data.coco import (  # noqa: F401
 from probpose_pytorch_tpu.data.synth_coco import (  # noqa: F401
     generate_coco_synth,
 )
+from probpose_pytorch_tpu.data.mixed import (  # noqa: F401
+    MixedPoseDataset,
+    build_mixed_datasets,
+)

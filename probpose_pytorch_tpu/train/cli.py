@@ -56,6 +56,10 @@ def main(argv=None) -> None:
         val_ds = SyntheticPoseDataset(
             320, cfg.model.img_size, cfg.model.num_keypoints, seed=2
         )
+    elif cfg.dataset_format == "mixed":
+        from probpose_pytorch_tpu.data.mixed import build_mixed_datasets
+
+        train_ds, val_ds = build_mixed_datasets(cfg)
     elif cfg.dataset_format == "coco":
         from probpose_pytorch_tpu.data.coco import COCOPoseDataset
 

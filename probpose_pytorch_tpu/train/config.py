@@ -101,7 +101,12 @@ class TrainConfig:
     freeze_oks: bool = False
     learn_heatmaps_from_zeros: bool = False
     data_root: str = "./data/field-synth-2"
-    dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic"
+    dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic" | "mixed"
+    # dataset_format "mixed": weighted concatenation of several corpora —
+    # entries {"root": ..., "format": "coco"|"yolo", "repeat": n}; train
+    # mixes all members (each repeated n times per epoch), validation uses
+    # the FIRST member's val split (data/mixed.py).
+    mixed_datasets: tuple = ()
     preprocess_method: str = "bilinear_matmul"  # frame-mode crop kernel
     # Materialize decoded crops into a packed memmap cache once and stream
     # raw bytes thereafter (data/cache.py); "" disables.
