@@ -346,7 +346,10 @@ def run_video_stream(
 
     def pad_frame(frame: np.ndarray) -> np.ndarray:
         if state["shape"] is None:
-            m = predictor.frame_size_multiple or 1
+            # ServingBundles have a fixed exported frame shape instead of a
+            # size multiple — callers pass frame_shape= for those (the CLI
+            # does); live predictors derive it from the first frame.
+            m = getattr(predictor, "frame_size_multiple", None) or 1
             state["shape"] = (
                 -(-frame.shape[0] // m) * m,
                 -(-frame.shape[1] // m) * m,
@@ -456,7 +459,12 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         description="ProbPose-TPU video / frame-sequence inference"
     )
-    parser.add_argument("--checkpoint", type=Path, required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", type=Path,
+                     help="Orbax checkpoint directory (live predictor)")
+    src.add_argument("--bundle", type=Path,
+                     help="exported StableHLO bundle directory "
+                     "(no model code needed)")
     parser.add_argument("--config", type=Path, default=None,
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--frames", type=Path, required=True,
@@ -485,11 +493,25 @@ def main(argv: Sequence[str] | None = None) -> None:
     if args.stream_batch is not None and args.render:
         parser.error("--stream-batch is incompatible with --render")
 
-    from probpose_pytorch_tpu.inference import load_predictor
+    stream_frame_shape = None
+    stream_batch_default = None
+    if args.bundle:
+        if args.ema or args.flip_test:
+            parser.error(
+                "--ema/--flip-test are baked in at bundle export time"
+            )
+        from probpose_pytorch_tpu.serve import ServingBundle
 
-    predictor = load_predictor(
-        args.checkpoint, args.config, ema=args.ema, flip_test=args.flip_test
-    )
+        predictor = ServingBundle.load(args.bundle)
+        stream_frame_shape = predictor.frame_shape
+        stream_batch_default = predictor.buckets[-1]
+    else:
+        from probpose_pytorch_tpu.inference import load_predictor
+
+        predictor = load_predictor(
+            args.checkpoint, args.config, ema=args.ema,
+            flip_test=args.flip_test,
+        )
     boxes = load_boxes(args.boxes) if args.boxes else None
     args.out.mkdir(parents=True, exist_ok=True)
 
@@ -516,7 +538,8 @@ def main(argv: Sequence[str] | None = None) -> None:
     if args.stream_batch is not None:
         records = run_video_stream(
             predictor, frames,
-            batch=args.stream_batch or None,
+            batch=args.stream_batch or stream_batch_default or None,
+            frame_shape=stream_frame_shape,
             **common,
         )
     else:

@@ -287,6 +287,48 @@ class TestRunVideoStream:
             )
 
 
+def test_video_cli_on_bundle(tmp_path, tiny_predictor):
+    """The video CLI drives an exported StableHLO bundle (no checkpoint on
+    the box) in both per-frame and stream modes."""
+    from probpose_pytorch_tpu.serve import export_predictor_bundle
+    from probpose_pytorch_tpu.video import main as video_main
+
+    out = export_predictor_bundle(
+        tiny_predictor, tmp_path / "bundle", buckets=(1, 4),
+        frame_shape=(64, 64),
+    )
+    rng = np.random.default_rng(0)
+    np.save(
+        tmp_path / "vid.npy",
+        rng.integers(0, 256, (3, 64, 64, 3), dtype=np.uint8),
+    )
+    (tmp_path / "boxes.json").write_text(
+        json.dumps([[[0, 0, 40, 40]]] * 3)
+    )
+    for mode, extra in (("perframe", []),
+                        ("stream", ["--stream-batch", "0"])):
+        dst = tmp_path / f"out_{mode}"
+        video_main([
+            "--bundle", str(out),
+            "--frames", str(tmp_path / "vid.npy"),
+            "--boxes", str(tmp_path / "boxes.json"),
+            "--out", str(dst), "--nms", "none",
+        ] + extra)
+        lines = (dst / "poses.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 3, mode
+        rec = json.loads(lines[0])
+        assert np.asarray(rec["keypoints"]).shape == (1, 5, 2), mode
+    # both modes agree on the same exported programs
+    a = json.loads((tmp_path / "out_perframe" / "poses.jsonl")
+                   .read_text().splitlines()[2])
+    b = json.loads((tmp_path / "out_stream" / "poses.jsonl")
+                   .read_text().splitlines()[2])
+    np.testing.assert_allclose(
+        np.asarray(a["keypoints"]), np.asarray(b["keypoints"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_video_cli(tmp_path):
     """End-to-end CLI: checkpoint + npy stack + boxes JSON → poses.jsonl
     + rendered overlays."""
