@@ -550,6 +550,19 @@ class Trainer:
         teacher = None
         if cfg.distill is not None and cfg.distill.teacher_checkpoint:
             teacher = _load_teacher(cfg)
+            if mesh is not None:
+                # the restored teacher arrays are committed to one device;
+                # replicate them over the mesh so the sharded step's
+                # captured constants have a compatible placement
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                tmodel, tvars = teacher
+                teacher = (
+                    tmodel,
+                    jax.device_put(
+                        tvars, NamedSharding(mesh, PartitionSpec())
+                    ),
+                )
         train_step = jax.jit(
             make_train_step(
                 model, encode_codec, loss_fn, tx, cfg, teacher=teacher

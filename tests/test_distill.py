@@ -98,6 +98,48 @@ def test_teacher_geometry_mismatch_raises(tmp_path):
         Trainer.create(cfg, steps_per_epoch=1)
 
 
+def test_distill_on_mesh_matches_single_device(tmp_path):
+    """Distillation under a data-parallel mesh: teacher variables replicate
+    and the first-step loss equals the single-device run's."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
+    from probpose_pytorch_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device test mesh")
+    teacher_run, _ = _save_teacher(tmp_path, train_steps=5)
+    cfg = TrainConfig(
+        model=_model_cfg(),
+        distill=DistillConfig(
+            teacher_checkpoint=str(teacher_run / "checkpoints"),
+            ema_teacher=False,
+        ),
+        epochs=1,
+        train_batch_size=8,
+        out_dir=str(tmp_path / "student"),
+    )
+    ds = SyntheticPoseDataset(8, cfg.model.img_size, 5, seed=0)
+    batch = next(iter(batch_iterator(ds, 8, shuffle=False, num_workers=1)))
+
+    single = Trainer.create(cfg, steps_per_epoch=2)
+    _, m1 = single.train_step(single.state, batch)
+
+    mesh = make_mesh(len(jax.devices()), 1)
+    sharded = Trainer.create(cfg, steps_per_epoch=2, mesh=mesh)
+    _, m2 = sharded.train_step(
+        sharded.state, sharded._device_batch(batch)
+    )
+    np.testing.assert_allclose(
+        float(m2["loss"]), float(m1["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m2["loss/distill_heatmap"]),
+        float(m1["loss/distill_heatmap"]),
+        rtol=1e-4,
+    )
+
+
 def test_student_moves_toward_teacher(tmp_path):
     """With GT losses off and only the distill terms active, the student's
     heatmap/scalar MSE vs the (architecturally different) teacher must
