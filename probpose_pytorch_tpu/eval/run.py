@@ -1,9 +1,11 @@
-"""Evaluation CLI: checkpoint -> COCO keypoint AP.
+"""Evaluation CLI: checkpoint (or deployed bundle) -> COCO keypoint AP.
 
     python -m probpose_pytorch_tpu.eval.run \
         --checkpoint runs/x/checkpoints [--config runs/x/config.json] \
         --annotations person_keypoints_val2017.json --images val2017/ \
         [--batch-size 64] [--max-samples N] [--ema]
+    # or evaluate exactly what production serves (no model code needed):
+    #   --bundle export_dir/   (batch size snaps to an exported bucket)
 
 Streams the val set through the fused top-down pipeline and prints the COCO
 keypoint summary as one JSON line.
@@ -18,7 +20,11 @@ from pathlib import Path
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="ProbPose-TPU COCO eval")
-    parser.add_argument("--checkpoint", type=Path, required=True)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--checkpoint", type=Path,
+                     help="Orbax checkpoint directory (live predictor)")
+    src.add_argument("--bundle", type=Path,
+                     help="exported StableHLO bundle directory")
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--annotations", type=Path, required=True)
     parser.add_argument("--images", type=Path, required=True)
@@ -51,6 +57,11 @@ def main(argv=None) -> None:
     from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
     from probpose_pytorch_tpu.inference import load_predictor
 
+    if args.bundle and (args.ema or args.flip_test or args.data_parallel):
+        parser.error(
+            "--ema/--flip-test are baked into bundles at export; "
+            "--data-parallel needs a live predictor"
+        )
     mesh = None
     if args.data_parallel:
         import jax
@@ -62,13 +73,26 @@ def main(argv=None) -> None:
             mesh = make_mesh(n_dev, model_parallel=args.model_parallel)
             dp = n_dev // args.model_parallel
             args.batch_size = -(-args.batch_size // dp) * dp
-    predictor = load_predictor(
-        args.checkpoint,
-        args.config,
-        ema=args.ema,
-        mesh=mesh,
-        flip_test=args.flip_test,
-    )
+    if args.bundle:
+        from probpose_pytorch_tpu.serve import ServingBundle
+
+        predictor = ServingBundle.load(args.bundle)
+        # the bundle only compiled its bucket ladder: snap the batch size
+        if args.batch_size not in predictor.buckets:
+            snapped = max(
+                (b for b in predictor.buckets if b <= args.batch_size),
+                default=predictor.buckets[0],
+            )
+            print(f"[eval] batch {args.batch_size} -> bucket {snapped}")
+            args.batch_size = snapped
+    else:
+        predictor = load_predictor(
+            args.checkpoint,
+            args.config,
+            ema=args.ema,
+            mesh=mesh,
+            flip_test=args.flip_test,
+        )
     dataset = COCOPoseDataset(
         args.annotations,
         args.images,

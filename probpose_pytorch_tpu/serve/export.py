@@ -186,6 +186,13 @@ class ServingBundle:
         return tuple(self.manifest["frame_shape"])
 
     @property
+    def input_size(self) -> tuple[int, int]:
+        """(H, W) crop size baked into the exported programs — same
+        contract as TopDownPredictor.input_size (the eval pipeline reads
+        it)."""
+        return tuple(self.manifest["input_size"])
+
+    @property
     def indexed_buckets(self) -> dict[int, tuple[int, ...]]:
         """{crop bucket: exported unique-frame counts} — empty for bundles
         exported with indexed=False or by older releases."""

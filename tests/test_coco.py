@@ -260,3 +260,31 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     rec_dp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     for k, v in rec.items():
         assert rec_dp[k] == pytest.approx(v, abs=1e-6), k
+
+    # Bundle eval: export a StableHLO bundle sized for the eval crops and
+    # the same metrics must come out — evaluating exactly what serves.
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.serve import export_predictor_bundle
+
+    predictor = TopDownPredictor(
+        model=trainer.model,
+        variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+    bundle_dir = export_predictor_bundle(
+        predictor, tmp_path / "bundle", buckets=(2,),
+        frame_shape=cfg.model.img_size,
+    )
+    eval_main([
+        "--bundle", str(bundle_dir),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+    ])
+    rec_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k, v in rec.items():
+        assert rec_b[k] == pytest.approx(v, abs=1e-6), k
