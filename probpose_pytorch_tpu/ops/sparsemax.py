@@ -20,10 +20,17 @@ The backward pass uses the known closed-form Jacobian of sparsemax:
 
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sparsemax", "sparsemax_tpu", "sparsemax_auto"]
+__all__ = [
+    "sparsemax",
+    "sparsemax_tpu",
+    "sparsemax_auto",
+    "force_xla_sparsemax",
+]
 
 _BISECT_ITERS = 30
 
@@ -98,8 +105,26 @@ def _fwd_tpu(z):
 sparsemax_tpu.defvjp(_fwd_tpu, _bwd)
 
 
+_FORCE_XLA = False
+
+
+@contextlib.contextmanager
+def force_xla_sparsemax():
+    """Trace sparsemax with the pure-XLA formulation even on TPU — for
+    multi-platform `jax.export` (serve/export.py portable bundles), where a
+    Pallas call would fail to lower for non-TPU targets. Identical math
+    (the Pallas kernel is a fusion of the same projection)."""
+    global _FORCE_XLA
+    prev = _FORCE_XLA
+    _FORCE_XLA = True
+    try:
+        yield
+    finally:
+        _FORCE_XLA = prev
+
+
 def sparsemax_auto(z: jax.Array) -> jax.Array:
     """Pick the Pallas kernel on TPU, the XLA formulation elsewhere."""
-    if jax.default_backend() == "tpu":
+    if not _FORCE_XLA and jax.default_backend() == "tpu":
         return sparsemax_tpu(z)
     return sparsemax(z)

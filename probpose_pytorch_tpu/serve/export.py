@@ -118,7 +118,54 @@ def export_predictor_bundle(
     )
     fn = predictor._fn()
     kwargs = {"platforms": list(platforms)} if platforms else {}
+    # Portable bundles (platforms beyond the current backend): Pallas
+    # kernels only lower for TPU, so trace with the pure-XLA sparsemax
+    # (identical math) and require a Pallas-free attention impl.
+    import contextlib
+
+    import jax as _jax
+
+    portable = bool(platforms) and set(platforms) != {_jax.default_backend()}
+    ctx: Any = contextlib.nullcontext()
+    if portable:
+        attn = getattr(predictor.model.backbone, "attn_impl", "einsum")
+        if attn in ("fused", "fused_tp", "pallas"):
+            raise ValueError(
+                f"multi-platform export with attn_impl={attn!r}: the "
+                "packed Pallas attention lowers for TPU only — export "
+                "per-platform, or rebuild the predictor with "
+                "attn_impl='einsum' for a portable bundle"
+            )
+        from probpose_pytorch_tpu.ops.sparsemax import force_xla_sparsemax
+
+        ctx = force_xla_sparsemax()
     indexed_buckets: dict[str, list[int]] = {}
+    with ctx:
+        _export_programs(
+            fn, var_abs, buckets, (Hf, Wf), kwargs, out_dir,
+            indexed, indexed_buckets,
+        )
+    np.savez(out_dir / "params.npz", **_flatten(variables))
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "buckets": list(buckets),
+        "frame_shape": [Hf, Wf],
+        "input_size": list(predictor.input_size),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "return_heatmaps": bool(predictor.return_heatmaps),
+        "indexed_buckets": indexed_buckets,
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out_dir
+
+
+def _export_programs(
+    fn, var_abs, buckets, frame_hw, kwargs, out_dir, indexed,
+    indexed_buckets,
+) -> None:
+    import jax
+
+    Hf, Wf = frame_hw
     for b in buckets:
         exported = jax.export.export(jax.jit(fn), **kwargs)(
             var_abs,
@@ -137,18 +184,6 @@ def export_predictor_bundle(
                 )
                 (out_dir / f"fn_b{b}_f{f}.bin").write_bytes(ex.serialize())
             indexed_buckets[str(b)] = fs
-    np.savez(out_dir / "params.npz", **_flatten(variables))
-    manifest = {
-        "version": BUNDLE_VERSION,
-        "buckets": list(buckets),
-        "frame_shape": [Hf, Wf],
-        "input_size": list(predictor.input_size),
-        "platforms": list(platforms) if platforms else [jax.default_backend()],
-        "return_heatmaps": bool(predictor.return_heatmaps),
-        "indexed_buckets": indexed_buckets,
-    }
-    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
-    return out_dir
 
 
 @dataclasses.dataclass
@@ -356,6 +391,10 @@ def main(argv: Sequence[str] | None = None) -> None:
     parser.add_argument("--no-indexed", action="store_true",
                         help="skip the frame-indexed programs (smaller "
                         "bundle; serving then uploads frames per crop)")
+    parser.add_argument("--platforms", type=str, default=None,
+                        help="comma-separated lowering targets (e.g. "
+                        "'cpu,tpu' for a portable bundle; needs a "
+                        "Pallas-free attn_impl — einsum)")
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.inference import (
@@ -372,6 +411,9 @@ def main(argv: Sequence[str] | None = None) -> None:
     predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
     export_predictor_bundle(
         predictor, args.out, buckets, frame_shape,
+        platforms=(
+            tuple(args.platforms.split(",")) if args.platforms else None
+        ),
         indexed=not args.no_indexed,
     )
     print(f"wrote bundle {args.out} (buckets {buckets}, frame {frame_shape})")

@@ -245,6 +245,67 @@ class TestBundle:
             ServingBundle.load(copy)
 
 
+def test_portable_export_guard_and_platforms(tmp_path):
+    """Multi-platform export: manifest records the targets; a Pallas
+    attention impl is rejected with a clear message (it lowers for TPU
+    only). The XLA-sparsemax trace path is exercised by exporting for a
+    platform set differing from the current backend."""
+    import jax
+
+    from probpose_pytorch_tpu.serve import (
+        ServingBundle,
+        export_predictor_bundle,
+    )
+
+    _, predictor = _tiny_predictor(tmp_path / "run")
+    current = jax.default_backend()
+    targets = ["cpu", "tpu"] if current == "cpu" else ["cpu"]
+    out = export_predictor_bundle(
+        predictor, tmp_path / "bundle", buckets=(2,), frame_shape=(64, 64),
+        platforms=targets,
+    )
+    b = ServingBundle.load(out)
+    assert b.manifest["platforms"] == targets
+    rng = np.random.default_rng(0)
+    frames, boxes = _frames_boxes(rng, 2, h=64, w=64)
+    live = predictor(frames, boxes)
+    got = b(frames, boxes)
+    np.testing.assert_allclose(
+        got["keypoints"], live["keypoints"], rtol=1e-4, atol=1e-4
+    )
+
+    # fused attention cannot target non-TPU platforms
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), num_keypoints=5, backbone="vit-tiny-e2e",
+            compute_dtype="float32", deconv_out_channels=(16, 16),
+            deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+            normalize=1.0, attn_impl="fused",
+        ),
+        out_dir=str(tmp_path / "run2"),
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1)
+    fused_pred = TopDownPredictor(
+        model=trainer.model,
+        variables={
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        },
+        codec=trainer.encode_codec,
+        input_size=cfg.model.img_size,
+    )
+    with pytest.raises(ValueError, match="per-platform"):
+        export_predictor_bundle(
+            fused_pred, tmp_path / "b2", buckets=(2,),
+            frame_shape=(64, 64),
+            platforms=["cpu", "tpu"] if current == "cpu" else ["cpu"],
+        )
+
+
 def test_flatten_roundtrip():
     from probpose_pytorch_tpu.serve.export import _flatten, _unflatten
 
