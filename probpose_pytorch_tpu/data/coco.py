@@ -131,11 +131,95 @@ class COCOPoseDataset:
     def __len__(self) -> int:
         return len(self.records)
 
+    def _labels(self, rec, box) -> dict[str, np.ndarray]:
+        H, W = self.input_size
+        x0, y0, bw, bh = box
+        kps = rec["keypoints"].copy()
+        xy = kps[:, :2]
+        xy[:, 0] = (xy[:, 0] - x0) / bw * W
+        xy[:, 1] = (xy[:, 1] - y0) / bh * H
+        v = kps[:, 2]
+        return dict(
+            keypoints=xy.astype(np.float32),
+            keypoints_visible=(v >= 1).astype(np.float32),
+            keypoints_visibility=(v == 2).astype(np.float32),
+            bbox=np.asarray(box, np.float32),
+            image_id=np.int64(rec["image_id"]),
+            area=np.float32(rec["area"]),
+            # Original annotation (frame space, raw v): evaluation must score
+            # against this, not a crop-space reconstruction — keypoints the
+            # crop clipped and the 0/1/2 visibility levels survive here.
+            keypoints_frame=rec["keypoints"].astype(np.float32),
+            bbox_frame=np.asarray(rec["bbox"], np.float32),
+        )
+
+    def get_batch(self, indices) -> dict[str, np.ndarray]:
+        """Batched read; `resample="native"` routes JPEG decode + crop +
+        resize through the C++ data plane exactly like
+        YOLOPoseDataset.get_batch (same sampling convention as the device
+        preprocess)."""
+        indices = [int(i) for i in indices]
+        if self.resample != "native":
+            import concurrent.futures as cf
+
+            from probpose_pytorch_tpu.data.pipeline import _collate
+
+            with cf.ThreadPoolExecutor(max_workers=8) as pool:
+                return _collate(list(pool.map(self.__getitem__, indices)))
+
+        from pathlib import Path
+
+        import PIL.Image
+
+        from probpose_pytorch_tpu import native
+
+        if not native.native_available():
+            raise RuntimeError(
+                "resample='native' requires the C++ data plane "
+                "(`make native`); build failed or PROBPOSE_NO_NATIVE is set"
+            )
+        H, W = self.input_size
+        recs = [self.records[i] for i in indices]
+        boxes = [
+            expand_bbox(rec["bbox"], self.bbox_scale, W / H) for rec in recs
+        ]
+        out = np.empty((len(recs), H, W, 3), np.uint8)
+        jpeg_pos, bufs, jboxes = [], [], []
+        for j, (rec, box) in enumerate(zip(recs, boxes)):
+            path = Path(rec["image_path"])
+            if path.suffix.lower() in (".jpg", ".jpeg"):
+                jpeg_pos.append(j)
+                bufs.append(path.read_bytes())
+                jboxes.append(box)
+            else:
+                with PIL.Image.open(path) as im:
+                    frame = np.asarray(im.convert("RGB"), np.uint8)
+                out[j] = native.crop_resize_batch(
+                    frame[None], np.asarray([box], np.float32), (H, W)
+                )[0]
+        if jpeg_pos:
+            crops, _failed = native.decode_crop_resize_batch(
+                bufs, np.asarray(jboxes, np.float32), (H, W)
+            )
+            out[jpeg_pos] = crops
+        labels = [
+            self._labels(rec, box) for rec, box in zip(recs, boxes)
+        ]
+        return dict(
+            image=out,
+            **{
+                k: np.stack([lb[k] for lb in labels])
+                for k in labels[0]
+            },
+        )
+
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         import PIL.Image
 
         rec = self.records[idx]
         H, W = self.input_size
+        if self.resample == "native":
+            return {k: v[0] for k, v in self.get_batch([idx]).items()}
         box = expand_bbox(rec["bbox"], self.bbox_scale, W / H)
         x0, y0, bw, bh = box
         with PIL.Image.open(rec["image_path"]) as im:
@@ -146,22 +230,7 @@ class COCOPoseDataset:
                 if self.resample == "lanczos"
                 else PIL.Image.BILINEAR,
             )
-        kps = rec["keypoints"].copy()
-        xy = kps[:, :2]
-        xy[:, 0] = (xy[:, 0] - x0) / bw * W
-        xy[:, 1] = (xy[:, 1] - y0) / bh * H
-        v = kps[:, 2]
         return dict(
             image=np.asarray(crop, np.uint8),
-            keypoints=xy.astype(np.float32),
-            keypoints_visible=(v >= 1).astype(np.float32),
-            keypoints_visibility=(v == 2).astype(np.float32),
-            bbox=box,
-            image_id=np.int64(rec["image_id"]),
-            area=np.float32(rec["area"]),
-            # Original annotation (frame space, raw v): evaluation must score
-            # against this, not a crop-space reconstruction — keypoints the
-            # crop clipped and the 0/1/2 visibility levels survive here.
-            keypoints_frame=rec["keypoints"].astype(np.float32),
-            bbox_frame=np.asarray(rec["bbox"], np.float32),
+            **self._labels(rec, box),
         )

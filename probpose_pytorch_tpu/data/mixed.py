@@ -83,6 +83,11 @@ def build_mixed_datasets(cfg, split_train: bool = True):
         root = Path(entry["root"])
         fmt = entry.get("format", "coco")
         repeats.append(int(entry.get("repeat", 1)))
+        kw = (
+            dict(resample=cfg.resample)
+            if getattr(cfg, "resample", "")
+            else {}
+        )
         if fmt == "coco":
             from probpose_pytorch_tpu.data.coco import COCOPoseDataset
 
@@ -90,6 +95,7 @@ def build_mixed_datasets(cfg, split_train: bool = True):
                 root / "annotations/person_keypoints_train2017.json",
                 root / "train2017",
                 cfg.model.img_size,
+                **kw,
             ))
             vals.append(lambda root=root: COCOPoseDataset(
                 root / "annotations/person_keypoints_val2017.json",
@@ -100,7 +106,9 @@ def build_mixed_datasets(cfg, split_train: bool = True):
             from probpose_pytorch_tpu.data import YOLOPoseDataset
 
             members.append(
-                YOLOPoseDataset(str(root), "train", cfg.model.img_size)
+                YOLOPoseDataset(
+                    str(root), "train", cfg.model.img_size, **kw
+                )
             )
             vals.append(lambda root=root: YOLOPoseDataset(
                 str(root), "valid", cfg.model.img_size

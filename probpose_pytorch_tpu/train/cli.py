@@ -64,21 +64,29 @@ def main(argv=None) -> None:
         from probpose_pytorch_tpu.data.coco import COCOPoseDataset
 
         root = Path(cfg.data_root)
+        kw = dict(resample=cfg.resample) if cfg.resample else {}
         train_ds = COCOPoseDataset(
             root / "annotations/person_keypoints_train2017.json",
             root / "train2017",
             cfg.model.img_size,
+            **kw,
         )
         val_ds = COCOPoseDataset(
             root / "annotations/person_keypoints_val2017.json",
             root / "val2017",
             cfg.model.img_size,
+            **kw,
         )
     else:
         from probpose_pytorch_tpu.data import YOLOPoseDataset
 
-        train_ds = YOLOPoseDataset(cfg.data_root, "train", cfg.model.img_size)
-        val_ds = YOLOPoseDataset(cfg.data_root, "valid", cfg.model.img_size)
+        kw = dict(resample=cfg.resample) if cfg.resample else {}
+        train_ds = YOLOPoseDataset(
+            cfg.data_root, "train", cfg.model.img_size, **kw
+        )
+        val_ds = YOLOPoseDataset(
+            cfg.data_root, "valid", cfg.model.img_size, **kw
+        )
 
     if cfg.cache_dir:
         from probpose_pytorch_tpu.data import (

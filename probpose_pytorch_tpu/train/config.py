@@ -102,6 +102,10 @@ class TrainConfig:
     learn_heatmaps_from_zeros: bool = False
     data_root: str = "./data/field-synth-2"
     dataset_format: str = "yolo"  # "yolo" | "coco" | "synthetic" | "mixed"
+    # Host crop resampler: "" = the loader's default (lanczos for YOLO,
+    # bilinear for COCO); "native" routes JPEG decode+crop+resize through
+    # the C++ data plane (device-preprocess sampling convention).
+    resample: str = ""
     # dataset_format "mixed": weighted concatenation of several corpora —
     # entries {"root": ..., "format": "coco"|"yolo", "repeat": n}; train
     # mixes all members (each repeated n times per epoch), validation uses

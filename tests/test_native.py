@@ -205,3 +205,93 @@ class TestYoloNativeIngestion:
         np.testing.assert_allclose(
             cds[2]["keypoints"], ds[2]["keypoints"], rtol=1e-6
         )
+
+
+class TestCOCONativePlane:
+    @pytest.fixture
+    def coco_jpeg_root(self, tmp_path):
+        import json
+
+        import PIL.Image
+
+        rng = np.random.default_rng(9)
+        img_dir = tmp_path / "images"
+        img_dir.mkdir()
+        images, annotations = [], []
+        for i in range(4):
+            ext = "jpg" if i % 2 == 0 else "png"  # mixed formats
+            arr = rng.integers(0, 256, (120, 160, 3), dtype=np.uint8)
+            PIL.Image.fromarray(arr).save(img_dir / f"{i}.{ext}")
+            images.append(
+                dict(id=i, file_name=f"{i}.{ext}", width=160, height=120)
+            )
+            kps = rng.uniform([30, 30], [120, 100], (17, 2))
+            flat = np.concatenate(
+                [kps, np.full((17, 1), 2.0)], 1
+            ).reshape(-1).tolist()
+            annotations.append(
+                dict(id=100 + i, image_id=i, category_id=1, keypoints=flat,
+                     num_keypoints=17, bbox=[25.0, 25.0, 100.0, 80.0],
+                     area=8000.0, iscrowd=0)
+            )
+        ann = tmp_path / "ann.json"
+        ann.write_text(
+            json.dumps(dict(images=images, annotations=annotations))
+        )
+        return ann, img_dir
+
+    def test_coco_get_batch_native(self, coco_jpeg_root):
+        """COCO loader through the C++ plane: mixed JPEG/PNG, expanded
+        boxes, full sample schema, __getitem__ routed through the same
+        path."""
+        from probpose_pytorch_tpu.data.coco import COCOPoseDataset
+
+        if not native.native_available():
+            pytest.skip("native plane unavailable")
+        ann, img_dir = coco_jpeg_root
+        ds = COCOPoseDataset(ann, img_dir, (64, 48), resample="native")
+        b = ds.get_batch(range(4))
+        assert b["image"].shape == (4, 64, 48, 3)
+        assert b["keypoints"].shape == (4, 17, 2)
+        assert set(b) >= {"bbox", "image_id", "area", "keypoints_frame",
+                          "bbox_frame"}
+        s1 = ds[1]
+        np.testing.assert_array_equal(s1["image"], b["image"][1])
+        assert b["image"].std() > 10
+        # labels are identical to the PIL path's (only pixels differ by
+        # resampler); pixel convention equals the device preprocess for the
+        # losslessly decoded PNG slots
+        pil = COCOPoseDataset(ann, img_dir, (64, 48))
+        for k in ("keypoints", "bbox", "image_id", "area"):
+            np.testing.assert_allclose(
+                b[k], pil.get_batch(range(4))[k], rtol=1e-6, err_msg=k
+            )
+
+    def test_coco_native_matches_device_preprocess_png(self, coco_jpeg_root):
+        import PIL.Image
+
+        from probpose_pytorch_tpu.data.coco import (
+            COCOPoseDataset,
+            expand_bbox,
+        )
+        from probpose_pytorch_tpu.ops.preprocess import crop_resize
+
+        if not native.native_available():
+            pytest.skip("native plane unavailable")
+        ann, img_dir = coco_jpeg_root
+        ds = COCOPoseDataset(ann, img_dir, (64, 48), resample="native")
+        i = 1  # PNG slot
+        rec = ds.records[i]
+        with PIL.Image.open(rec["image_path"]) as im:
+            frame = np.asarray(im.convert("RGB"), np.uint8)
+        box = expand_bbox(rec["bbox"], ds.bbox_scale, 48 / 64)
+        device = np.asarray(
+            crop_resize(
+                frame[None].astype(np.float32) / 255.0,
+                np.asarray([box], np.float32),
+                (64, 48),
+                "bilinear_gather",
+            )
+        )[0]
+        got = ds[i]["image"].astype(np.float32) / 255.0
+        assert np.abs(got - device).max() <= (1.5 / 255.0)
