@@ -52,6 +52,10 @@ import numpy as np
 
 __all__ = ["MicroBatcher", "PoseHTTPServer", "main"]
 
+# One 4K RGB frame base64-encodes to ~33 MB; 128 MB bounds any sane request
+# while keeping a ThreadingHTTPServer from buffering unbounded bodies.
+MAX_REQUEST_BYTES = 128 * 1024 * 1024
+
 
 class MicroBatcher:
     """Coalesce concurrent (frame, boxes) requests into bucket-size batches.
@@ -363,6 +367,12 @@ def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
+                if length > MAX_REQUEST_BYTES:
+                    self._reply(413, {
+                        "error": f"request {length} B exceeds the "
+                        f"{MAX_REQUEST_BYTES} B limit"
+                    })
+                    return
                 req = json.loads(self.rfile.read(length))
                 shape = tuple(int(v) for v in req["shape"])
                 if len(shape) != 3 or shape[2] != 3:

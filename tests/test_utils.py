@@ -97,3 +97,14 @@ class TestExpectedPCK:
             method="expected", conv_ops=ops,
         )
         assert float(acc_e) == 1.0
+
+
+def test_doctor_healthy(capsys):
+    """The environment self-check passes on the test rig and prints one
+    line per check."""
+    from probpose_pytorch_tpu.doctor import main as doctor_main
+
+    doctor_main([])
+    out = capsys.readouterr().out
+    assert "verdict: healthy" in out
+    assert "jax devices" in out and "model forward" in out
