@@ -248,6 +248,50 @@ class ServingBundle:
             self._programs[key] = jax.export.deserialize(bytearray(blob))
         return self._programs[key]
 
+    def dispatch(
+        self,
+        frames: np.ndarray,
+        boxes: np.ndarray,
+        frame_ids: np.ndarray | None = None,
+    ) -> dict:
+        """Enqueue one batch; returns still-in-flight DEVICE arrays (JAX
+        async dispatch) — the serving server's pipelined path. `__call__`
+        is this plus the blocking host conversion."""
+        b = len(boxes)
+        if b not in self.buckets:
+            raise ValueError(f"batch {b} is not an exported bucket {self.buckets}")
+        frames = self._pad_frames(np.asarray(frames, np.uint8))
+        if frame_ids is not None:
+            fs = self.indexed_buckets.get(b, ())
+            f = len(frames)
+            if f not in fs:
+                if f == b:
+                    # no indexed program but one frame per crop anyway
+                    # (e.g. bucket 1): a host-side gather is free here
+                    return self._program(b).call(
+                        self.variables,
+                        frames[np.asarray(frame_ids, np.int64)],
+                        np.asarray(boxes, np.float32),
+                    )
+                raise ValueError(
+                    f"unique-frame count {f} not exported for bucket {b} "
+                    f"(available: {fs})"
+                )
+            return self._program(b, f).call(
+                self.variables,
+                frames,
+                np.asarray(boxes, np.float32),
+                np.asarray(frame_ids, np.int32),
+            )
+        if len(frames) != b:
+            raise ValueError(
+                f"{len(frames)} frames != {b} boxes (pass frame_ids "
+                "for indexed serving)"
+            )
+        return self._program(b).call(
+            self.variables, frames, np.asarray(boxes, np.float32)
+        )
+
     def __call__(
         self,
         frames: np.ndarray,
@@ -262,42 +306,7 @@ class ServingBundle:
         exported them): frames then holds each unique frame once and its
         count must be one of `indexed_buckets[B]` (powers of two — pad
         with blank frames)."""
-        b = len(boxes)
-        if b not in self.buckets:
-            raise ValueError(f"batch {b} is not an exported bucket {self.buckets}")
-        frames = self._pad_frames(np.asarray(frames, np.uint8))
-        if frame_ids is not None:
-            fs = self.indexed_buckets.get(b, ())
-            f = len(frames)
-            if f not in fs:
-                if f == b:
-                    # no indexed program but one frame per crop anyway
-                    # (e.g. bucket 1): a host-side gather is free here
-                    out = self._program(b).call(
-                        self.variables,
-                        frames[np.asarray(frame_ids, np.int64)],
-                        np.asarray(boxes, np.float32),
-                    )
-                    return {k: np.asarray(v) for k, v in out.items()}
-                raise ValueError(
-                    f"unique-frame count {f} not exported for bucket {b} "
-                    f"(available: {fs})"
-                )
-            out = self._program(b, f).call(
-                self.variables,
-                frames,
-                np.asarray(boxes, np.float32),
-                np.asarray(frame_ids, np.int32),
-            )
-        else:
-            if len(frames) != b:
-                raise ValueError(
-                    f"{len(frames)} frames != {b} boxes (pass frame_ids "
-                    "for indexed serving)"
-                )
-            out = self._program(b).call(
-                self.variables, frames, np.asarray(boxes, np.float32)
-            )
+        out = self.dispatch(frames, boxes, frame_ids)
         return {k: np.asarray(v) for k, v in out.items()}
 
     def _pad_frames(self, frames: np.ndarray) -> np.ndarray:

@@ -57,6 +57,42 @@ __all__ = ["MicroBatcher", "PoseHTTPServer", "main"]
 MAX_REQUEST_BYTES = 128 * 1024 * 1024
 
 
+class _SplitAggregate:
+    """Reassembles an oversized request's pipelined chunks in order and
+    resolves its future once all arrive (completion-thread only, plus a
+    fail() that may race from the dispatcher — guarded)."""
+
+    def __init__(self, fut: Future, n_chunks: int, total: int, t0: float):
+        self.fut = fut
+        self.parts: list = [None] * n_chunks
+        self.remaining = n_chunks
+        self.total = total
+        self.t0 = t0
+        self._lock = threading.Lock()
+        self._failed = False
+
+    def add(self, idx: int, out: dict) -> bool:
+        with self._lock:
+            if self._failed:
+                return False
+            self.parts[idx] = out
+            self.remaining -= 1
+            if self.remaining:
+                return False
+        self.fut.set_result({
+            k: np.concatenate([p[k] for p in self.parts])
+            for k in self.parts[0]
+        })
+        return True
+
+    def fail(self, e: Exception) -> None:
+        with self._lock:
+            if self._failed:
+                return
+            self._failed = True
+        self.fut.set_exception(e)
+
+
 class MicroBatcher:
     """Coalesce concurrent (frame, boxes) requests into bucket-size batches.
 
@@ -89,7 +125,17 @@ class MicroBatcher:
         self.frame_shape = (int(frame_shape[0]), int(frame_shape[1]))
         self.max_wait_ms = float(max_wait_ms)
         self.indexed = bool(indexed)
-        self._queue: deque = deque()  # (frames, boxes, future)
+        # Non-blocking device enqueue when the runner offers one
+        # (TopDownPredictor._dispatch / ServingBundle.dispatch): the
+        # dispatcher thread then pipelines batch i+1's assembly + upload
+        # under batch i's compute, and a completion thread does the
+        # blocking readback — the server-side mirror of predict_stream.
+        self._dispatch_fn = (
+            getattr(runner, "dispatch", None)
+            or getattr(runner, "_dispatch", None)
+            or runner
+        )
+        self._queue: deque = deque()  # (frame, boxes, future, t0)
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._closed = False
@@ -100,6 +146,15 @@ class MicroBatcher:
             "batch_sizes": [],
             "latency_ms": [],
         }
+        import queue as _queue
+
+        # bounded: at most 2 batches in flight on the device
+        self._done: _queue.Queue = _queue.Queue(maxsize=2)
+        self._completion = threading.Thread(
+            target=self._completion_loop, name="microbatcher-read",
+            daemon=True,
+        )
+        self._completion.start()
         self._thread = threading.Thread(
             target=self._dispatch_loop, name="microbatcher", daemon=True
         )
@@ -127,10 +182,54 @@ class MicroBatcher:
         self._wake.set()
         return fut
 
+    def warmup(self, verbose: bool = False) -> int:
+        """Compile every program the batcher can dispatch BEFORE taking
+        traffic: one dummy dispatch per (bucket, unique-frame-count)
+        combination (indexed mode walks the power-of-two frame ladder).
+        Without this, the first request mix that produces a new frame
+        count compiles under load (~tens of seconds per program on TPU) —
+        the classic serving compile storm. Returns the program count."""
+        Hf, Wf = self.frame_shape
+        frame = np.zeros((Hf, Wf, 3), np.uint8)
+        n = 0
+        for b in self.buckets:
+            fs = [1]
+            if self.indexed and b > 1:
+                f = 1
+                fs = []
+                while f < b:
+                    fs.append(f)
+                    f *= 2
+                fs.append(b)
+            for f in fs:
+                f = min(f, b)
+                boxes = [
+                    np.tile(
+                        np.array([[0, 0, Wf, Hf]], np.float32),
+                        (max(b // f, 1), 1),
+                    )
+                ] * f
+                # trim to exactly b crops
+                total = sum(len(x) for x in boxes)
+                if total > b:
+                    boxes[-1] = boxes[-1][: len(boxes[-1]) - (total - b)]
+                boxes = [x for x in boxes if len(x)]
+                dev = self._dispatch_device([frame] * len(boxes), boxes, b)
+                {k: np.asarray(v) for k, v in dev.items()}
+                n += 1
+                if verbose:
+                    print(
+                        f"[warmup] bucket {b}, frames {len(boxes)} ready",
+                        flush=True,
+                    )
+        return n
+
     def close(self) -> None:
         self._closed = True
         self._wake.set()
         self._thread.join(timeout=10)
+        self._done.put(None)  # completion-thread sentinel
+        self._completion.join(timeout=30)
         with self._lock:
             pending = list(self._queue)
             self._queue.clear()
@@ -191,26 +290,27 @@ class MicroBatcher:
         if bucket is None:
             # only a single request can exceed the top bucket (the dispatch
             # loop never coalesces past it): split into top-bucket chunks
+            # and pipeline each chunk like a normal batch
             top = self.buckets[-1]
             frame, boxes, fut, t0 = batch[0]
-            try:
-                parts = [
-                    self._call([frame], [boxes[i:i + top]], top)
-                    for i in range(0, len(boxes), top)
-                ]
-                fut.set_result({
-                    k: np.concatenate([p[k] for p in parts])
-                    for k in parts[0]
-                })
-                self._note(len(boxes), t0)
+            chunks = [
+                boxes[i:i + top] for i in range(0, len(boxes), top)
+            ]
+            agg = _SplitAggregate(fut, len(chunks), len(boxes), t0)
+            for ci, chunk in enumerate(chunks):
+                try:
+                    dev = self._dispatch_device([frame], [chunk], top)
+                except Exception as e:  # noqa: BLE001 — future carries it
+                    agg.fail(e)
+                    return
+                self._done.put(("chunk", dev, len(chunk), agg, ci))
                 with self._lock:
-                    self.stats["dispatches"] += len(parts)
-                    self.stats["batch_sizes"].append(int(len(boxes)))
-            except Exception as e:  # noqa: BLE001 — future carries it
-                fut.set_exception(e)
+                    self.stats["dispatches"] += 1
+            with self._lock:
+                self.stats["batch_sizes"].append(int(len(boxes)))
             return
         try:
-            out = self._call(
+            dev = self._dispatch_device(
                 [f for f, _, _, _ in batch],
                 [b for _, b, _, _ in batch],
                 bucket,
@@ -219,25 +319,53 @@ class MicroBatcher:
             for _, _, fut, _ in batch:
                 fut.set_exception(e)
             return
-        i = 0
-        for _, b, fut, t0 in batch:
-            n = len(b)
-            fut.set_result({k: v[i:i + n] for k, v in out.items()})
-            self._note(n, t0)
-            i += n
+        self._done.put(("batch", dev, count, batch, None))
         with self._lock:
             self.stats["dispatches"] += 1
             self.stats["batch_sizes"].append(int(count))
 
-    def _call(self, req_frames, req_boxes, bucket: int) -> dict:
-        """One device dispatch for a list of (frame, boxes) requests: crops
-        pad to `bucket` (repeating the last crop); indexed mode passes each
-        unique frame once + frame_ids (frame count padded to a power of
-        two), non-indexed replicates frames per crop."""
+    def _completion_loop(self) -> None:
+        """Blocking device->host readback + result fan-out, off the
+        dispatcher thread so the next batch's assembly/upload overlaps
+        this batch's compute."""
+        while True:
+            item = self._done.get()
+            if item is None:
+                return
+            kind, dev, n, target, ci = item
+            try:
+                out = {k: np.asarray(v)[:n] for k, v in dev.items()}
+            except Exception as e:  # noqa: BLE001 — futures carry it
+                if kind == "batch":
+                    for _, _, fut, _ in target:
+                        fut.set_exception(e)
+                else:
+                    target.fail(e)
+                continue
+            if kind == "batch":
+                i = 0
+                for _, b, fut, t0 in target:
+                    m = len(b)
+                    fut.set_result(
+                        {k: v[i:i + m] for k, v in out.items()}
+                    )
+                    self._note(m, t0)
+                    i += m
+            else:
+                done = target.add(ci, out)
+                if done:
+                    self._note(target.total, target.t0)
+
+    def _dispatch_device(self, req_frames, req_boxes, bucket: int) -> dict:
+        """Assemble one padded device batch for a list of (frame, boxes)
+        requests and ENQUEUE it (non-blocking when the runner exposes a
+        dispatch method): crops pad to `bucket` (repeating the last crop);
+        indexed mode passes each unique frame once + frame_ids (frame count
+        padded to a power of two), non-indexed replicates frames per
+        crop. Returns in-flight device arrays."""
         counts = [len(b) for b in req_boxes]
-        n = sum(counts)
         boxes = np.concatenate(req_boxes).astype(np.float32)
-        pad = bucket - n
+        pad = bucket - sum(counts)
         if pad:
             boxes = np.concatenate(
                 [boxes, np.repeat(boxes[-1:], pad, axis=0)]
@@ -257,21 +385,17 @@ class MicroBatcher:
                 list(req_frames)
                 + [np.zeros_like(req_frames[0])] * (fcap - f)
             )
-            out = self.runner(frames, boxes, ids)
-        else:
-            rows = [
-                np.broadcast_to(fr[None], (c,) + fr.shape)
-                for fr, c in zip(req_frames, counts)
-            ]
-            if pad:
-                last = req_frames[-1]
-                rows.append(
-                    np.broadcast_to(last[None], (pad,) + last.shape)
-                )
-            out = self.runner(
-                np.ascontiguousarray(np.concatenate(rows)), boxes
-            )
-        return {k: np.asarray(v)[:n] for k, v in out.items()}
+            return self._dispatch_fn(frames, boxes, ids)
+        rows = [
+            np.broadcast_to(fr[None], (c,) + fr.shape)
+            for fr, c in zip(req_frames, counts)
+        ]
+        if pad:
+            last = req_frames[-1]
+            rows.append(np.broadcast_to(last[None], (pad,) + last.shape))
+        return self._dispatch_fn(
+            np.ascontiguousarray(np.concatenate(rows)), boxes
+        )
 
     def _note(self, n: int, t0: float) -> None:
         ms = (time.perf_counter() - t0) * 1e3
@@ -448,6 +572,10 @@ def main(argv=None) -> None:
                         "(default: autotuned ladder)")
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
     parser.add_argument("--ema", action="store_true")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile every (bucket, frame-count) program "
+                        "before accepting traffic (avoids compile storms "
+                        "under load; adds startup time)")
     args = parser.parse_args(argv)
 
     frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
@@ -479,6 +607,12 @@ def main(argv=None) -> None:
         max_wait_ms=args.max_wait_ms,
         indexed=indexed,
     )
+    if args.warmup:
+        t0 = time.perf_counter()
+        n = batcher.warmup(verbose=True)
+        print(
+            f"warmed {n} programs in {time.perf_counter() - t0:.1f}s"
+        )
     server = PoseHTTPServer(batcher, args.host, args.port)
     print(
         f"serving on {args.host}:{server.port} "

@@ -328,3 +328,29 @@ class TestHTTP:
         _, base, _ = http_env
         status, out = _post(base + "/nope", {})
         assert status == 404
+
+
+def test_warmup_compiles_all_programs():
+    """warmup() touches every (bucket, frame-count) combination once; after
+    it, any request mix dispatches without new program shapes."""
+    shapes = set()
+
+    def runner(frames, boxes, frame_ids):
+        shapes.add((frames.shape[0], len(boxes)))
+        return {"echo_box": np.asarray(boxes, np.float32).copy()}
+
+    mb = MicroBatcher(runner, (1, 4), (16, 16), max_wait_ms=0, indexed=True)
+    try:
+        n = mb.warmup()
+        assert n == 1 + 3  # bucket 1 (f=1); bucket 4 (f=1,2,4)
+        warm = set(shapes)
+        assert (2, 4) in warm and (4, 4) in warm and (1, 4) in warm
+        # a mixed request load only reuses warmed shapes
+        futs = [
+            mb.submit(_frame(20 + i), np.ones((1, 4), np.float32))
+            for i in range(3)
+        ]
+        [f.result(timeout=10) for f in futs]
+        assert shapes == warm, f"new shapes appeared: {shapes - warm}"
+    finally:
+        mb.close()
