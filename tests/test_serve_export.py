@@ -245,6 +245,39 @@ class TestBundle:
             ServingBundle.load(copy)
 
 
+def test_quantized_predictor_exports(tmp_path):
+    """A weight-only-int8 predictor exports (quantized variables ride the
+    bundle) and the reloaded program matches the live quantized
+    predictor."""
+    from probpose_pytorch_tpu.serve import (
+        ServingBundle,
+        export_predictor_bundle,
+    )
+
+    _, base = _tiny_predictor(tmp_path / "run")
+    from probpose_pytorch_tpu.inference import TopDownPredictor
+
+    pred = TopDownPredictor(
+        model=base.model,
+        variables=base.variables,
+        codec=base.codec,
+        input_size=base.input_size,
+        quantize="int8_wo",
+    )
+    out = export_predictor_bundle(
+        pred, tmp_path / "bundle", buckets=(2,), frame_shape=(64, 64)
+    )
+    b = ServingBundle.load(out)
+    rng = np.random.default_rng(5)
+    frames, boxes = _frames_boxes(rng, 2, h=64, w=64)
+    live = pred(frames, boxes)
+    got = b(frames, boxes)
+    for k in live:
+        np.testing.assert_allclose(
+            got[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
+        )
+
+
 def test_portable_export_guard_and_platforms(tmp_path):
     """Multi-platform export: manifest records the targets; a Pallas
     attention impl is rejected with a clear message (it lowers for TPU
