@@ -29,6 +29,9 @@ class OptimConfig:
 
     peak_lr: float = 5e-4
     weight_decay: float = 0.1
+    # LR schedule: "onecycle" (reference recipe) | "cosine" (linear warmup
+    # + cosine decay) | "constant" (flat peak_lr — the usual LoRA choice)
+    schedule: str = "onecycle"
     pct_start: float = 0.1
     div_factor: float = 25.0
     final_div_factor: float = 1e4

@@ -39,14 +39,40 @@ def onecycle_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
     )
 
 
+def build_schedule(cfg: OptimConfig, total_steps: int) -> optax.Schedule:
+    """Resolve `OptimConfig.schedule`:
+    * "onecycle" — warmup + cosine anneal (the reference recipe, default)
+    * "cosine"   — linear warmup over pct_start then cosine decay to
+                   peak/final_div_factor
+    * "constant" — flat peak_lr (the standard LoRA fine-tune choice)
+    """
+    if cfg.schedule == "onecycle":
+        return onecycle_schedule(cfg, total_steps)
+    if cfg.schedule == "constant":
+        return optax.constant_schedule(cfg.peak_lr)
+    if cfg.schedule == "cosine":
+        warmup = max(int(total_steps * cfg.pct_start), 1)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=cfg.peak_lr / cfg.div_factor,
+            peak_value=cfg.peak_lr,
+            warmup_steps=warmup,
+            decay_steps=max(total_steps, warmup + 1),
+            end_value=cfg.peak_lr / cfg.final_div_factor,
+        )
+    raise ValueError(
+        f"unknown optim.schedule {cfg.schedule!r} "
+        "(expected onecycle | cosine | constant)"
+    )
+
+
 def make_optimizer(
     cfg: OptimConfig,
     total_steps: int,
     frozen_labels: Any | None = None,
 ) -> optax.GradientTransformation:
-    """clip-by-global-norm -> AdamW(one-cycle) [-> zero updates on frozen
+    """clip-by-global-norm -> AdamW(scheduled) [-> zero updates on frozen
     params] [-> gradient accumulation]."""
-    schedule = onecycle_schedule(cfg, total_steps)
+    schedule = build_schedule(cfg, total_steps)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.clip_grad_norm),
         optax.adamw(

@@ -374,3 +374,38 @@ class TestFrameMode:
         e0 = jax.tree_util.tree_leaves(state.ema_params)[0]
         e1 = jax.tree_util.tree_leaves(restored.ema_params)[0]
         np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+class TestSchedules:
+    def test_build_schedule_shapes(self):
+        from probpose_pytorch_tpu.train.state import build_schedule
+
+        cfg = OptimConfig(peak_lr=1e-3, pct_start=0.1)
+        one = build_schedule(cfg, 100)
+        assert one(0) < one(10)  # warms up
+        assert one(99) < one(10)  # anneals
+
+        const = build_schedule(
+            OptimConfig(peak_lr=1e-3, schedule="constant"), 100
+        )
+        assert float(const(0)) == float(const(99)) == pytest.approx(1e-3)
+
+        cos = build_schedule(
+            OptimConfig(peak_lr=1e-3, schedule="cosine"), 100
+        )
+        assert float(cos(10)) == pytest.approx(1e-3, rel=1e-3)  # peak at warmup end
+        assert cos(0) < cos(10) and cos(99) < cos(10)
+
+        with pytest.raises(ValueError, match="schedule"):
+            build_schedule(OptimConfig(schedule="nope"), 100)
+
+    def test_constant_schedule_trains(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, optim=OptimConfig(
+            peak_lr=1e-3, schedule="constant", ema_decay=None
+        ))
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        ds_batches = _data(cfg)
+        state = trainer.state
+        for b in ds_batches():
+            state, m = trainer.train_step(state, b)
+        assert np.isfinite(float(m["loss"]))
