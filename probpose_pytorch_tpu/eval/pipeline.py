@@ -74,6 +74,8 @@ def evaluate_topdown(
     per_image: dict[int, dict[str, list]] = defaultdict(
         lambda: dict(dt=[], scores=[], gt=[], areas=[], boxes=[])
     )
+    kp_dists: list[np.ndarray] = []  # per-sample labeled-keypoint errors, px
+    kp_norms: list[np.ndarray] = []  # matching bbox normalizers
 
     H, W = predictor.input_size
     batches = Prefetcher(
@@ -147,6 +149,17 @@ def evaluate_topdown(
                     batch.get("bbox_frame", batch["bbox"])[i], np.float64
                 )
             )
+            # Instance-matched keypoint errors (the crop dataset is
+            # GT-box-driven, so det i IS gt i): feeds EPE / PCK / AUC.
+            labeled = gt[:, 2] > 0
+            if labeled.any():
+                d = np.linalg.norm(
+                    frame_kp[labeled] - gt[labeled, :2], axis=-1
+                )
+                kp_dists.append(d)
+                kp_norms.append(
+                    np.full(len(d), max(float(bw), float(bh), 1.0))
+                )
         done += bs
         if verbose and done % (batch_size * 16) < batch_size:
             dt_s = time.perf_counter() - t0
@@ -194,4 +207,16 @@ def evaluate_topdown(
             gt_ignore=np.asarray(ignore, bool),
             gt_crowd=np.asarray(crowd, bool),
         )
-    return evaluator.summarize()
+    summary = evaluator.summarize()
+    if kp_dists:
+        # Instance-matched auxiliary metrics (MMPose-style): EPE in frame
+        # pixels; PCK@0.2 with the bbox long side as the normalizer; AUC =
+        # mean normalized PCK over thresholds 0..0.5 (51 steps).
+        d = np.concatenate(kp_dists)
+        norm = np.concatenate(kp_norms)
+        rel = d / norm
+        summary["EPE"] = float(d.mean())
+        summary["PCK@0.2"] = float((rel <= 0.2).mean())
+        ts = np.linspace(0.0, 0.5, 51)
+        summary["AUC"] = float((rel[None, :] <= ts[:, None]).mean())
+    return summary

@@ -204,6 +204,11 @@ class TestEvalPipeline:
                                sigmas=COCO_SIGMAS)
         assert res["AP"] > 0.95, res
         assert res["AR"] > 0.95, res
+        # instance-matched auxiliary metrics: round-tripped keypoints land
+        # within a few px (codec quantization), PCK@0.2 is perfect
+        assert res["EPE"] < 5.0, res
+        assert res["PCK@0.2"] == pytest.approx(1.0), res
+        assert res["AUC"] > 0.9, res
 
 
 def test_eval_cli_runs(mini_coco, tmp_path, capsys):
