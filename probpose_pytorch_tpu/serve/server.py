@@ -430,9 +430,15 @@ class MicroBatcher:
         return out
 
 
-def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
+def _make_handler(
+    batchers: dict[str, MicroBatcher],
+    default: str,
+    request_timeout_s: float = 300.0,
+):
     # generous default: the FIRST request on each bucket pays the XLA
     # compile (~20-40 s on TPU); steady-state requests return in ms.
+    # batchers: one MicroBatcher per served model; requests pick one with
+    # the JSON "model" field (default: the first configured model).
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -450,30 +456,47 @@ def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"ok": True})
+            elif self.path == "/models":
+                self._reply(200, {"models": sorted(batchers),
+                                  "default": default})
             elif self.path == "/stats":
-                self._reply(200, batcher.stats_snapshot())
+                if len(batchers) == 1:
+                    self._reply(200, batchers[default].stats_snapshot())
+                else:
+                    self._reply(200, {
+                        name: mb.stats_snapshot()
+                        for name, mb in batchers.items()
+                    })
             elif self.path == "/metrics":
-                # Prometheus text exposition of the same snapshot
-                s = batcher.stats_snapshot()
+                # Prometheus text exposition, one label set per model
                 lines = [
                     "# TYPE pose_requests_total counter",
-                    f"pose_requests_total {s['requests']}",
                     "# TYPE pose_crops_total counter",
-                    f"pose_crops_total {s['crops']}",
                     "# TYPE pose_dispatches_total counter",
-                    f"pose_dispatches_total {s['dispatches']}",
+                    "# TYPE pose_request_latency_ms summary",
+                    "# TYPE pose_mean_batch_size gauge",
                 ]
-                if "latency_ms" in s:
-                    lines.append("# TYPE pose_request_latency_ms summary")
-                    for q, key in (("0.5", "p50"), ("0.9", "p90"),
-                                   ("0.99", "p99")):
+                for name, mb in sorted(batchers.items()):
+                    s = mb.stats_snapshot()
+                    m = f'model="{name}"'
+                    lines += [
+                        f"pose_requests_total{{{m}}} {s['requests']}",
+                        f"pose_crops_total{{{m}}} {s['crops']}",
+                        f"pose_dispatches_total{{{m}}} {s['dispatches']}",
+                    ]
+                    if "latency_ms" in s:
+                        for q, key in (("0.5", "p50"), ("0.9", "p90"),
+                                       ("0.99", "p99")):
+                            lines.append(
+                                f"pose_request_latency_ms{{{m},"
+                                f'quantile="{q}"}} '
+                                f"{s['latency_ms'][key]}"
+                            )
+                    if "mean_batch" in s:
                         lines.append(
-                            f'pose_request_latency_ms{{quantile="{q}"}} '
-                            f"{s['latency_ms'][key]}"
+                            f"pose_mean_batch_size{{{m}}} "
+                            f"{s['mean_batch']}"
                         )
-                if "mean_batch" in s:
-                    lines.append("# TYPE pose_mean_batch_size gauge")
-                    lines.append(f"pose_mean_batch_size {s['mean_batch']}")
                 body = ("\n".join(lines) + "\n").encode()
                 self.send_response(200)
                 self.send_header(
@@ -509,8 +532,16 @@ def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
                     )
                 frame = frame.reshape(shape)
                 boxes = np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+                model = req.get("model", default)
             except Exception as e:  # noqa: BLE001 — client error -> 400
                 self._reply(400, {"error": str(e)})
+                return
+            batcher = batchers.get(model)
+            if batcher is None:
+                self._reply(404, {
+                    "error": f"unknown model {model!r} "
+                    f"(serving: {sorted(batchers)})"
+                })
                 return
             try:
                 out = batcher.submit(frame, boxes).result(
@@ -525,16 +556,32 @@ def _make_handler(batcher: MicroBatcher, request_timeout_s: float = 300.0):
 
 
 class PoseHTTPServer:
-    """ThreadingHTTPServer wrapping a MicroBatcher; `serve_forever` in the
-    calling thread or `start()`/`shutdown()` for embedding (tests)."""
+    """ThreadingHTTPServer wrapping one or more MicroBatchers;
+    `serve_forever` in the calling thread or `start()`/`shutdown()` for
+    embedding (tests). Pass a dict {name: MicroBatcher} to serve several
+    models from one port (requests route with the JSON "model" field;
+    the `default` name — or the sole/first model — serves unrouted
+    requests)."""
 
-    def __init__(self, batcher: MicroBatcher, host: str = "0.0.0.0",
-                 port: int = 8000, request_timeout_s: float = 300.0):
+    def __init__(self, batcher, host: str = "0.0.0.0",
+                 port: int = 8000, request_timeout_s: float = 300.0,
+                 default: str | None = None):
         from http.server import ThreadingHTTPServer
 
-        self.batcher = batcher
+        if isinstance(batcher, MicroBatcher):
+            batchers = {"default": batcher}
+        else:
+            batchers = dict(batcher)
+        if not batchers:
+            raise ValueError("no batchers to serve")
+        self.batchers = batchers
+        self.batcher = next(iter(batchers.values()))  # back-compat alias
+        default = default or next(iter(batchers))
+        if default not in batchers:
+            raise ValueError(f"default model {default!r} not in {sorted(batchers)}")
         self.httpd = ThreadingHTTPServer(
-            (host, port), _make_handler(batcher, request_timeout_s)
+            (host, port),
+            _make_handler(batchers, default, request_timeout_s),
         )
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
@@ -552,16 +599,20 @@ class PoseHTTPServer:
         self.httpd.shutdown()
         if self._thread is not None:
             self._thread.join(timeout=10)
-        self.batcher.close()
+        for mb in self.batchers.values():
+            mb.close()
 
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="pose serving server")
-    src = parser.add_mutually_exclusive_group(required=True)
-    src.add_argument("--checkpoint", type=Path,
-                     help="Orbax checkpoint directory (live predictor)")
-    src.add_argument("--bundle", type=Path,
-                     help="exported StableHLO bundle directory")
+    parser.add_argument("--checkpoint", action="append", default=[],
+                        metavar="[NAME=]DIR",
+                        help="Orbax checkpoint directory (live predictor); "
+                        "repeat with NAME=DIR to serve several models")
+    parser.add_argument("--bundle", action="append", default=[],
+                        metavar="[NAME=]DIR",
+                        help="exported StableHLO bundle directory; repeat "
+                        "with NAME=DIR to serve several models")
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
@@ -577,47 +628,66 @@ def main(argv=None) -> None:
                         "before accepting traffic (avoids compile storms "
                         "under load; adds startup time)")
     args = parser.parse_args(argv)
+    if not args.checkpoint and not args.bundle:
+        parser.error("need at least one --checkpoint or --bundle")
 
-    frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
-    indexed = True  # live predictors take frame_ids
-    if args.bundle:
+    multi = len(args.checkpoint) + len(args.bundle) > 1
+
+    def parse_named(entries, prefix):
+        out = []
+        for i, e in enumerate(entries):
+            name, _, path = e.rpartition("=")
+            if not name:
+                name = f"{prefix}{i}" if multi else "default"
+            out.append((name, Path(path)))
+        return out
+
+    cli_frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
+    batchers: dict[str, MicroBatcher] = {}
+
+    def add(name, runner, buckets, frame_shape, indexed):
+        if args.buckets:
+            buckets = tuple(int(b) for b in args.buckets.split(","))
+        if name in batchers:
+            raise ValueError(f"duplicate model name {name!r}")
+        batchers[name] = MicroBatcher(
+            runner, buckets, frame_shape,
+            max_wait_ms=args.max_wait_ms,
+            indexed=indexed,
+        )
+        print(
+            f"model {name!r}: buckets {tuple(buckets)}, frame "
+            f"{tuple(frame_shape)}, indexed={indexed}"
+        )
+
+    for name, path in parse_named(args.bundle, "bundle"):
         from probpose_pytorch_tpu.serve.export import ServingBundle
 
-        bundle = ServingBundle.load(args.bundle)
-        runner, buckets = bundle, bundle.buckets
-        frame_shape = bundle.frame_shape
-        indexed = bool(bundle.indexed_buckets)
-    else:
+        bundle = ServingBundle.load(path)
+        add(name, bundle, bundle.buckets, bundle.frame_shape,
+            bool(bundle.indexed_buckets))
+    for name, path in parse_named(args.checkpoint, "model"):
         from probpose_pytorch_tpu.inference import (
             load_predictor,
             tuned_bucket_ladder,
             tuned_serving_batch,
         )
 
-        predictor = load_predictor(
-            args.checkpoint, args.config, ema=args.ema
-        )
-        runner = predictor
-        buckets = tuned_bucket_ladder() or (tuned_serving_batch(),)
-    if args.buckets:
-        buckets = tuple(int(b) for b in args.buckets.split(","))
+        predictor = load_predictor(path, args.config, ema=args.ema)
+        add(name, predictor,
+            tuned_bucket_ladder() or (tuned_serving_batch(),),
+            cli_frame_shape, True)
 
-    batcher = MicroBatcher(
-        runner, buckets, frame_shape,
-        max_wait_ms=args.max_wait_ms,
-        indexed=indexed,
-    )
     if args.warmup:
         t0 = time.perf_counter()
-        n = batcher.warmup(verbose=True)
+        n = sum(mb.warmup(verbose=True) for mb in batchers.values())
         print(
             f"warmed {n} programs in {time.perf_counter() - t0:.1f}s"
         )
-    server = PoseHTTPServer(batcher, args.host, args.port)
+    server = PoseHTTPServer(batchers, args.host, args.port)
     print(
-        f"serving on {args.host}:{server.port} "
-        f"(buckets {tuple(buckets)}, frame {frame_shape}, "
-        f"wait {args.max_wait_ms} ms)"
+        f"serving {sorted(batchers)} on {args.host}:{server.port} "
+        f"(wait {args.max_wait_ms} ms)"
     )
     try:
         server.serve_forever()

@@ -260,8 +260,10 @@ class TestHTTP:
         with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
             assert "text/plain" in r.headers["Content-Type"]
             text = r.read().decode()
-        assert "pose_requests_total" in text
-        assert 'pose_request_latency_ms{quantile="0.5"}' in text
+        assert 'pose_requests_total{model="default"}' in text
+        assert 'pose_request_latency_ms{model="default",quantile="0.5"}' in (
+            text
+        )
 
     def test_predict_matches_direct(self, http_env):
         _, base, predictor = http_env
@@ -354,3 +356,50 @@ def test_warmup_compiles_all_programs():
         assert shapes == warm, f"new shapes appeared: {shapes - warm}"
     finally:
         mb.close()
+
+
+def test_multi_model_routing():
+    """Two models behind one server: requests route with the JSON "model"
+    field; unknown names 404; /models lists; /stats keys per model."""
+    a = EchoRunner({2})
+    b_runner = EchoRunner({2})
+
+    def tag(runner, tag_val):
+        def run(frames, boxes):
+            out = runner(frames, boxes)
+            out["tag"] = np.full((len(boxes),), tag_val, np.float32)
+            return out
+        return run
+
+    mba = MicroBatcher(tag(a, 1.0), (2,), (16, 16), max_wait_ms=0)
+    mbb = MicroBatcher(tag(b_runner, 2.0), (2,), (16, 16), max_wait_ms=0)
+    srv = PoseHTTPServer({"small": mba, "big": mbb}, host="127.0.0.1",
+                         port=0, default="small")
+    srv.start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        frame = _frame(30)
+        payload = {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": [16, 16, 3],
+            "boxes": [[0.0, 0.0, 8.0, 8.0]],
+        }
+        status, out = _post(base + "/predict", payload)
+        assert status == 200 and out["tag"] == [1.0]  # default = small
+        status, out = _post(base + "/predict",
+                            payload | {"model": "big"})
+        assert status == 200 and out["tag"] == [2.0]
+        status, out = _post(base + "/predict",
+                            payload | {"model": "nope"})
+        assert status == 404 and "unknown model" in out["error"]
+        with urllib.request.urlopen(base + "/models", timeout=30) as r:
+            models = json.loads(r.read())
+        assert models == {"models": ["big", "small"], "default": "small"}
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert set(stats) == {"small", "big"}
+        with urllib.request.urlopen(base + "/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert 'pose_requests_total{model="big"}' in text
+    finally:
+        srv.shutdown()
