@@ -19,8 +19,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["AugmentConfig", "augment_boxes", "flip_crops_and_keypoints",
-           "color_jitter", "average_flip_pred", "COCO_FLIP_PAIRS"]
+__all__ = [
+    "AugmentConfig",
+    "augment_boxes",
+    "flip_crops_and_keypoints",
+    "rotate_crops",
+    "rotate_crops_and_keypoints",
+    "color_jitter",
+    "average_flip_pred",
+    "COCO_FLIP_PAIRS",
+]
 
 # Left/right keypoint index pairs for the 17-keypoint COCO skeleton.
 COCO_FLIP_PAIRS = (
@@ -33,6 +41,12 @@ class AugmentConfig:
     flip_prob: float = 0.5
     scale_jitter: float = 0.15  # box scale ~ U[1-s, 1+s]
     shift_jitter: float = 0.05  # box shift as a fraction of box size
+    # Random in-crop rotation: theta ~ U[-rotation_deg, +rotation_deg] per
+    # sample (0 disables). Crop-space affine (corners fill black, exactly
+    # the out-of-extent sampling the cropper performs); keypoints rotate
+    # with the content and the codec's map-weighting drops any that leave
+    # the crop.
+    rotation_deg: float = 0.0
     brightness: float = 0.2
     contrast: float = 0.2
     flip_pairs: tuple[tuple[int, int], ...] = COCO_FLIP_PAIRS
@@ -43,6 +57,7 @@ class AugmentConfig:
             self.flip_prob > 0
             or self.scale_jitter > 0
             or self.shift_jitter > 0
+            or self.rotation_deg > 0
             or self.brightness > 0
             or self.contrast > 0
         )
@@ -104,6 +119,73 @@ def flip_crops_and_keypoints(
         flip[:, None], _swap_pairs(visibility, cfg.flip_pairs), visibility
     )
     return crops, keypoints, visible, visibility
+
+
+def rotate_crops(
+    images: jax.Array, keypoints: jax.Array, theta: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Rotate (B, H, W, C) crops and their (B, K, 2) crop-space keypoints
+    by per-sample angles `theta` (radians, counter-clockwise in image
+    coordinates) about the crop center.
+
+    Pixels: inverse-map bilinear resample (4-tap gather) with black
+    outside the crop — the same out-of-extent convention as the cropper
+    (ops/preprocess.py). Keypoints: the forward rotation, so they stay on
+    the rotated content. Rotation is not axis-separable, hence the gather
+    formulation rather than the cropper's band matmuls."""
+    B, H, W, C = images.shape
+    cos = jnp.cos(theta).astype(jnp.float32)
+    sin = jnp.sin(theta).astype(jnp.float32)
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx, dy = xx - cx, yy - cy
+    # destination -> source: R(-theta)
+    sx = cos[:, None, None] * dx + sin[:, None, None] * dy + cx
+    sy = -sin[:, None, None] * dx + cos[:, None, None] * dy + cy
+    x0, y0 = jnp.floor(sx), jnp.floor(sy)
+    wx, wy = sx - x0, sy - y0
+    imgs = images.astype(jnp.float32)
+
+    def tap(ix, iy):
+        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        ixc = jnp.clip(ix, 0, W - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, H - 1).astype(jnp.int32)
+        g = jax.vmap(lambda im, ys, xs: im[ys, xs])(imgs, iyc, ixc)
+        return jnp.where(valid[..., None], g, 0.0)
+
+    out = (
+        ((1 - wx) * (1 - wy))[..., None] * tap(x0, y0)
+        + (wx * (1 - wy))[..., None] * tap(x0 + 1, y0)
+        + ((1 - wx) * wy)[..., None] * tap(x0, y0 + 1)
+        + (wx * wy)[..., None] * tap(x0 + 1, y0 + 1)
+    )
+    kx = keypoints[..., 0] - cx
+    ky = keypoints[..., 1] - cy
+    nkx = cos[:, None] * kx - sin[:, None] * ky + cx
+    nky = sin[:, None] * kx + cos[:, None] * ky + cy
+    return out.astype(images.dtype), jnp.stack([nkx, nky], axis=-1).astype(
+        keypoints.dtype
+    )
+
+
+def rotate_crops_and_keypoints(
+    key: jax.Array,
+    images: jax.Array,
+    keypoints: jax.Array,
+    cfg: "AugmentConfig",
+) -> tuple[jax.Array, jax.Array]:
+    """Random per-sample rotation theta ~ U[-rotation_deg, +rotation_deg]."""
+    if cfg.rotation_deg <= 0:
+        return images, keypoints
+    B = images.shape[0]
+    theta = jax.random.uniform(
+        key, (B,), minval=-1.0, maxval=1.0
+    ) * jnp.deg2rad(cfg.rotation_deg)
+    return rotate_crops(images, keypoints, theta)
 
 
 def color_jitter(

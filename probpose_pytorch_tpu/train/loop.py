@@ -284,10 +284,11 @@ def make_train_step(
             from probpose_pytorch_tpu.ops.augment import (
                 color_jitter,
                 flip_crops_and_keypoints,
+                rotate_crops_and_keypoints,
             )
 
             key = jax.random.fold_in(base_key, state.step)
-            k_flip, k_color = jax.random.split(key)
+            k_flip, k_rot, k_color = jax.random.split(key, 3)
             images, kpts, vis, visibility = flip_crops_and_keypoints(
                 k_flip,
                 images,
@@ -295,6 +296,9 @@ def make_train_step(
                 batch["keypoints_visible"],
                 batch["keypoints_visibility"],
                 aug,
+            )
+            images, kpts = rotate_crops_and_keypoints(
+                k_rot, images, kpts, aug
             )
             images = color_jitter(k_color, images, aug)
             batch = dict(

@@ -138,3 +138,89 @@ class TestNaNGuard:
         good = {"w": jnp.ones(3)}
         updates, state = tx.update(good, state, params)
         assert float(jnp.abs(updates["w"]).sum()) > 0
+
+
+class TestRotation:
+    def test_zero_rotation_identity(self):
+        from probpose_pytorch_tpu.ops.augment import rotate_crops
+
+        rng = np.random.default_rng(0)
+        imgs = jnp.asarray(rng.uniform(size=(2, 8, 8, 3)), jnp.float32)
+        kpts = jnp.asarray(rng.uniform(0, 8, (2, 5, 2)), jnp.float32)
+        out, okp = rotate_crops(imgs, kpts, jnp.zeros((2,)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(okp), np.asarray(kpts),
+                                   atol=1e-5)
+
+    def test_90deg_square_matches_rot90(self):
+        """theta=+90 deg on a square crop equals np.rot90 (up to the exact
+        lattice mapping), and a keypoint follows the same mapping."""
+        from probpose_pytorch_tpu.ops.augment import rotate_crops
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(1, 9, 9, 1)).astype(np.float32)
+        kpts = np.array([[[6.0, 2.0]]], np.float32)
+        theta = jnp.asarray([np.pi / 2])
+        out, okp = rotate_crops(jnp.asarray(img), jnp.asarray(kpts), theta)
+        # dst(x,y) samples src at R(-90)(d-c)+c = (dy-cy+cx, -(dx-cx)+cy):
+        # equivalent to rotating the IMAGE counter-clockwise in (x right,
+        # y down) pixel coordinates == np.rot90(..., k=-1) on the array.
+        expect = np.rot90(img[0, :, :, 0], k=-1)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, :, :, 0], expect, atol=1e-4
+        )
+        # keypoint (6,2) about center (4,4): R(90)([2,-2]) = [2, 2] -> (6,6)
+        np.testing.assert_allclose(
+            np.asarray(okp)[0, 0], [6.0, 6.0], atol=1e-4
+        )
+
+    def test_keypoints_track_content(self):
+        """A bright dot at a keypoint stays under the rotated keypoint."""
+        from probpose_pytorch_tpu.ops.augment import rotate_crops
+
+        img = np.zeros((1, 33, 33, 1), np.float32)
+        img[0, 8, 22, 0] = 1.0
+        kpts = np.array([[[22.0, 8.0]]], np.float32)
+        theta = jnp.asarray([0.3])
+        out, okp = rotate_crops(jnp.asarray(img), jnp.asarray(kpts), theta)
+        o = np.asarray(out)[0, :, :, 0]
+        iy, ix = np.unravel_index(np.argmax(o), o.shape)
+        kx, ky = np.asarray(okp)[0, 0]
+        assert abs(ix - kx) <= 1.0 and abs(iy - ky) <= 1.0, (
+            (ix, iy), (kx, ky)
+        )
+
+    def test_random_rotation_in_train_step(self, tmp_path):
+        from probpose_pytorch_tpu.data import (
+            SyntheticPoseDataset,
+            batch_iterator,
+        )
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-e2e",
+            dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5,
+                backbone="vit-tiny-e2e", compute_dtype="float32",
+                deconv_out_channels=(16, 16), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+            augment=AugmentConfig(
+                flip_prob=0.0, scale_jitter=0.0, shift_jitter=0.0,
+                brightness=0.0, contrast=0.0, rotation_deg=30.0,
+            ),
+            epochs=1, train_batch_size=4,
+            out_dir=str(tmp_path / "run"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        ds = SyntheticPoseDataset(4, cfg.model.img_size, 5, seed=0)
+        batch = next(iter(batch_iterator(ds, 4, shuffle=False,
+                                         num_workers=1)))
+        state, m = trainer.train_step(trainer.state, batch)
+        assert np.isfinite(float(m["loss"]))
