@@ -29,6 +29,12 @@ class OptimConfig:
 
     peak_lr: float = 5e-4
     weight_decay: float = 0.1
+    # Optimizer family: "adamw" (reference recipe) | "lion" (sign-momentum;
+    # one moment buffer instead of two — typical recipe: ~3-10x smaller
+    # peak_lr, ~3x larger weight_decay than AdamW) | "adafactor" (factored
+    # second moment — rank-1 row/col statistics instead of a full moment
+    # tensor; the memory choice for ViT-H-scale trunks).
+    optimizer: str = "adamw"
     # LR schedule: "onecycle" (reference recipe) | "cosine" (linear warmup
     # + cosine decay) | "constant" (flat peak_lr — the usual LoRA choice)
     schedule: str = "onecycle"

@@ -70,15 +70,37 @@ def make_optimizer(
     total_steps: int,
     frozen_labels: Any | None = None,
 ) -> optax.GradientTransformation:
-    """clip-by-global-norm -> AdamW(scheduled) [-> zero updates on frozen
-    params] [-> gradient accumulation]."""
+    """clip-by-global-norm -> optimizer(scheduled) [-> zero updates on
+    frozen params] [-> gradient accumulation].
+
+    `OptimConfig.optimizer` picks the family: adamw (reference recipe),
+    lion (single sign-momentum buffer — half AdamW's optimizer memory),
+    or adafactor (factored second moment — the ViT-H-scale memory choice;
+    its state is row/col vectors, so ZeRO-1 `shard_opt_state` on top is
+    usually unnecessary).
+    """
     schedule = build_schedule(cfg, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.clip_grad_norm),
-        optax.adamw(
+    if cfg.optimizer == "adamw":
+        opt = optax.adamw(
             schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
-        ),
-    )
+        )
+    elif cfg.optimizer == "lion":
+        opt = optax.lion(
+            schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
+        )
+    elif cfg.optimizer == "adafactor":
+        # adafactor's update-clipping subsumes most of the global-norm
+        # clip's job, but the outer clip is kept for config parity.
+        opt = optax.adafactor(
+            learning_rate=schedule,
+            weight_decay_rate=cfg.weight_decay or None,
+        )
+    else:
+        raise ValueError(
+            f"unknown optim.optimizer {cfg.optimizer!r} "
+            "(expected adamw | lion | adafactor)"
+        )
+    tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad_norm), opt)
     if frozen_labels is not None:
         tx = optax.multi_transform(
             {"trainable": tx, "frozen": optax.set_to_zero()}, frozen_labels

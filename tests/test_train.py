@@ -9,6 +9,7 @@ import pytest
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from probpose_pytorch_tpu.data import SyntheticPoseDataset, batch_iterator
 from probpose_pytorch_tpu.models.model import ModelConfig
@@ -409,3 +410,70 @@ class TestSchedules:
         for b in ds_batches():
             state, m = trainer.train_step(state, b)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestOptimizerFamilies:
+    def _toy(self):
+        params = {"w": jnp.ones((64, 32)), "b": jnp.zeros((32,))}
+        grads = {"w": jnp.full((64, 32), 0.1), "b": jnp.full((32,), 0.1)}
+        return params, grads
+
+    def _step(self, name):
+        from probpose_pytorch_tpu.train.state import make_optimizer
+
+        params, grads = self._toy()
+        tx = make_optimizer(OptimConfig(optimizer=name), total_steps=10)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+        return state
+
+    def test_adamw_updates(self):
+        self._step("adamw")
+
+    def test_lion_single_moment(self):
+        """Lion keeps one moment buffer per param (AdamW keeps two)."""
+        state = self._step("lion")
+        param_elems = 64 * 32 + 32
+        adam_elems = sum(
+            l.size for l in jax.tree_util.tree_leaves(self._step("adamw"))
+        )
+        lion_elems = sum(
+            l.size for l in jax.tree_util.tree_leaves(state)
+        )
+        assert lion_elems <= adam_elems - param_elems
+
+    def test_adafactor_factored_state(self):
+        """Adafactor's second moment is row/col vectors, not a full
+        tensor, once dims reach the factoring threshold (128, i.e. every
+        transformer matmul)."""
+        from probpose_pytorch_tpu.train.state import make_optimizer
+
+        params = {"w": jnp.ones((256, 160))}
+        tx = make_optimizer(OptimConfig(optimizer="adafactor"), 10)
+        state = tx.init(params)
+        sizes = [l.size for l in jax.tree_util.tree_leaves(state)]
+        assert max(sizes) <= 256  # row/col stats only, no (256,160) moment
+        grads = {"w": jnp.full((256, 160), 0.1)}
+        updates, state = tx.update(grads, state, params)
+        new = optax.apply_updates(params, updates)
+        assert float(jnp.abs(new["w"] - params["w"]).max()) > 0
+
+    def test_unknown_optimizer_rejected(self):
+        from probpose_pytorch_tpu.train.state import make_optimizer
+
+        with pytest.raises(ValueError, match="optimizer"):
+            make_optimizer(OptimConfig(optimizer="sgdx"), 10)
+
+    @pytest.mark.parametrize("name", ["lion", "adafactor"])
+    def test_trains_end_to_end(self, tmp_path, name):
+        cfg = _tiny_cfg(tmp_path, optim=OptimConfig(
+            peak_lr=1e-4, optimizer=name, ema_decay=None
+        ))
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        state = trainer.state
+        for b in _data(cfg)():
+            state, m = trainer.train_step(state, b)
+        assert np.isfinite(float(m["loss"]))
+        assert int(state.step) > 0
