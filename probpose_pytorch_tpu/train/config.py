@@ -102,6 +102,12 @@ class TrainConfig:
     # off-device and the disk write proceeds in a background thread
     # (train/checkpoint.py); restore/close wait for in-flight writes.
     async_checkpoint: bool = False
+    # Preemption-safe shutdown: catch SIGTERM (the TPU-pod / spot-VM
+    # eviction signal) during fit, finish the in-flight step, save a
+    # checkpoint, and exit cleanly so `resume: true` continues on restart.
+    # Installed only in the main thread; the previous handler is restored
+    # when fit returns.
+    handle_preemption: bool = True
     seed: int = 0
     sigma: float = 2.0  # fixed encode spread (ProbMap default)
     decode_sigma: float = -1.0  # loss decoder spread (ArgMaxProbMap default)

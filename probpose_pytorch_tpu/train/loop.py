@@ -11,6 +11,8 @@ step 5-6; BASELINE config #5).
 from __future__ import annotations
 
 import math
+import signal
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable
@@ -670,6 +672,41 @@ class Trainer:
             if prior.get("best_value") is not None:
                 best_value = float(prior["best_value"])
 
+        # Preemption containment: TPU-pod / spot eviction arrives as
+        # SIGTERM with a grace window. Finish the in-flight step, fall
+        # through to the final checkpoint save, and exit cleanly so
+        # `resume: true` continues on the replacement VM.
+        preempted = threading.Event()
+        prev_sigterm = None
+        if cfg.handle_preemption:
+
+            def _on_sigterm(signum, frame):
+                if not preempted.is_set():
+                    preempted.set()
+                    print(
+                        "[trainer] SIGTERM: checkpointing at the next "
+                        "step boundary, then exiting cleanly"
+                    )
+
+            try:
+                prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+            except ValueError:
+                prev_sigterm = None  # fit() running off the main thread
+
+        try:
+            self._fit_loop(
+                cfg, train_batches, val_batches, max_steps, logger, ckpt,
+                best_ckpt, best_value, best_sign, start_step, preempted,
+            )
+        finally:
+            if prev_sigterm is not None:
+                signal.signal(signal.SIGTERM, prev_sigterm)
+        return self.state
+
+    def _fit_loop(
+        self, cfg, train_batches, val_batches, max_steps, logger, ckpt,
+        best_ckpt, best_value, best_sign, start_step, preempted,
+    ) -> None:
         step_idx = start_step
         t0 = time.time()
         done = False
@@ -758,6 +795,9 @@ class Trainer:
                                 f"{step_idx} -> checkpoints_best"
                             )
                 step_idx += 1
+                if preempted.is_set():
+                    done = True
+                    break
                 if max_steps is not None and step_idx - start_step >= max_steps:
                     done = True
                     break
@@ -777,7 +817,11 @@ class Trainer:
         if best_ckpt is not None:
             best_ckpt.close()
         logger.close()
-        return self.state
+        if preempted.is_set():
+            print(
+                f"[trainer] preempted: checkpoint saved at step {step_idx}; "
+                "resume will continue from here"
+            )
 
     def _validate(self, val_batches, logger, step_idx) -> dict | None:
         # Accumulate metric sums on device; a single host transfer at the
