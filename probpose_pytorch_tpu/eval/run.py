@@ -39,6 +39,11 @@ def main(argv=None) -> None:
         "left/right pairs)",
     )
     parser.add_argument(
+        "--scale-test", type=str, default="",
+        help="multi-scale TTA: comma-separated box scales "
+        "(e.g. '0.9,1.0,1.1'); decode per scale, average in frame space",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -57,10 +62,12 @@ def main(argv=None) -> None:
     from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
     from probpose_pytorch_tpu.inference import load_predictor
 
-    if args.bundle and (args.ema or args.flip_test or args.data_parallel):
+    if args.bundle and (
+        args.ema or args.flip_test or args.scale_test or args.data_parallel
+    ):
         parser.error(
-            "--ema/--flip-test are baked into bundles at export; "
-            "--data-parallel needs a live predictor"
+            "--ema/--flip-test/--scale-test are baked into bundles at "
+            "export; --data-parallel needs a live predictor"
         )
     mesh = None
     if args.data_parallel:
@@ -92,6 +99,9 @@ def main(argv=None) -> None:
             ema=args.ema,
             mesh=mesh,
             flip_test=args.flip_test,
+            scale_test=tuple(
+                float(s) for s in args.scale_test.split(",") if s.strip()
+            ),
         )
     dataset = COCOPoseDataset(
         args.annotations,

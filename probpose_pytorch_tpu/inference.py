@@ -99,6 +99,18 @@ def tuned_bucket_ladder() -> tuple[int, ...] | None:
     return None
 
 
+def _scale_boxes(boxes, s: float):
+    """Rescale xywh boxes about their centers by factor `s` (multi-scale
+    TTA geometry: the crop sees s x more context at s > 1)."""
+    x, y, w, h = (boxes[..., i] for i in range(4))
+    import jax.numpy as jnp
+
+    return jnp.stack(
+        [x + w * (1.0 - s) / 2.0, y + h * (1.0 - s) / 2.0, w * s, h * s],
+        axis=-1,
+    )
+
+
 @dataclasses.dataclass
 class TopDownPredictor:
     """Batched top-down pose predictor: frames + person boxes -> keypoints.
@@ -132,6 +144,14 @@ class TopDownPredictor:
     # bundles. flip_pairs defaults to the COCO-17 skeleton.
     flip_test: bool = False
     flip_pairs: tuple = None  # type: ignore[assignment]
+    # Multi-scale TTA: re-crop each box at these area scales about its
+    # center (e.g. (0.9, 1.0, 1.1)), run the full forward(+flip) per scale,
+    # decode each in its own crop geometry, un-map to frame space, and
+    # average there (heatmaps from different box geometries don't share a
+    # pixel grid, so coordinate-space averaging is the well-defined mean).
+    # ~len(scale_test)x compute; () disables. Baked into the jitted program
+    # and therefore into exported bundles, like flip_test.
+    scale_test: tuple[float, ...] = ()
     # "int8": post-training dynamic-quantized backbone matmuls
     # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
@@ -150,6 +170,9 @@ class TopDownPredictor:
 
         self._jitted: dict[tuple, Any] = {}
         self._jax = jax
+        self.scale_test = tuple(float(s) for s in (self.scale_test or ()))
+        if any(s <= 0 for s in self.scale_test):
+            raise ValueError(f"scale_test must be positive: {self.scale_test}")
         if self.quantize is not None:
             if self.quantize not in ("int8", "int8_wo"):
                 raise ValueError(f"unknown quantize mode {self.quantize!r}")
@@ -260,14 +283,9 @@ class TopDownPredictor:
                 )
             return self.model.apply(variables, crops, train=False)
 
-        def run(variables, frames, boxes, frame_ids=None):
-            if frame_ids is not None:
-                # indexed serving: frames holds each UNIQUE frame once
-                # (F, Hs, Ws, 3) and frame_ids (B,) maps crops to frames —
-                # the host->device link carries each frame once instead of
-                # once per crop; the gather is one HBM pass (~free next to
-                # any transfer link).
-                frames = jnp.take(frames, frame_ids, axis=0)
+        def predict_boxes(variables, frames, boxes):
+            """One forward(+flip) + decode at one box geometry, un-mapped
+            to frame space."""
             crops = crop_resize(
                 frames, boxes, self.input_size, self.preprocess_method
             )
@@ -288,6 +306,31 @@ class TopDownPredictor:
             (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
             H, W = self.input_size
             kpts = untransform_keypoints(kpts, boxes, (H, W))
+            return (kpts, scores, probs, vis, oks, errs), pred
+
+        def run(variables, frames, boxes, frame_ids=None):
+            if frame_ids is not None:
+                # indexed serving: frames holds each UNIQUE frame once
+                # (F, Hs, Ws, 3) and frame_ids (B,) maps crops to frames —
+                # the host->device link carries each frame once instead of
+                # once per crop; the gather is one HBM pass (~free next to
+                # any transfer link).
+                frames = jnp.take(frames, frame_ids, axis=0)
+            scales = self.scale_test or (1.0,)
+            results = []
+            pred_unit = None
+            for s in scales:
+                boxes_s = boxes if s == 1.0 else _scale_boxes(boxes, s)
+                fields, pred = predict_boxes(variables, frames, boxes_s)
+                results.append(fields)
+                if pred_unit is None or s == 1.0:
+                    pred_unit = pred
+            if len(results) == 1:
+                kpts, scores, probs, vis, oks, errs = results[0]
+            else:
+                kpts, scores, probs, vis, oks, errs = (
+                    sum(field) / len(scales) for field in zip(*results)
+                )
             out = dict(
                 keypoints=kpts,
                 scores=scores,
@@ -297,7 +340,9 @@ class TopDownPredictor:
                 errors=errs,
             )
             if self.return_heatmaps:
-                out["heatmaps"] = pred[0]
+                # Heatmaps from different box geometries don't share a
+                # grid; expose the unit-scale (or first-scale) maps.
+                out["heatmaps"] = pred_unit[0]
             return out
 
         return run
@@ -319,6 +364,7 @@ class TopDownPredictor:
             None if frame_ids is None else frame_ids.shape,
             self.return_heatmaps,
             self.flip_test,
+            self.scale_test,
         )
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
@@ -487,6 +533,7 @@ def load_predictor(
     quantize: str | None = None,
     mesh: Any = None,
     flip_test: bool = False,
+    scale_test: tuple[float, ...] = (),
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -521,6 +568,7 @@ def load_predictor(
         quantize=quantize,
         mesh=mesh,
         flip_test=flip_test,
+        scale_test=scale_test,
     )
 
 
@@ -557,6 +605,12 @@ def main(argv: Sequence[str] | None = None) -> None:
         help="flip-test TTA: average predictions with the horizontally "
         "mirrored forward (COCO-17 left/right pairs)",
     )
+    parser.add_argument(
+        "--scale-test", type=str, default="",
+        help="multi-scale TTA: comma-separated box scales (e.g. "
+        "'0.9,1.0,1.1'); predictions decode per scale and average in "
+        "frame space",
+    )
     args = parser.parse_args(argv)
 
     import PIL.Image
@@ -573,6 +627,9 @@ def main(argv: Sequence[str] | None = None) -> None:
             else None
         ),
         flip_test=args.flip_test,
+        scale_test=tuple(
+            float(s) for s in args.scale_test.split(",") if s.strip()
+        ),
     )
     predictor.return_heatmaps = True  # one forward serves decode + PNG dump
     if args.input_size:

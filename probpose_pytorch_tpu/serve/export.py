@@ -153,6 +153,10 @@ def export_predictor_bundle(
         "input_size": list(predictor.input_size),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "return_heatmaps": bool(predictor.return_heatmaps),
+        # Informational: TTA baked into the exported programs (the program
+        # IS the behavior; these let deploy tooling display it).
+        "flip_test": bool(getattr(predictor, "flip_test", False)),
+        "scale_test": list(getattr(predictor, "scale_test", ()) or ()),
         "indexed_buckets": indexed_buckets,
     }
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
