@@ -294,6 +294,7 @@ class TopDownPredictor:
                 from probpose_pytorch_tpu.ops.augment import (
                     COCO_FLIP_PAIRS,
                     average_flip_pred,
+                    average_flip_pred_simcc,
                 )
 
                 pairs = (
@@ -302,7 +303,13 @@ class TopDownPredictor:
                     else COCO_FLIP_PAIRS
                 )
                 pred_f = forward(variables, crops[:, :, ::-1, :])
-                pred = average_flip_pred(pred, pred_f, pairs)
+                if isinstance(pred[0], (tuple, list)):
+                    pred = average_flip_pred_simcc(
+                        pred, pred_f, pairs,
+                        self.codec.label.split_ratio,
+                    )
+                else:
+                    pred = average_flip_pred(pred, pred_f, pairs)
             (kpts, scores), probs, vis, oks, errs = self.codec.decode(pred)
             H, W = self.input_size
             kpts = untransform_keypoints(kpts, boxes, (H, W))
@@ -341,8 +348,19 @@ class TopDownPredictor:
             )
             if self.return_heatmaps:
                 # Heatmaps from different box geometries don't share a
-                # grid; expose the unit-scale (or first-scale) maps.
-                out["heatmaps"] = pred_unit[0]
+                # grid; expose the unit-scale (or first-scale) maps. For
+                # the SimCC family, render the outer product of the
+                # per-axis distributions — a (B, K, Hb, Wb) heatmap the
+                # CLI's PNG dump consumes unchanged.
+                loc = pred_unit[0]
+                if isinstance(loc, (tuple, list)):
+                    import jax
+
+                    px = jax.nn.softmax(loc[0].astype(jnp.float32), axis=-1)
+                    py = jax.nn.softmax(loc[1].astype(jnp.float32), axis=-1)
+                    out["heatmaps"] = py[..., :, None] * px[..., None, :]
+                else:
+                    out["heatmaps"] = loc
             return out
 
         return run

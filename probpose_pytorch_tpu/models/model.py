@@ -54,6 +54,12 @@ class ModelConfig:
     patch_size: int = 16
     num_keypoints: int = 17
     backbone: str = "vit-s"
+    # Keypoint head family: "probmap" (the reference's 2-D heatmap head) |
+    # "simcc" (1-D coordinate classification, models/simcc.py — two MXU
+    # matmuls instead of the deconv pyramid; superset family).
+    head_type: str = "probmap"
+    simcc_split_ratio: float = 2.0
+    simcc_sigma: float = 6.0  # label spread in bin units
     frozen_backbone: bool = False
     adapter_hidden: tuple[int, ...] = ()
     deconv_out_channels: tuple[int, ...] = (256, 256)
@@ -141,17 +147,32 @@ def build_model(cfg: ModelConfig, mesh=None) -> ProbPoseModel:
             lora_alpha=cfg.lora_alpha,
             **vit_kw,
         )
-    head = ProbMapHead(
-        out_channels=cfg.num_keypoints,
-        pool_sizes=cfg.pool_sizes,
-        deconv_out_channels=cfg.deconv_out_channels,
-        deconv_kernel_sizes=cfg.deconv_kernel_sizes,
-        conv_out_channels=cfg.conv_out_channels,
-        conv_kernel_sizes=cfg.conv_kernel_sizes,
-        final_layer_kernel_size=cfg.final_layer_kernel_size,
-        normalize=cfg.normalize,
-        dtype=cfg.dtype,
-        scalar_impl=cfg.scalar_impl,
-        deconv_impl=cfg.deconv_impl,
-    )
+    if cfg.head_type == "simcc":
+        from probpose_pytorch_tpu.models.simcc import SimCCHead
+
+        head = SimCCHead(
+            out_channels=cfg.num_keypoints,
+            input_size=cfg.img_size,
+            split_ratio=cfg.simcc_split_ratio,
+            pool_sizes=cfg.pool_sizes,
+            dtype=cfg.dtype,
+        )
+    elif cfg.head_type == "probmap":
+        head = ProbMapHead(
+            out_channels=cfg.num_keypoints,
+            pool_sizes=cfg.pool_sizes,
+            deconv_out_channels=cfg.deconv_out_channels,
+            deconv_kernel_sizes=cfg.deconv_kernel_sizes,
+            conv_out_channels=cfg.conv_out_channels,
+            conv_kernel_sizes=cfg.conv_kernel_sizes,
+            final_layer_kernel_size=cfg.final_layer_kernel_size,
+            normalize=cfg.normalize,
+            dtype=cfg.dtype,
+            scalar_impl=cfg.scalar_impl,
+            deconv_impl=cfg.deconv_impl,
+        )
+    else:
+        raise ValueError(
+            f"unknown head_type {cfg.head_type!r} (expected probmap | simcc)"
+        )
     return ProbPoseModel(backbone=backbone, head=head, mesh=mesh)

@@ -27,6 +27,7 @@ __all__ = [
     "rotate_crops_and_keypoints",
     "color_jitter",
     "average_flip_pred",
+    "average_flip_pred_simcc",
     "COCO_FLIP_PAIRS",
 ]
 
@@ -218,6 +219,52 @@ def average_flip_pred(
     hm, *scalars = pred
     hm_f, *scalars_f = pred_flipped
     out = [(hm + _swap_pairs(hm_f[..., ::-1], pairs)) * 0.5]
+    for s, sf in zip(scalars, scalars_f):
+        out.append((s + _swap_pairs(sf, pairs)) * 0.5)
+    return tuple(out)
+
+
+def _mirror_x_bins(p: jax.Array, split_ratio: float) -> jax.Array:
+    """Probability-space mirror of x-axis SimCC bin distributions.
+
+    The crop mirror x -> (W-1) - x maps bin b -> Wb - split - b (for
+    integer split ratios; bin b sits at pixel b/split), i.e. an array
+    reverse followed by a left shift of split-1 bins. Mass that maps off
+    the grid (the last split-1 bins, corresponding to x < 0) zero-fills.
+    Non-integer ratios round to the nearest bin (sub-half-bin error)."""
+    rev = p[..., ::-1]
+    s = int(round(split_ratio)) - 1
+    if s > 0:
+        rev = jnp.concatenate(
+            [rev[..., s:], jnp.zeros_like(rev[..., :s])], axis=-1
+        )
+    return rev
+
+
+def average_flip_pred_simcc(
+    pred: tuple,
+    pred_flipped: tuple,
+    pairs: Sequence[tuple[int, int]],
+    split_ratio: float,
+) -> tuple:
+    """Flip-test averaging for the SimCC head family.
+
+    Averaging happens in probability space (per-axis softmax), because
+    logits from the two forwards are not on a shared scale; the averaged
+    distribution returns as log-probabilities, which downstream softmax
+    decoding maps back exactly (softmax(log p) == p). x distributions
+    mirror via `_mirror_x_bins`; y distributions only swap left/right
+    keypoint channels; scalars swap channels like the heatmap path."""
+    (x, y), *scalars = pred
+    (xf, yf), *scalars_f = pred_flipped
+    f32 = jnp.float32
+    px = jax.nn.softmax(x.astype(f32), axis=-1)
+    py = jax.nn.softmax(y.astype(f32), axis=-1)
+    pxf = jax.nn.softmax(xf.astype(f32), axis=-1)
+    pyf = jax.nn.softmax(yf.astype(f32), axis=-1)
+    avg_x = 0.5 * (px + _swap_pairs(_mirror_x_bins(pxf, split_ratio), pairs))
+    avg_y = 0.5 * (py + _swap_pairs(pyf, pairs))
+    out = [(jnp.log(avg_x + 1e-12), jnp.log(avg_y + 1e-12))]
     for s, sf in zip(scalars, scalars_f):
         out.append((s + _swap_pairs(sf, pairs)) * 0.5)
     return tuple(out)

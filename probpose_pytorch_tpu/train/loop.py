@@ -158,12 +158,26 @@ def restore_state_with_layout(
     return converted
 
 
-def build_codecs(cfg: TrainConfig) -> tuple[Codec, Codec]:
+def build_codecs(cfg: TrainConfig) -> tuple[Any, Any]:
     """(encode codec, fast loss-decode codec) — the reference's pairing of a
-    ProbMap data codec with an ArgMaxProbMap loss decoder (train.py:46-48)."""
-    W, H = cfg.model.heatmap_size
+    ProbMap data codec with an ArgMaxProbMap loss decoder (train.py:46-48).
+    The SimCC family uses one codec for both roles (its argmax+parabola
+    decode IS the fast decode)."""
     sigmas = np.full(cfg.model.num_keypoints, cfg.kpt_sigma_value, np.float32)
     img_wh = (cfg.model.img_size[1], cfg.model.img_size[0])
+    if cfg.model.head_type == "simcc":
+        from probpose_pytorch_tpu.codec_simcc import SimCCCodec, SimCCLabel
+
+        codec = SimCCCodec(
+            SimCCLabel(
+                img_wh,
+                split_ratio=cfg.model.simcc_split_ratio,
+                sigma=cfg.model.simcc_sigma,
+                sigmas=sigmas,
+            )
+        )
+        return codec, codec
+    W, H = cfg.model.heatmap_size
     encode_codec = Codec(
         ProbMap(img_wh, (W, H), sigmas=sigmas, sigma=cfg.sigma)
     )
@@ -180,19 +194,24 @@ def _prepare_images(batch: dict[str, Any]) -> jax.Array:
     return img
 
 
-def _encode_targets(codec: Codec, batch: dict[str, Any]) -> dict[str, Any]:
+def _encode_targets(codec: Any, batch: dict[str, Any]) -> dict[str, Any]:
     enc = codec.encode(
         batch["keypoints"],
         batch["keypoints_visible"],
         keypoints_visibility=batch["keypoints_visibility"],
     )
-    return dict(
-        heatmaps=enc["heatmaps"],
+    gt = dict(
         in_image=enc["in_image"],
         keypoints_visible=batch["keypoints_visible"],
         keypoints_visibility=batch["keypoints_visibility"],
         keypoint_weights=enc["keypoint_weights"],
     )
+    if "heatmaps" in enc:
+        gt["heatmaps"] = enc["heatmaps"]
+    else:  # SimCC family: per-axis bin labels
+        gt["x_labels"] = enc["x_labels"]
+        gt["y_labels"] = enc["y_labels"]
+    return gt
 
 
 def _load_teacher(cfg: TrainConfig) -> tuple[Any, Any]:
@@ -211,6 +230,12 @@ def _load_teacher(cfg: TrainConfig) -> tuple[Any, Any]:
         else ckpt_dir.parent / "config.json"
     )
     tcfg = TrainConfig.load(config_path)
+    if tcfg.model.head_type != cfg.model.head_type:
+        raise ValueError(
+            "distillation teacher/student head families must match: "
+            f"teacher {tcfg.model.head_type!r} vs student "
+            f"{cfg.model.head_type!r}"
+        )
     if tcfg.model.img_size != cfg.model.img_size or (
         tcfg.model.num_keypoints != cfg.model.num_keypoints
     ):
@@ -339,7 +364,14 @@ def make_train_step(
                 mse = lambda a, b: jnp.mean(
                     (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2
                 )
-                d_hm = mse(pred[0], tpred[0])
+                loc_s, loc_t = pred[0], tpred[0]
+                if isinstance(loc_s, (tuple, list)):
+                    # SimCC family: (x_logits, y_logits) localization pair.
+                    d_hm = sum(
+                        mse(a, b) for a, b in zip(loc_s, loc_t)
+                    ) / len(loc_s)
+                else:
+                    d_hm = mse(loc_s, loc_t)
                 d_sc = (
                     mse(pred[1], tpred[1])
                     + mse(pred[2], tpred[2])
@@ -385,7 +417,11 @@ def make_eval_step(
             "loss": total,
             **{f"loss/{k}": v for k, v in losses.items()},
             **{f"acc/{k}": v for k, v in acc.items()},
-            "max_heatmap": jnp.max(pred[0]),
+            "max_heatmap": (
+                jnp.max(pred[0][0])
+                if isinstance(pred[0], (tuple, list))
+                else jnp.max(pred[0])
+            ),
             "mean_prob": jnp.mean(pred[1]),
         }
         return metrics
@@ -515,11 +551,20 @@ class Trainer:
                 )
         model = build_model(cfg.model, mesh=mesh)
         encode_codec, fast_codec = build_codecs(cfg)
-        loss_fn = ProbPoseLoss(
-            fast_codec,
-            freeze_error=cfg.freeze_error,
-            freeze_oks=cfg.freeze_oks,
-        )
+        if cfg.model.head_type == "simcc":
+            from probpose_pytorch_tpu.losses_simcc import SimCCLoss
+
+            loss_fn = SimCCLoss(
+                fast_codec,
+                freeze_error=cfg.freeze_error,
+                freeze_oks=cfg.freeze_oks,
+            )
+        else:
+            loss_fn = ProbPoseLoss(
+                fast_codec,
+                freeze_error=cfg.freeze_error,
+                freeze_oks=cfg.freeze_oks,
+            )
         total_steps = steps_per_epoch * cfg.epochs
         frozen_labels = None
         if cfg.train_lora_only:

