@@ -261,3 +261,33 @@ class TestPredictor:
         out = p(frames, boxes)
         assert np.isfinite(out["keypoints"]).all()
         assert out["keypoints"].shape == (2, 5, 2)
+
+
+class TestBundle:
+    def test_bundle_roundtrip(self, tmp_path):
+        """A SimCC predictor exports to a StableHLO bundle and reloads
+        with exact output parity (the deployment path is head-agnostic)."""
+        from probpose_pytorch_tpu.serve import (
+            ServingBundle,
+            export_predictor_bundle,
+        )
+
+        p = TestPredictor()._predictor(tmp_path)
+        out = export_predictor_bundle(
+            p, tmp_path / "bundle", buckets=(2,), frame_shape=(96, 112),
+        )
+        bundle = ServingBundle.load(out)
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, (2, 90, 110, 3), dtype=np.uint8)
+        boxes = np.array([[5, 5, 60, 70], [20, 10, 50, 60]], np.float32)
+        live = p(frames, boxes)
+        exported = bundle(frames, boxes)
+        assert set(live) == set(exported)
+        for k in live:
+            np.testing.assert_allclose(
+                exported[k], live[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
+        import json as _json
+
+        manifest = _json.loads((out / "manifest.json").read_text())
+        assert manifest["scale_test"] == []
