@@ -129,6 +129,66 @@ def _rate(head_type: str, batch: int) -> tuple[float, float, float]:
     return float(np.median(rates)), rates[0], rates[-1]
 
 
+def _train_rate(head_type: str, B: int = 128) -> tuple[float, float]:
+    """(ms/step, crops/s) for the fused flagship train step (bench.py's
+    harness with the head family swapped)."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from probpose_pytorch_tpu.data import (
+        SyntheticPoseDataset,
+        batch_iterator,
+    )
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig, Trainer
+    from probpose_pytorch_tpu.train.loop import make_train_step
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(256, 192), num_keypoints=17, backbone="vit-s",
+            head_type=head_type, compute_dtype="bfloat16",
+            deconv_out_channels=(256, 256), deconv_kernel_sizes=(4, 4),
+            pool_sizes=((4, 3), (2, 2), (2, 2)), normalize=1.0,
+            attn_impl="fused",
+        ),
+        train_batch_size=B,
+        out_dir=f"/tmp/probpose_bench_train_{head_type}",
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=1000)
+    ds = SyntheticPoseDataset(B, cfg.model.img_size, 17)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(iter(batch_iterator(ds, B, num_workers=1))).items()
+    }
+    step = make_train_step(
+        trainer.model, trainer.encode_codec, trainer.loss_fn, trainer.tx, cfg
+    )
+
+    @partial(jax.jit, static_argnums=(2,))
+    def chained(state, batch, n):
+        def body(_, s):
+            s2, _ = step(s, batch)
+            return s2
+
+        final = jax.lax.fori_loop(0, n, body, state)
+        return sum(
+            jnp.sum(jnp.abs(l).astype(jnp.float32))
+            for l in jax.tree_util.tree_leaves(final.params)
+        )
+
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chained(trainer.state, batch, n))
+        return time.perf_counter() - t0
+
+    timed(1)
+    timed(5)
+    samples = sorted((timed(5) - timed(1)) / 4 for _ in range(REPEATS))
+    med = float(np.median(samples))
+    return med * 1e3, B / med
+
+
 def main() -> None:
     from probpose_pytorch_tpu.inference import tuned_serving_batch
 
@@ -136,13 +196,21 @@ def main() -> None:
     out = {"batch": batch, "repeats": REPEATS}
     for head in ("probmap", "simcc"):
         med, lo, hi = _rate(head, batch)
+        train_ms, train_cps = _train_rate(head)
         out[head] = {
             "crops_per_sec": round(med, 1),
             "min": round(lo, 1),
             "max": round(hi, 1),
+            "train_step_ms": round(train_ms, 1),
+            "train_crops_per_sec": round(train_cps, 1),
         }
     out["simcc_speedup"] = round(
         out["simcc"]["crops_per_sec"] / out["probmap"]["crops_per_sec"], 3
+    )
+    out["simcc_train_speedup"] = round(
+        out["simcc"]["train_crops_per_sec"]
+        / out["probmap"]["train_crops_per_sec"],
+        3,
     )
     print(json.dumps(out))
 
