@@ -34,7 +34,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
 
 
-def make_config(root: Path, out_dir: Path, quick: bool):
+def make_config(root: Path, out_dir: Path, quick: bool,
+                head_type: str = "probmap"):
     from probpose_pytorch_tpu.models.model import ModelConfig
     from probpose_pytorch_tpu.ops.augment import AugmentConfig
     from probpose_pytorch_tpu.train.config import (
@@ -54,6 +55,7 @@ def make_config(root: Path, out_dir: Path, quick: bool):
             img_size=(64, 48),
             num_keypoints=17,
             backbone="vit-rehearsal-quick",
+            head_type=head_type,
             compute_dtype="float32",
             deconv_out_channels=(32, 32),
             deconv_kernel_sizes=(4, 4),
@@ -66,6 +68,7 @@ def make_config(root: Path, out_dir: Path, quick: bool):
             img_size=(256, 192),
             num_keypoints=17,
             backbone="vit-s",
+            head_type=head_type,
             compute_dtype="bfloat16",
             deconv_out_channels=(256, 256),
             deconv_kernel_sizes=(4, 4),
@@ -114,6 +117,9 @@ def main() -> None:
                     help="train2017 frame count (~2.3 live instances each)")
     ap.add_argument("--quick", action="store_true",
                     help="tiny model + tiny dataset smoke (CI)")
+    ap.add_argument("--head-type", default="probmap",
+                    choices=["probmap", "simcc"],
+                    help="keypoint head family (models/model.py)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only run eval phases on an existing checkpoint")
     args = ap.parse_args()
@@ -156,7 +162,7 @@ def main() -> None:
     print(f"[rehearsal] generate: {record['generate']}", flush=True)
 
     out.mkdir(parents=True, exist_ok=True)
-    cfg = make_config(root, out, args.quick)
+    cfg = make_config(root, out, args.quick, head_type=args.head_type)
     cfg.save(out / "config.json")
 
     from probpose_pytorch_tpu.train.cli import main as train_main
