@@ -589,3 +589,59 @@ def test_tp_mesh_predictor_matches_single_device(tmp_path, monkeypatch):
         np.testing.assert_allclose(
             out2[k], out1[k], rtol=1e-4, atol=1e-4, err_msg=k
         )
+
+
+@pytest.mark.parametrize("optimizer", ["lion", "adafactor"])
+def test_optimizer_families_on_dp_mesh(tmp_path, optimizer):
+    """lion / adafactor train identically on an 8-way dp mesh and
+    single-device (two steps, so the second depends on the first update's
+    optimizer state), including with ZeRO-1 opt-state sharding (adafactor's
+    factored vectors simply stay replicated below the size cutoff)."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.train.config import OptimConfig
+
+    cfg = dataclasses.replace(
+        _cfg(tmp_path),
+        optim=OptimConfig(peak_lr=1e-4, optimizer=optimizer),
+    )
+    batch = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+
+    trainer_ref = Trainer.create(cfg, steps_per_epoch=4)
+    s1, _ = trainer_ref.train_step(trainer_ref.state, batch)
+    _, m_ref = trainer_ref.train_step(s1, batch)
+
+    mesh = make_mesh(8, model_parallel=1)
+    cfg_m = dataclasses.replace(
+        cfg, shard_opt_state=True, out_dir=str(tmp_path / "mesh")
+    )
+    trainer = Trainer.create(cfg_m, steps_per_epoch=4, mesh=mesh)
+    sb = shard_batch(batch, mesh)
+    z1, _ = trainer.train_step(trainer.state, sb)
+    _, m_mesh = trainer.train_step(z1, sb)
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+
+
+def test_simcc_train_step_on_dp_mesh(tmp_path):
+    """The SimCC family trains identically on an 8-way dp mesh and
+    single-device (the codec/loss path is mesh-transparent)."""
+    import dataclasses
+
+    cfg = _cfg(tmp_path)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, head_type="simcc")
+    )
+    batch = {k: jnp.asarray(v) for k, v in _batch(cfg).items()}
+
+    trainer_ref = Trainer.create(cfg, steps_per_epoch=4)
+    _, m_ref = trainer_ref.train_step(trainer_ref.state, batch)
+
+    mesh = make_mesh(8, model_parallel=1)
+    cfg_m = dataclasses.replace(cfg, out_dir=str(tmp_path / "mesh"))
+    trainer = Trainer.create(cfg_m, steps_per_epoch=4, mesh=mesh)
+    _, m_mesh = trainer.train_step(trainer.state, shard_batch(batch, mesh))
+    np.testing.assert_allclose(
+        float(m_mesh["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
