@@ -200,6 +200,12 @@ def main(argv=None) -> None:
             "LoRA checkpoints export after merging: run "
             "python -m probpose_pytorch_tpu.compat.merge_lora first"
         )
+    if cfg.model.head_type != "probmap":
+        raise ValueError(
+            f"torch export covers the reference's ProbMapHead layout only; "
+            f"head_type={cfg.model.head_type!r} has no torch counterpart "
+            "(the backbone still exports via export_backbone_params)"
+        )
     trainer = Trainer.create(cfg, steps_per_epoch=1)
     # restore_state_with_layout lands params in THIS trainer's layout; for
     # export we need the torch/timm qkv-major order, so convert when the
