@@ -194,6 +194,25 @@ def _prepare_images(batch: dict[str, Any]) -> jax.Array:
     return img
 
 
+def state_is_finite(state: TrainState) -> bool:
+    """True when every param / BN-stat / EMA leaf is finite.
+
+    Checkpoint hygiene: `optax.apply_if_finite` deliberately lets NaNs
+    through after `max_nonfinite_skips` consecutive bad steps, and a NaN
+    forward can poison BatchNorm running stats outside the optimizer
+    entirely — saving such a state destroys the recovery path, because the
+    keep-N rotation evicts the clean checkpoints and the non-finite-loss
+    monitor then restores garbage. One device round-trip per call; callers
+    are checkpoint-save sites, so the cost is per-save, not per-step."""
+    leaves = jax.tree_util.tree_leaves(
+        (state.params, state.batch_stats, state.ema_params)
+    )
+    ok = jnp.stack(
+        [jnp.all(jnp.isfinite(l.astype(jnp.float32))) for l in leaves]
+    ).all()
+    return bool(ok)
+
+
 def _encode_targets(codec: Any, batch: dict[str, Any]) -> dict[str, Any]:
     enc = codec.encode(
         batch["keypoints"],
@@ -819,9 +838,13 @@ class Trainer:
                                 f"validation metrics {sorted(val)}"
                             )
                         v = float(val[cfg.track_best_metric])
-                        if math.isfinite(v) and (
-                            best_value is None
-                            or best_sign * v < best_sign * best_value
+                        if (
+                            math.isfinite(v)
+                            and (
+                                best_value is None
+                                or best_sign * v < best_sign * best_value
+                            )
+                            and state_is_finite(self.state)
                         ):
                             best_value = v
                             best_ckpt.save(
@@ -849,23 +872,39 @@ class Trainer:
             if (epoch % cfg.checkpoint_every_epochs == 0 or done) and (
                 ckpt.latest_step() != step_idx
             ):
-                ckpt.save(step_idx, self.state, metadata=layout_metadata(cfg))
+                if state_is_finite(self.state):
+                    ckpt.save(
+                        step_idx, self.state, metadata=layout_metadata(cfg)
+                    )
+                else:
+                    print(
+                        f"[trainer] NOT saving checkpoint at step {step_idx}:"
+                        " state has non-finite leaves (keeping the last"
+                        " clean checkpoint for recovery)"
+                    )
         ckpt.wait()  # commit any in-flight async save before the check
         if ckpt.latest_step() != step_idx:
-            ckpt.save(
-                step_idx,
-                self.state,
-                force=True,
-                metadata=layout_metadata(cfg),
-            )
+            if state_is_finite(self.state):
+                ckpt.save(
+                    step_idx,
+                    self.state,
+                    force=True,
+                    metadata=layout_metadata(cfg),
+                )
+            else:
+                print(
+                    f"[trainer] NOT saving final checkpoint at step "
+                    f"{step_idx}: state has non-finite leaves (latest clean "
+                    f"checkpoint: step {ckpt.latest_step()})"
+                )
         ckpt.close()
         if best_ckpt is not None:
             best_ckpt.close()
         logger.close()
         if preempted.is_set():
             print(
-                f"[trainer] preempted: checkpoint saved at step {step_idx}; "
-                "resume will continue from here"
+                f"[trainer] preempted: latest checkpoint at step "
+                f"{ckpt.latest_step()}; resume will continue from there"
             )
 
     def _validate(self, val_batches, logger, step_idx) -> dict | None:

@@ -88,7 +88,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
 
     assert proc.returncode == 0, f"non-zero exit after SIGTERM:\n{out}"
     assert "SIGTERM: checkpointing" in out
-    assert "preempted: checkpoint saved at step" in out
+    assert "preempted: latest checkpoint at step" in out
 
     ckpts = out_dir / "checkpoints"
     steps = sorted(

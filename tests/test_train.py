@@ -477,3 +477,64 @@ class TestOptimizerFamilies:
             state, m = trainer.train_step(state, b)
         assert np.isfinite(float(m["loss"]))
         assert int(state.step) > 0
+
+
+class TestCheckpointHygiene:
+    def test_state_is_finite(self, tmp_path):
+        from probpose_pytorch_tpu.train.loop import state_is_finite
+
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        assert state_is_finite(trainer.state)
+        poisoned = trainer.state.replace(
+            params=jax.tree_util.tree_map(
+                lambda x: x * jnp.nan, trainer.state.params
+            )
+        )
+        assert not state_is_finite(poisoned)
+        bad_bn = trainer.state.replace(
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: x * jnp.inf, trainer.state.batch_stats
+            )
+        )
+        assert not state_is_finite(bad_bn)
+
+    def test_fit_refuses_to_save_poisoned_state(self, tmp_path, capsys):
+        """A state with non-finite leaves must never reach disk: the
+        keep-N rotation would evict the clean checkpoints and the
+        non-finite-loss recovery would then restore garbage (observed
+        failure mode: optax.apply_if_finite propagates NaN after
+        max_nonfinite_skips consecutive bad steps)."""
+        import dataclasses
+
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        data = _data(cfg)
+        trainer.fit(data, max_steps=1)  # writes a clean checkpoint
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        clean_step = CheckpointManager(
+            f"{cfg.out_dir}/checkpoints"
+        ).latest_step()
+        assert clean_step is not None
+
+        orig_step = trainer.train_step
+
+        def poisoning_step(state, batch):
+            s, m = orig_step(state, batch)
+            return s.replace(
+                params=jax.tree_util.tree_map(
+                    lambda x: x * jnp.nan, s.params
+                )
+            ), m
+
+        poisoned_trainer = dataclasses.replace(
+            trainer, train_step=poisoning_step
+        )
+        poisoned_trainer.fit(data, max_steps=1)
+        out = capsys.readouterr().out
+        assert "NOT saving final checkpoint" in out
+        # the clean checkpoint is still the latest on disk
+        assert CheckpointManager(
+            f"{cfg.out_dir}/checkpoints"
+        ).latest_step() == clean_step
