@@ -145,9 +145,20 @@ def binary_cross_entropy(
     on logits. Reference BCELoss (loss.py:194-260; its `use_sigmoid=True`
     flag means "input already went through sigmoid")."""
     if from_probs:
-        eps = 1e-12
-        p = jnp.clip(output, eps, 1.0 - eps)
-        loss = -(target * jnp.log(p) + (1.0 - target) * jnp.log(1.0 - p))
+        # torch.F.binary_cross_entropy clamps its log outputs at -100
+        # (the reference's BCELoss rides on it). A 1e-12 epsilon-clip on
+        # p is NOT equivalent in f32: 1 - 1e-12 rounds to exactly 1.0, so
+        # a saturated sigmoid (p == 1.0, which trained branches reach)
+        # yields log(0) = -inf and 0 * -inf = NaN — observed as a
+        # train-killing NaN cascade in a long SimCC run. Clip p to the
+        # smallest NORMAL f32 at the bottom (XLA flushes subnormals to
+        # zero, so an e^-100 bound would silently clip to 0.0 and
+        # reintroduce the -inf) and 1 - 2^-24 at the top, keeping both
+        # log terms finite (>= -87.3, the f32 analogue of torch's -100
+        # clamp); jnp.clip has zero gradient outside its bounds, so a
+        # saturated branch gets zero gradient instead of NaN.
+        p = jnp.clip(output.astype(jnp.float32), 1.1754944e-38, 1.0 - 6e-8)
+        loss = -(target * jnp.log(p) + (1.0 - target) * jnp.log1p(-p))
     else:
         # Numerically stable logits BCE.
         loss = jnp.maximum(output, 0) - output * target + jnp.log1p(

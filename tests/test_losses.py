@@ -7,6 +7,7 @@ raised to print a value) with actual assertions.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from probpose_pytorch_tpu.codec import ArgMaxProbMap, Codec
 from probpose_pytorch_tpu.losses import (
@@ -104,6 +105,57 @@ class TestSimpleLosses:
             ref,
             rtol=1e-6,
         )
+
+    def test_bce_saturated_probs_finite_value_and_grad(self):
+        """p exactly 0.0 / 1.0 (a saturated sigmoid reaches them in f32)
+        must give finite loss AND finite gradients — regression for a
+        train-killing NaN: the old 1e-12 clip was a no-op near 1.0 in f32
+        (1 - 1e-12 rounds to 1.0), so log(1-p) = -inf and 0 * -inf = NaN.
+        torch's F.binary_cross_entropy (the reference's BCELoss backend)
+        clamps its logs at -100; we mirror by clipping p to
+        f32-representable (normal, unflushed) bounds."""
+
+        p = np.array([[1.0, 1.0, 0.0, 0.0, 0.5]], np.float32)
+        t = np.array([[1.0, 0.0, 0.0, 1.0, 1.0]], np.float32)
+
+        def f(p_):
+            return binary_cross_entropy(p_, jnp.asarray(t), from_probs=True)
+
+        val = float(f(jnp.asarray(p)))
+        assert np.isfinite(val), val
+        g = np.asarray(jax.grad(f)(jnp.asarray(p)))
+        assert np.isfinite(g).all(), g
+        # matched-saturation entries contribute ~0; mismatched ones are
+        # large (about the torch -100 clamp) but finite
+        per = -(
+            t * np.log(np.clip(p, 1.1754944e-38, 1 - 6e-8))
+            + (1 - t) * np.log1p(-np.clip(p, 1.1754944e-38, 1 - 6e-8))
+        )
+        assert per[0, 0] < 1e-6 and per[0, 2] < 1e-6
+        assert 15.0 < per[0, 1] < 101.0 and 80.0 < per[0, 3] < 101.0
+
+    def test_bce_saturated_matches_torch(self):
+        """Value parity with the reference's BCELoss backend at and near
+        saturation."""
+        torch = pytest.importorskip("torch")
+
+        p = np.array(
+            [[1.0, 0.0, 1e-7, 1 - 1e-7, 0.3, 0.999999]], np.float32
+        )
+        t = np.array([[1.0, 0.0, 1.0, 0.0, 1.0, 0.0]], np.float32)
+        ours = float(
+            binary_cross_entropy(jnp.asarray(p), jnp.asarray(t),
+                                 from_probs=True)
+        )
+        want = float(
+            torch.nn.functional.binary_cross_entropy(
+                torch.from_numpy(p), torch.from_numpy(t)
+            )
+        )
+        # saturated mismatches floor differently (torch -100 vs our
+        # representable-clip ~-16.6/-100) but there are none here; interior
+        # values must match tightly
+        np.testing.assert_allclose(ours, want, rtol=1e-4)
 
     def test_bce_from_logits_matches_sigmoid_path(self):
         z = np.array([[2.0, -3.0, 0.0]], np.float32)
