@@ -266,6 +266,19 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     for k, v in rec.items():
         assert rec_dp[k] == pytest.approx(v, abs=1e-6), k
 
+    # TTA flags plumb through the CLI (flip + multi-scale compose).
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--flip-test",
+        "--scale-test", "0.9,1.1",
+    ])
+    rec_tta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(rec_tta) >= {"AP", "AP50", "AR"}
+
     # Bundle eval: export a StableHLO bundle sized for the eval crops and
     # the same metrics must come out — evaluating exactly what serves.
     from probpose_pytorch_tpu.inference import TopDownPredictor
