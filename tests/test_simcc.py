@@ -291,3 +291,38 @@ class TestBundle:
 
         manifest = _json.loads((out / "manifest.json").read_text())
         assert manifest["scale_test"] == []
+
+
+class TestMeshServing:
+    def test_dp_mesh_matches_single_device(self, tmp_path):
+        """SimCC serving on an 8-way dp mesh == single-device."""
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.parallel import make_mesh
+
+        cfg = _simcc_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        variables = {
+            "params": trainer.state.params,
+            "batch_stats": trainer.state.batch_stats,
+        }
+        rng = np.random.default_rng(9)
+        frames = rng.integers(0, 256, (8, 90, 110, 3), dtype=np.uint8)
+        boxes = rng.uniform(
+            [0, 0, 40, 50], [20, 20, 60, 60], (8, 4)
+        ).astype(np.float32)
+
+        def predictor(**kw):
+            return TopDownPredictor(
+                model=trainer.model, variables=variables,
+                codec=trainer.encode_codec, input_size=cfg.model.img_size,
+                **kw,
+            )
+
+        single = predictor()(frames, boxes)
+        meshed = predictor(mesh=make_mesh(8, model_parallel=1))(
+            frames, boxes
+        )
+        for k in single:
+            np.testing.assert_allclose(
+                meshed[k], single[k], rtol=1e-5, atol=1e-5, err_msg=k
+            )
