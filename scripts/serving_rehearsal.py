@@ -61,6 +61,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=1200)
     ap.add_argument("--train-images", type=int, default=160)
     ap.add_argument("--record", default="docs/rehearsal_serving_r3.json")
+    ap.add_argument("--head-type", default="probmap",
+                    choices=["probmap", "simcc"],
+                    help="keypoint head family (models/model.py)")
     args = ap.parse_args()
 
     from probpose_pytorch_tpu.utils.compilation_cache import (
@@ -96,6 +99,7 @@ def main() -> None:
             img_size=(64, 48),
             num_keypoints=17,
             backbone="vit-rehearsal-quick",
+            head_type=args.head_type,
             compute_dtype="float32",
             deconv_out_channels=(32, 32),
             deconv_kernel_sizes=(4, 4),
@@ -350,6 +354,14 @@ def main() -> None:
     print(f"[serving-rehearsal] video: {record['video']}", flush=True)
 
     # ---- 7. torch export --------------------------------------------------
+    if args.head_type != "probmap":
+        # SimCC checkpoints have no reference torch layout (the export CLI
+        # rejects them with guidance); skip the phase.
+        record["torch_export"] = "skipped: no torch layout for simcc heads"
+        Path(args.record).write_text(json.dumps(record, indent=2))
+        print(f"[serving-rehearsal] wrote {args.record}")
+        return
+
     from probpose_pytorch_tpu.compat.torch_export import main as texp_main
 
     t0 = time.perf_counter()
