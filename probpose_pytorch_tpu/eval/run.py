@@ -44,6 +44,12 @@ def main(argv=None) -> None:
         "(e.g. '0.9,1.0,1.1'); decode per scale, average in frame space",
     )
     parser.add_argument(
+        "--scale-test-scores", choices=["unit", "mean"], default="unit",
+        help="confidence fields under multi-scale TTA: 'unit' keeps the "
+        "unit-scale forward's scores (off-scale confidences scramble AP "
+        "ranking); 'mean' averages them",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -102,6 +108,7 @@ def main(argv=None) -> None:
             scale_test=tuple(
                 float(s) for s in args.scale_test.split(",") if s.strip()
             ),
+            scale_test_scores=args.scale_test_scores,
         )
     dataset = COCOPoseDataset(
         args.annotations,

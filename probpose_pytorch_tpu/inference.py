@@ -152,6 +152,14 @@ class TopDownPredictor:
     # ~len(scale_test)x compute; () disables. Baked into the jitted program
     # and therefore into exported bundles, like flip_test.
     scale_test: tuple[float, ...] = ()
+    # What multi-scale does to the CONFIDENCE fields (scores /
+    # probabilities / visibilities / oks / errors):
+    #   "unit" (default) — keypoints average across scales, confidences
+    #     come from the unit-scale (or first-scale) forward. Off-scale
+    #     crops mis-calibrate confidence and scramble AP's instance
+    #     ranking (measured: docs/PERF.md "TTA ablation").
+    #   "mean" — average everything (the naive composition).
+    scale_test_scores: str = "unit"
     # "int8": post-training dynamic-quantized backbone matmuls
     # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
@@ -173,6 +181,11 @@ class TopDownPredictor:
         self.scale_test = tuple(float(s) for s in (self.scale_test or ()))
         if any(s <= 0 for s in self.scale_test):
             raise ValueError(f"scale_test must be positive: {self.scale_test}")
+        if self.scale_test_scores not in ("unit", "mean"):
+            raise ValueError(
+                f"scale_test_scores must be 'unit' or 'mean': "
+                f"{self.scale_test_scores!r}"
+            )
         if self.quantize is not None:
             if self.quantize not in ("int8", "int8_wo"):
                 raise ValueError(f"unknown quantize mode {self.quantize!r}")
@@ -326,18 +339,22 @@ class TopDownPredictor:
             scales = self.scale_test or (1.0,)
             results = []
             pred_unit = None
+            unit_fields = None
             for s in scales:
                 boxes_s = boxes if s == 1.0 else _scale_boxes(boxes, s)
                 fields, pred = predict_boxes(variables, frames, boxes_s)
                 results.append(fields)
                 if pred_unit is None or s == 1.0:
                     pred_unit = pred
+                    unit_fields = fields
             if len(results) == 1:
                 kpts, scores, probs, vis, oks, errs = results[0]
             else:
                 kpts, scores, probs, vis, oks, errs = (
                     sum(field) / len(scales) for field in zip(*results)
                 )
+                if self.scale_test_scores == "unit":
+                    _, scores, probs, vis, oks, errs = unit_fields
             out = dict(
                 keypoints=kpts,
                 scores=scores,
@@ -383,6 +400,7 @@ class TopDownPredictor:
             self.return_heatmaps,
             self.flip_test,
             self.scale_test,
+            self.scale_test_scores,
         )
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
@@ -552,6 +570,7 @@ def load_predictor(
     mesh: Any = None,
     flip_test: bool = False,
     scale_test: tuple[float, ...] = (),
+    scale_test_scores: str = "unit",
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -587,6 +606,7 @@ def load_predictor(
         mesh=mesh,
         flip_test=flip_test,
         scale_test=scale_test,
+        scale_test_scores=scale_test_scores,
     )
 
 

@@ -116,6 +116,31 @@ def test_matches_manual_per_scale_average(setup):
     assert np.abs(plain["keypoints"] - out["keypoints"]).max() > 1e-6
 
 
+def test_unit_scores_mode(setup):
+    """scale_test_scores="unit": keypoints still average across scales but
+    the confidence fields come from the unit-scale forward."""
+    cfg, trainer, variables, frames, boxes = setup
+    scales = (0.9, 1.0, 1.2)
+    mean_out = _predictor(
+        cfg, trainer, variables, scale_test=scales,
+        scale_test_scores="mean",
+    )(frames, boxes)
+    unit_out = _predictor(
+        cfg, trainer, variables, scale_test=scales,
+        scale_test_scores="unit",
+    )(frames, boxes)
+    plain = _predictor(cfg, trainer, variables)(frames, boxes)
+    np.testing.assert_allclose(
+        unit_out["keypoints"], mean_out["keypoints"], rtol=1e-5, atol=1e-5
+    )
+    for k in ("scores", "probabilities", "visibilities", "oks", "errors"):
+        np.testing.assert_allclose(
+            unit_out[k], plain[k], rtol=1e-5, atol=1e-5, err_msg=k
+        )
+    with pytest.raises(ValueError, match="scale_test_scores"):
+        _predictor(cfg, trainer, variables, scale_test_scores="median")
+
+
 def test_composes_with_flip_test(setup):
     cfg, trainer, variables, frames, boxes = setup
     out = _predictor(
