@@ -35,7 +35,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
 
 
 def make_config(root: Path, out_dir: Path, quick: bool,
-                head_type: str = "probmap"):
+                head_type: str = "probmap", rotation_deg: float = 0.0):
     from probpose_pytorch_tpu.models.model import ModelConfig
     from probpose_pytorch_tpu.ops.augment import AugmentConfig
     from probpose_pytorch_tpu.train.config import (
@@ -85,6 +85,7 @@ def make_config(root: Path, out_dir: Path, quick: bool,
             flip_prob=0.5,
             scale_jitter=0.15,
             shift_jitter=0.05,
+            rotation_deg=rotation_deg,
             brightness=0.2,
             contrast=0.2,
             flip_pairs=(
@@ -120,6 +121,9 @@ def main() -> None:
     ap.add_argument("--head-type", default="probmap",
                     choices=["probmap", "simcc"],
                     help="keypoint head family (models/model.py)")
+    ap.add_argument("--rotation-deg", type=float, default=0.0,
+                    help="random in-crop rotation augmentation "
+                    "(ops/augment.py rotation_deg; 0 disables)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only run eval phases on an existing checkpoint")
     args = ap.parse_args()
@@ -162,7 +166,8 @@ def main() -> None:
     print(f"[rehearsal] generate: {record['generate']}", flush=True)
 
     out.mkdir(parents=True, exist_ok=True)
-    cfg = make_config(root, out, args.quick, head_type=args.head_type)
+    cfg = make_config(root, out, args.quick, head_type=args.head_type,
+                      rotation_deg=args.rotation_deg)
     cfg.save(out / "config.json")
 
     from probpose_pytorch_tpu.train.cli import main as train_main
