@@ -53,7 +53,8 @@ def evaluate_topdown(
     num_workers: int = 4,
     prefetch_depth: int = 2,
     verbose: bool = False,
-) -> dict[str, float]:
+    calibration: bool = False,
+) -> dict[str, Any]:
     """Run top-down evaluation over a COCO-style crop dataset.
 
     The dataset must yield samples with `image` (crop), `bbox` (frame-space
@@ -64,7 +65,10 @@ def evaluate_topdown(
     the evaluator so the detections they absorb are not false positives.
 
     Returns the COCO keypoint summary (AP, AP50, AP75, AP_medium, AP_large,
-    AR).
+    AR). With `calibration=True` the summary also carries a `calibration`
+    sub-dict: reliability/ECE/Brier/temperature reports for the presence
+    probability branch and (when the predictor exposes `visibilities`) the
+    visibility branch — see eval/calibration.py.
     """
     # Resolve ignore-regions from the original dataset before any view wrap.
     ignores_by_image = getattr(dataset, "ignores_by_image", {})
@@ -76,6 +80,12 @@ def evaluate_topdown(
     )
     kp_dists: list[np.ndarray] = []  # per-sample labeled-keypoint errors, px
     kp_norms: list[np.ndarray] = []  # matching bbox normalizers
+    # Calibration pairs for the probabilistic branches (labeled kpts only —
+    # unlabeled keypoints have no ground truth for either branch).
+    cal_presence_p: list[np.ndarray] = []
+    cal_presence_y: list[np.ndarray] = []
+    cal_vis_p: list[np.ndarray] = []
+    cal_vis_y: list[np.ndarray] = []
 
     H, W = predictor.input_size
     batches = Prefetcher(
@@ -111,6 +121,11 @@ def evaluate_topdown(
         kpts = out["keypoints"][:bs]  # crop space
         scores = out[score_key][:bs]
         probs = out["probabilities"][:bs, 0]
+        viss = (
+            np.asarray(out["visibilities"])[:bs, 0]
+            if calibration and "visibilities" in out
+            else None
+        )
 
         for i in range(bs):
             kp, sc, pr = kpts[i], scores[i], probs[i]
@@ -160,6 +175,25 @@ def evaluate_topdown(
                 kp_norms.append(
                     np.full(len(d), max(float(bw), float(bh), 1.0))
                 )
+            if calibration and labeled.any():
+                # Presence branch: trained against the codec's in_image
+                # (keypoint inside the crop region); here the crop region
+                # is the frame-space bbox the crop was resampled from.
+                in_crop = (
+                    (gt[labeled, 0] >= x0)
+                    & (gt[labeled, 0] < x0 + bw)
+                    & (gt[labeled, 1] >= y0)
+                    & (gt[labeled, 1] < y0 + bh)
+                )
+                cal_presence_p.append(np.asarray(pr)[labeled])
+                cal_presence_y.append(in_crop.astype(np.float64))
+                if viss is not None:
+                    # Visibility branch: COCO v == 2 (visible) among
+                    # labeled keypoints.
+                    cal_vis_p.append(np.asarray(viss[i])[labeled])
+                    cal_vis_y.append(
+                        (gt[labeled, 2] >= 2).astype(np.float64)
+                    )
         done += bs
         if verbose and done % (batch_size * 16) < batch_size:
             dt_s = time.perf_counter() - t0
@@ -219,4 +253,17 @@ def evaluate_topdown(
         summary["PCK@0.2"] = float((rel <= 0.2).mean())
         ts = np.linspace(0.0, 0.5, 51)
         summary["AUC"] = float((rel[None, :] <= ts[:, None]).mean())
+    if calibration:
+        from probpose_pytorch_tpu.eval.calibration import calibration_report
+
+        cal: dict[str, Any] = {}
+        if cal_presence_p:
+            cal["presence"] = calibration_report(
+                np.concatenate(cal_presence_p), np.concatenate(cal_presence_y)
+            )
+        if cal_vis_p:
+            cal["visibility"] = calibration_report(
+                np.concatenate(cal_vis_p), np.concatenate(cal_vis_y)
+            )
+        summary["calibration"] = cal
     return summary

@@ -50,6 +50,17 @@ def main(argv=None) -> None:
         "ranking); 'mean' averages them",
     )
     parser.add_argument(
+        "--calibration",
+        action="store_true",
+        help="report confidence calibration (ECE/MCE/Brier/NLL + fitted "
+        "temperature) for the presence and visibility probability branches",
+    )
+    parser.add_argument(
+        "--calibration-dump", type=Path, default=None,
+        help="with --calibration: write the full per-branch reliability "
+        "histograms + metrics to this JSON file",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -121,8 +132,18 @@ def main(argv=None) -> None:
         dataset,
         batch_size=args.batch_size,
         max_samples=args.max_samples,
+        calibration=args.calibration,
     )
-    print(json.dumps({k: round(v, 4) for k, v in summary.items()}))
+    cal = summary.pop("calibration", {})
+    line = {k: round(v, 4) for k, v in summary.items()}
+    for branch, rep in cal.items():
+        for key in ("ece", "mce", "brier", "nll", "temperature"):
+            line[f"{key}_{branch}"] = round(rep[key], 4)
+    print(json.dumps(line))
+    if args.calibration_dump is not None and cal:
+        args.calibration_dump.parent.mkdir(parents=True, exist_ok=True)
+        args.calibration_dump.write_text(json.dumps(cal, indent=1))
+        print(f"[eval] calibration report -> {args.calibration_dump}")
 
 
 if __name__ == "__main__":

@@ -279,6 +279,24 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     rec_tta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rec_tta) >= {"AP", "AP50", "AR"}
 
+    # Calibration reporting: branch metrics land in the JSON line and the
+    # full reliability report dumps to disk.
+    cal_dump = tmp_path / "cal.json"
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--calibration",
+        "--calibration-dump", str(cal_dump),
+    ])
+    cal_out = capsys.readouterr().out.strip().splitlines()
+    rec_cal = json.loads([ln for ln in cal_out if ln.startswith("{")][-1])
+    assert "ece_presence" in rec_cal and "temperature_presence" in rec_cal
+    dumped = json.loads(cal_dump.read_text())
+    assert "presence" in dumped and "bins" in dumped["presence"]
+
     # Bundle eval: export a StableHLO bundle sized for the eval crops and
     # the same metrics must come out — evaluating exactly what serves.
     from probpose_pytorch_tpu.inference import TopDownPredictor
