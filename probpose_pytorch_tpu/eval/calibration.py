@@ -42,9 +42,10 @@ __all__ = [
 # f32-representable probability clip (see losses.binary_cross_entropy: XLA
 # flushes subnormals, and 1 - 1e-12 rounds to 1.0 in f32). Host-side math
 # here is f64, but predictions arrive from an f32 device — mirror the same
-# floor so logit() of a saturated branch output stays finite.
-_P_LO = 1.1754944e-38
-_P_HI = 1.0 - 6e-8
+# floor so logit() of a saturated branch output stays finite. Public: the
+# predictor's in-jit temperature application uses the same clip.
+P_LO = 1.1754944e-38
+P_HI = 1.0 - 6e-8
 
 
 def _as_pairs(p: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -112,12 +113,12 @@ def brier_score(p: np.ndarray, y: np.ndarray) -> float:
 def nll(p: np.ndarray, y: np.ndarray) -> float:
     """Mean binary negative log-likelihood (base e), saturation-clipped."""
     p, y = _as_pairs(p, y)
-    p = np.clip(p, _P_LO, _P_HI)
+    p = np.clip(p, P_LO, P_HI)
     return float(-np.mean(y * np.log(p) + (1.0 - y) * np.log1p(-p)))
 
 
 def _logit(p: np.ndarray) -> np.ndarray:
-    p = np.clip(np.asarray(p, np.float64), _P_LO, _P_HI)
+    p = np.clip(np.asarray(p, np.float64), P_LO, P_HI)
     return np.log(p) - np.log1p(-p)
 
 

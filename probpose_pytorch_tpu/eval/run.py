@@ -18,6 +18,28 @@ import json
 from pathlib import Path
 
 
+def _parse_temperatures(spec: str) -> dict[str, float]:
+    """--apply-temperature value: a --calibration-dump JSON path (each
+    branch's fitted `temperature` is used) or 'presence=T,visibility=T'."""
+    path = Path(spec)
+    if path.suffix == ".json" or path.exists():
+        dumped = json.loads(path.read_text())
+        return {
+            branch: float(rep["temperature"])
+            for branch, rep in dumped.items()
+        }
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        branch, sep, t = part.partition("=")
+        if not sep:
+            raise SystemExit(
+                f"--apply-temperature: bad spec {part!r} (want branch=T "
+                "or a calibration-dump JSON path)"
+            )
+        out[branch.strip()] = float(t)
+    return out
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="ProbPose-TPU COCO eval")
     src = parser.add_mutually_exclusive_group(required=True)
@@ -61,6 +83,13 @@ def main(argv=None) -> None:
         "histograms + metrics to this JSON file",
     )
     parser.add_argument(
+        "--apply-temperature", type=str, default=None,
+        help="apply fitted per-branch temperature scaling to the "
+        "probability outputs before scoring: either a --calibration-dump "
+        "JSON from a prior run (uses each branch's fitted temperature) or "
+        "an inline spec like 'presence=1.8,visibility=1.2'",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -81,11 +110,17 @@ def main(argv=None) -> None:
 
     if args.bundle and (
         args.ema or args.flip_test or args.scale_test or args.data_parallel
+        or args.apply_temperature
     ):
         parser.error(
-            "--ema/--flip-test/--scale-test are baked into bundles at "
-            "export; --data-parallel needs a live predictor"
+            "--ema/--flip-test/--scale-test/--apply-temperature are baked "
+            "into bundles at export; --data-parallel needs a live predictor"
         )
+    calibration = (
+        _parse_temperatures(args.apply_temperature)
+        if args.apply_temperature
+        else None
+    )
     mesh = None
     if args.data_parallel:
         import jax
@@ -120,6 +155,7 @@ def main(argv=None) -> None:
                 float(s) for s in args.scale_test.split(",") if s.strip()
             ),
             scale_test_scores=args.scale_test_scores,
+            calibration=calibration,
         )
     dataset = COCOPoseDataset(
         args.annotations,

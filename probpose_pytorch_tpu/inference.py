@@ -160,6 +160,15 @@ class TopDownPredictor:
     #     ranking (measured: docs/PERF.md "TTA ablation").
     #   "mean" — average everything (the naive composition).
     scale_test_scores: str = "unit"
+    # Per-branch temperature scaling for the probabilistic outputs, fitted
+    # offline on a held-out split (eval/calibration.fit_temperature — the
+    # eval CLI's --calibration dump records it; re-apply with
+    # --apply-temperature). Keys: "presence" (rescales `probabilities`)
+    # and/or "visibility" (rescales `visibilities`); values T > 0 (T > 1
+    # softens an overconfident branch). Applied in logit space inside the
+    # jitted program — and therefore baked into exported serving bundles.
+    # None/{} disables.
+    calibration: dict | None = None
     # "int8": post-training dynamic-quantized backbone matmuls
     # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
@@ -186,6 +195,20 @@ class TopDownPredictor:
                 f"scale_test_scores must be 'unit' or 'mean': "
                 f"{self.scale_test_scores!r}"
             )
+        if self.calibration:
+            bad = set(self.calibration) - {"presence", "visibility"}
+            if bad:
+                raise ValueError(
+                    f"unknown calibration branches {sorted(bad)}; expected "
+                    "'presence' and/or 'visibility'"
+                )
+            for k, t in self.calibration.items():
+                t = float(t)
+                if not (0.0 < t < float("inf")):
+                    raise ValueError(
+                        f"calibration temperature {k}={t!r} must be a "
+                        "positive finite float"
+                    )
         if self.quantize is not None:
             if self.quantize not in ("int8", "int8_wo"):
                 raise ValueError(f"unknown quantize mode {self.quantize!r}")
@@ -355,6 +378,21 @@ class TopDownPredictor:
                 )
                 if self.scale_test_scores == "unit":
                     _, scores, probs, vis, oks, errs = unit_fields
+            if self.calibration:
+                from probpose_pytorch_tpu.eval.calibration import P_HI, P_LO
+
+                def rescale(p, t):
+                    # logit-space 1/T rescale; the same f32 saturation clip
+                    # the host-side metrics use keeps logit() finite.
+                    p = jnp.clip(p.astype(jnp.float32), P_LO, P_HI)
+                    return jax.nn.sigmoid(
+                        (jnp.log(p) - jnp.log1p(-p)) / float(t)
+                    )
+
+                if "presence" in self.calibration:
+                    probs = rescale(probs, self.calibration["presence"])
+                if "visibility" in self.calibration:
+                    vis = rescale(vis, self.calibration["visibility"])
             out = dict(
                 keypoints=kpts,
                 scores=scores,
@@ -371,8 +409,6 @@ class TopDownPredictor:
                 # CLI's PNG dump consumes unchanged.
                 loc = pred_unit[0]
                 if isinstance(loc, (tuple, list)):
-                    import jax
-
                     px = jax.nn.softmax(loc[0].astype(jnp.float32), axis=-1)
                     py = jax.nn.softmax(loc[1].astype(jnp.float32), axis=-1)
                     out["heatmaps"] = py[..., :, None] * px[..., None, :]
@@ -571,6 +607,7 @@ def load_predictor(
     flip_test: bool = False,
     scale_test: tuple[float, ...] = (),
     scale_test_scores: str = "unit",
+    calibration: dict | None = None,
 ) -> TopDownPredictor:
     """Build a predictor from an Orbax checkpoint directory (+ config JSON,
     defaulting to <ckpt>/../config.json then flagship defaults)."""
@@ -607,6 +644,7 @@ def load_predictor(
         flip_test=flip_test,
         scale_test=scale_test,
         scale_test_scores=scale_test_scores,
+        calibration=calibration,
     )
 
 

@@ -134,6 +134,73 @@ class TestReport:
         assert json.loads(s)["n"] == 500
 
 
+class TestPredictorTemperature:
+    def test_in_jit_rescale_matches_host(self):
+        """TopDownPredictor(calibration=...) must rescale probabilities /
+        visibilities exactly like the host-side apply_temperature (up to
+        f32), leaving every other output untouched."""
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5, backbone="vit-nano",
+                compute_dtype="float32", deconv_out_channels=(8, 8),
+                deconv_kernel_sizes=(4, 4), pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+            ),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        common = dict(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+        )
+        plain = TopDownPredictor(**common)
+        scaled = TopDownPredictor(
+            **common, calibration={"presence": 2.5, "visibility": 0.5}
+        )
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (2, 120, 160, 3), dtype=np.uint8)
+        boxes = np.array(
+            [[10, 10, 80, 60], [30, 20, 90, 70]], np.float32
+        )
+        a, b = plain(frames, boxes), scaled(frames, boxes)
+        np.testing.assert_allclose(
+            np.asarray(b["probabilities"]),
+            apply_temperature(np.asarray(a["probabilities"]), 2.5),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b["visibilities"]),
+            apply_temperature(np.asarray(a["visibilities"]), 0.5),
+            atol=1e-6,
+        )
+        for k in ("keypoints", "scores", "oks", "errors"):
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=k
+            )
+
+    def test_bad_calibration_rejected(self):
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+
+        with pytest.raises(ValueError, match="unknown calibration"):
+            TopDownPredictor(
+                model=None, variables={}, codec=None, input_size=(64, 48),
+                calibration={"scores": 2.0},
+            )
+        with pytest.raises(ValueError, match="positive finite"):
+            TopDownPredictor(
+                model=None, variables={}, codec=None, input_size=(64, 48),
+                calibration={"presence": 0.0},
+            )
+
+
 class TestPipelineIntegration:
     def test_evaluate_topdown_reports_calibration(self, tmp_path):
         """An oracle predictor with a deliberately miscalibrated presence

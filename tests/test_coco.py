@@ -297,6 +297,28 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     dumped = json.loads(cal_dump.read_text())
     assert "presence" in dumped and "bins" in dumped["presence"]
 
+    # Closing the loop: re-evaluate with the fitted temperatures applied
+    # in-predictor. The fit minimized NLL on this same split, so the
+    # re-measured NLL cannot be worse (to fp tolerance).
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--calibration",
+        "--apply-temperature", str(cal_dump),
+    ])
+    applied_out = capsys.readouterr().out.strip().splitlines()
+    rec_applied = json.loads(
+        [ln for ln in applied_out if ln.startswith("{")][-1]
+    )
+    for branch in dumped:
+        assert (
+            rec_applied[f"nll_{branch}"]
+            <= rec_cal[f"nll_{branch}"] + 1e-4
+        ), branch
+
     # Bundle eval: export a StableHLO bundle sized for the eval crops and
     # the same metrics must come out — evaluating exactly what serves.
     from probpose_pytorch_tpu.inference import TopDownPredictor
