@@ -35,7 +35,8 @@ sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
 
 
 def make_config(root: Path, out_dir: Path, quick: bool,
-                head_type: str = "probmap", rotation_deg: float = 0.0):
+                head_type: str = "probmap", rotation_deg: float = 0.0,
+                visibility_weight: float = 0.0):
     from probpose_pytorch_tpu.models.model import ModelConfig
     from probpose_pytorch_tpu.ops.augment import AugmentConfig
     from probpose_pytorch_tpu.train.config import (
@@ -80,7 +81,7 @@ def make_config(root: Path, out_dir: Path, quick: bool,
     return TrainConfig(
         model=model,
         optim=OptimConfig(ema_decay=0.999, max_nonfinite_skips=5),
-        loss_weights=LossWeights(),
+        loss_weights=LossWeights(visibility=visibility_weight),
         augment=AugmentConfig(
             flip_prob=0.5,
             scale_jitter=0.15,
@@ -124,6 +125,11 @@ def main() -> None:
     ap.add_argument("--rotation-deg", type=float, default=0.0,
                     help="random in-crop rotation augmentation "
                     "(ops/augment.py rotation_deg; 0 disables)")
+    ap.add_argument("--visibility-weight", type=float, default=0.0,
+                    help="loss weight for the visibility branch (the "
+                    "flagship recipe and the reference's train.py:29 both "
+                    "use 0.0 — the branch stays untrained and "
+                    "uncalibrated; >0 trains it)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only run eval phases on an existing checkpoint")
     args = ap.parse_args()
@@ -167,7 +173,8 @@ def main() -> None:
 
     out.mkdir(parents=True, exist_ok=True)
     cfg = make_config(root, out, args.quick, head_type=args.head_type,
-                      rotation_deg=args.rotation_deg)
+                      rotation_deg=args.rotation_deg,
+                      visibility_weight=args.visibility_weight)
     cfg.save(out / "config.json")
 
     from probpose_pytorch_tpu.train.cli import main as train_main
@@ -220,16 +227,27 @@ def main() -> None:
     )
     t0 = time.perf_counter()
     summary = evaluate_topdown(
-        predictor, val_ds, batch_size=cfg.val_batch_size, verbose=True
+        predictor, val_ds, batch_size=cfg.val_batch_size, verbose=True,
+        calibration=True,
     )
     eval_s = time.perf_counter() - t0
+    cal = summary.pop("calibration", {})
     record["eval"] = dict(
         **{k: round(v, 4) for k, v in summary.items()},
         crops=len(val_ds),
         seconds=round(eval_s, 1),
         crops_per_sec=round(len(val_ds) / eval_s, 1),
     )
+    record["calibration"] = {
+        branch: {
+            k: round(rep[k], 4)
+            for k in ("n", "positive_rate", "ece", "mce", "brier", "nll",
+                      "temperature", "ece_scaled", "nll_scaled")
+        }
+        for branch, rep in cal.items()
+    }
     print(f"[rehearsal] eval: {record['eval']}", flush=True)
+    print(f"[rehearsal] calibration: {record['calibration']}", flush=True)
 
     # ---- 5. oracle sanity (GT-fed round trip -> AP ~= 1) -------------
     import jax.numpy as jnp
