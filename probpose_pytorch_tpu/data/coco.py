@@ -15,7 +15,20 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["parse_coco_annotations", "COCOPoseDataset", "COCO_SIGMAS"]
+__all__ = [
+    "parse_coco_annotations",
+    "COCOPoseDataset",
+    "COCO_SIGMAS",
+    "COCO_KEYPOINT_NAMES",
+]
+
+# The 17 COCO person keypoints, protocol order.
+COCO_KEYPOINT_NAMES = (
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+)
 
 # The 17 COCO keypoint sigmas (person category), as published with the
 # COCO keypoint evaluation protocol.

@@ -54,6 +54,7 @@ def evaluate_topdown(
     prefetch_depth: int = 2,
     verbose: bool = False,
     calibration: bool = False,
+    per_joint: bool = False,
 ) -> dict[str, Any]:
     """Run top-down evaluation over a COCO-style crop dataset.
 
@@ -68,7 +69,10 @@ def evaluate_topdown(
     AR). With `calibration=True` the summary also carries a `calibration`
     sub-dict: reliability/ECE/Brier/temperature reports for the presence
     probability branch and (when the predictor exposes `visibilities`) the
-    visibility branch — see eval/calibration.py.
+    visibility branch — see eval/calibration.py. With `per_joint=True` it
+    carries a `per_joint` sub-dict: {joint name: {n, EPE, PCK@0.2}} over
+    labeled keypoints (COCO-17 names when K == 17, indices otherwise) —
+    the standard which-joints-hurt breakdown.
     """
     # Resolve ignore-regions from the original dataset before any view wrap.
     ignores_by_image = getattr(dataset, "ignores_by_image", {})
@@ -80,6 +84,7 @@ def evaluate_topdown(
     )
     kp_dists: list[np.ndarray] = []  # per-sample labeled-keypoint errors, px
     kp_norms: list[np.ndarray] = []  # matching bbox normalizers
+    kp_joints: list[np.ndarray] = []  # matching joint indices
     # Calibration pairs for the probabilistic branches (labeled kpts only —
     # unlabeled keypoints have no ground truth for either branch).
     cal_presence_p: list[np.ndarray] = []
@@ -175,6 +180,7 @@ def evaluate_topdown(
                 kp_norms.append(
                     np.full(len(d), max(float(bw), float(bh), 1.0))
                 )
+                kp_joints.append(np.nonzero(labeled)[0])
             if calibration and labeled.any():
                 # Presence branch: trained against the codec's in_image
                 # (keypoint inside the crop region); here the crop region
@@ -253,6 +259,29 @@ def evaluate_topdown(
         summary["PCK@0.2"] = float((rel <= 0.2).mean())
         ts = np.linspace(0.0, 0.5, 51)
         summary["AUC"] = float((rel[None, :] <= ts[:, None]).mean())
+        if per_joint:
+            from probpose_pytorch_tpu.data.coco import COCO_KEYPOINT_NAMES
+
+            joints = np.concatenate(kp_joints)
+            # K from the GT rows (joints.max() would undercount when the
+            # highest-index joints are never labeled in this split); `gt`
+            # is bound — kp_dists non-empty means the batch loop ran.
+            n_joints = gt.shape[1]
+            names = (
+                COCO_KEYPOINT_NAMES if n_joints == 17 else
+                tuple(str(k) for k in range(n_joints))
+            )
+            per: dict[str, dict[str, float]] = {}
+            for k in range(n_joints):
+                m = joints == k
+                if not m.any():
+                    continue
+                per[names[k]] = {
+                    "n": int(m.sum()),
+                    "EPE": float(d[m].mean()),
+                    "PCK@0.2": float((rel[m] <= 0.2).mean()),
+                }
+            summary["per_joint"] = per
     if calibration:
         from probpose_pytorch_tpu.eval.calibration import calibration_report
 

@@ -83,6 +83,11 @@ def main(argv=None) -> None:
         "histograms + metrics to this JSON file",
     )
     parser.add_argument(
+        "--per-joint",
+        action="store_true",
+        help="report per-keypoint EPE / PCK@0.2 (which joints hurt)",
+    )
+    parser.add_argument(
         "--apply-temperature", type=str, default=None,
         help="apply fitted per-branch temperature scaling to the "
         "probability outputs before scoring: either a --calibration-dump "
@@ -169,13 +174,24 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         max_samples=args.max_samples,
         calibration=args.calibration,
+        per_joint=args.per_joint,
     )
     cal = summary.pop("calibration", {})
+    joints = summary.pop("per_joint", {})
     line = {k: round(v, 4) for k, v in summary.items()}
     for branch, rep in cal.items():
         for key in ("ece", "mce", "brier", "nll", "temperature"):
             line[f"{key}_{branch}"] = round(rep[key], 4)
     print(json.dumps(line))
+    if joints:
+        worst = sorted(joints, key=lambda n: -joints[n]["EPE"])[:3]
+        for name, rep in joints.items():
+            mark = "  <- worst" if name in worst else ""
+            print(
+                f"[eval] {name:>16s}  n={rep['n']:>6d}  "
+                f"EPE={rep['EPE']:7.2f}px  "
+                f"PCK@0.2={rep['PCK@0.2']:.4f}{mark}"
+            )
     if args.calibration_dump is not None and cal:
         args.calibration_dump.parent.mkdir(parents=True, exist_ok=True)
         args.calibration_dump.write_text(json.dumps(cal, indent=1))

@@ -201,7 +201,7 @@ class TestEvalPipeline:
                 )
 
         res = evaluate_topdown(OracleRoundTrip(), ds, batch_size=2,
-                               sigmas=COCO_SIGMAS)
+                               sigmas=COCO_SIGMAS, per_joint=True)
         assert res["AP"] > 0.95, res
         assert res["AR"] > 0.95, res
         # instance-matched auxiliary metrics: round-tripped keypoints land
@@ -209,6 +209,16 @@ class TestEvalPipeline:
         assert res["EPE"] < 5.0, res
         assert res["PCK@0.2"] == pytest.approx(1.0), res
         assert res["AUC"] > 0.9, res
+        # per-joint breakdown: COCO-17 names, counts sum to the labeled
+        # total, and the count-weighted mean EPE reproduces the overall EPE
+        pj = res["per_joint"]
+        from probpose_pytorch_tpu.data.coco import COCO_KEYPOINT_NAMES
+
+        assert set(pj) <= set(COCO_KEYPOINT_NAMES)
+        n_total = sum(r["n"] for r in pj.values())
+        w_epe = sum(r["n"] * r["EPE"] for r in pj.values()) / n_total
+        assert w_epe == pytest.approx(res["EPE"], rel=1e-6)
+        assert all(r["PCK@0.2"] == pytest.approx(1.0) for r in pj.values())
 
 
 def test_eval_cli_runs(mini_coco, tmp_path, capsys):
@@ -278,6 +288,19 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     ])
     rec_tta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert set(rec_tta) >= {"AP", "AP50", "AR"}
+
+    # Per-joint breakdown prints named rows after the JSON line.
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--per-joint",
+    ])
+    pj_out = capsys.readouterr().out.strip().splitlines()
+    assert any("left_shoulder" in ln and "EPE=" in ln for ln in pj_out)
+    assert any("<- worst" in ln for ln in pj_out)
 
     # Calibration reporting: branch metrics land in the JSON line and the
     # full reliability report dumps to disk.
