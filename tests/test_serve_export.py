@@ -245,6 +245,45 @@ class TestBundle:
             ServingBundle.load(copy)
 
 
+def test_calibrated_predictor_exports(tmp_path):
+    """Temperature scaling is part of the traced program, so an exported
+    bundle of a calibrated predictor serves calibrated probabilities —
+    equal to the host-side apply_temperature of the uncalibrated outputs."""
+    import dataclasses
+
+    from probpose_pytorch_tpu.eval.calibration import apply_temperature
+    from probpose_pytorch_tpu.serve import (
+        ServingBundle,
+        export_predictor_bundle,
+    )
+
+    _, plain = _tiny_predictor(tmp_path / "run")
+    calibrated = dataclasses.replace(
+        plain, calibration={"presence": 3.0, "visibility": 0.4}
+    )
+    out = export_predictor_bundle(
+        calibrated, tmp_path / "bundle", buckets=(2,), frame_shape=(64, 64)
+    )
+    bundle = ServingBundle.load(out)
+    rng = np.random.default_rng(7)
+    frames, boxes = _frames_boxes(rng, 2, h=64, w=64)
+    raw = plain(frames, boxes)
+    served = bundle(frames, boxes)
+    np.testing.assert_allclose(
+        np.asarray(served["probabilities"]),
+        apply_temperature(np.asarray(raw["probabilities"]), 3.0),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(served["visibilities"]),
+        apply_temperature(np.asarray(raw["visibilities"]), 0.4),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(served["keypoints"]), np.asarray(raw["keypoints"])
+    )
+
+
 def test_quantized_predictor_exports(tmp_path):
     """A weight-only-int8 predictor exports (quantized variables ride the
     bundle) and the reloaded program matches the live quantized
