@@ -196,6 +196,17 @@ def main(argv=None) -> None:
         args.calibration_dump.parent.mkdir(parents=True, exist_ok=True)
         args.calibration_dump.write_text(json.dumps(cal, indent=1))
         print(f"[eval] calibration report -> {args.calibration_dump}")
+        from probpose_pytorch_tpu.viz import reliability_diagram
+
+        for branch, rep in cal.items():
+            png = args.calibration_dump.with_name(
+                f"{args.calibration_dump.stem}_{branch}.png"
+            )
+            reliability_diagram(
+                rep["bins"],
+                title=f"{branch}: ECE {rep['ece']:.3f} T {rep['temperature']:.2f}",
+            ).save(png)
+            print(f"[eval] reliability diagram -> {png}")
 
 
 if __name__ == "__main__":

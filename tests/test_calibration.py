@@ -134,6 +134,29 @@ class TestReport:
         assert json.loads(s)["n"] == 500
 
 
+class TestReliabilityDiagram:
+    def test_renders_png(self, tmp_path):
+        from probpose_pytorch_tpu.viz import reliability_diagram
+
+        rng = np.random.default_rng(4)
+        p = rng.uniform(0.01, 0.99, 2000)
+        y = (rng.uniform(size=p.shape) < p ** 2).astype(np.float64)
+        b = reliability_bins(p, y)
+        img = reliability_diagram(b, title="presence")
+        assert img.size[0] >= 300 and img.size[1] > img.size[0] // 2
+        img.save(tmp_path / "rel.png")
+        assert (tmp_path / "rel.png").stat().st_size > 500
+        # JSON-roundtripped bins (NaN -> None) render identically
+        rep = calibration_report(p, y)
+        dumped = json.loads(json.dumps(rep["bins"]))
+        img2 = reliability_diagram(dumped, title="presence")
+        assert np.array_equal(np.asarray(img), np.asarray(img2))
+        # and a histogram with empty bins doesn't crash
+        reliability_diagram(
+            reliability_bins(np.array([0.95]), np.array([1.0]))
+        )
+
+
 class TestPredictorTemperature:
     def test_in_jit_rescale_matches_host(self):
         """TopDownPredictor(calibration=...) must rescale probabilities /

@@ -319,6 +319,8 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     assert "ece_presence" in rec_cal and "temperature_presence" in rec_cal
     dumped = json.loads(cal_dump.read_text())
     assert "presence" in dumped and "bins" in dumped["presence"]
+    # a reliability diagram PNG per branch lands next to the dump
+    assert (tmp_path / "cal_presence.png").stat().st_size > 500
 
     # Closing the loop: re-evaluate with the fitted temperatures applied
     # in-predictor. The fit minimized NLL on this same split, so the
