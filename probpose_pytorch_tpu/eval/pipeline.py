@@ -116,7 +116,6 @@ def evaluate_topdown(
                 for k, v in batch.items()
             }
         crops = batch["image"]
-        boxes = batch["bbox"]
         # The predictor re-crops from frames; here samples are already crops,
         # so feed identity boxes and un-map with the true boxes.
         ident = np.tile(

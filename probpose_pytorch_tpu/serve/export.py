@@ -157,6 +157,10 @@ def export_predictor_bundle(
         # IS the behavior; these let deploy tooling display it).
         "flip_test": bool(getattr(predictor, "flip_test", False)),
         "scale_test": list(getattr(predictor, "scale_test", ()) or ()),
+        "calibration": {
+            k: float(t)
+            for k, t in (getattr(predictor, "calibration", None) or {}).items()
+        },
         "indexed_buckets": indexed_buckets,
     }
     (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -178,7 +182,7 @@ def _export_programs(
         )
         (out_dir / f"fn_b{b}.bin").write_bytes(exported.serialize())
         if indexed and b > 1:
-            fs = [f for f in _pow2_ladder(b)]
+            fs = _pow2_ladder(b)
             for f in fs:
                 ex = jax.export.export(jax.jit(fn), **kwargs)(
                     var_abs,
@@ -200,6 +204,10 @@ class ServingBundle:
     directory: Path
     manifest: dict
     variables: dict
+    # lazily-deserialized programs, keyed (bucket, unique-frame-count) —
+    # a dataclass field (not load()-only state) so direct construction
+    # works too
+    _programs: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @classmethod
     def load(cls, directory: str | Path) -> "ServingBundle":
@@ -212,9 +220,9 @@ class ServingBundle:
             )
         with np.load(directory / "params.npz") as z:
             variables = _unflatten({k: z[k] for k in z.files})
-        self = cls(directory=directory, manifest=manifest, variables=variables)
-        self._programs: dict[int, Any] = {}
-        return self
+        return cls(
+            directory=directory, manifest=manifest, variables=variables
+        )
 
     @property
     def buckets(self) -> tuple[int, ...]:

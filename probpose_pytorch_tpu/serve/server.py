@@ -203,17 +203,13 @@ class MicroBatcher:
                 fs.append(b)
             for f in fs:
                 f = min(f, b)
+                # f*(b//f) <= b crops; _dispatch_device pads the remainder
                 boxes = [
                     np.tile(
                         np.array([[0, 0, Wf, Hf]], np.float32),
                         (max(b // f, 1), 1),
                     )
                 ] * f
-                # trim to exactly b crops
-                total = sum(len(x) for x in boxes)
-                if total > b:
-                    boxes[-1] = boxes[-1][: len(boxes[-1]) - (total - b)]
-                boxes = [x for x in boxes if len(x)]
                 dev = self._dispatch_device([frame] * len(boxes), boxes, b)
                 {k: np.asarray(v) for k, v in dev.items()}
                 n += 1
@@ -267,6 +263,13 @@ class MicroBatcher:
             count = 0
             with self._lock:
                 self._wake.clear()
+                # re-check AFTER the clear: close() may have set _closed +
+                # woken us in the window since wait() returned — clearing
+                # would otherwise swallow its signal and leave this thread
+                # blocked in wait() forever (close() then eats its full
+                # join timeout and leaks the thread)
+                if self._closed:
+                    return
                 # pop requests while they fit in the top bucket (always at
                 # least one, so a single oversized request still dispatches
                 # — _run_batch splits it)
@@ -544,9 +547,14 @@ def _make_handler(
                 })
                 return
             try:
-                out = batcher.submit(frame, boxes).result(
-                    timeout=request_timeout_s
-                )
+                fut = batcher.submit(frame, boxes)
+            except ValueError as e:
+                # synchronous validation (e.g. frame exceeds the server
+                # frame shape) is the client's fault, not a server fault
+                self._reply(400, {"error": str(e)})
+                return
+            try:
+                out = fut.result(timeout=request_timeout_s)
             except Exception as e:  # noqa: BLE001 — server error -> 500
                 self._reply(500, {"error": str(e)})
                 return
@@ -631,6 +639,18 @@ def main(argv=None) -> None:
     if not args.checkpoint and not args.bundle:
         parser.error("need at least one --checkpoint or --bundle")
 
+    # Graceful stop on SIGTERM (orchestrators send it; also the only
+    # reliable stop for `&`-launched processes, whose SIGINT is SIG_IGN in
+    # non-interactive shells) — same preemption contract as the train
+    # loop's checkpoint-and-exit. Installed BEFORE model loading so a stop
+    # during the (possibly ~30 s) startup also exits promptly.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
+
     multi = len(args.checkpoint) + len(args.bundle) > 1
 
     def parse_named(entries, prefix):
@@ -689,10 +709,14 @@ def main(argv=None) -> None:
         f"serving {sorted(batchers)} on {args.host}:{server.port} "
         f"(wait {args.max_wait_ms} ms)"
     )
+
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        t0 = time.perf_counter()
         server.shutdown()
+        print(f"shut down in {time.perf_counter() - t0:.2f}s "
+              "(remaining wait is device-client teardown)", flush=True)
 
 
 if __name__ == "__main__":

@@ -109,6 +109,36 @@ def _cross_oks(
     return np.exp(-e).mean(axis=-1)
 
 
+def _frame_boxes(boxes, i: int, frame: np.ndarray) -> np.ndarray:
+    """Per-frame detector boxes for frame i (full-frame box when boxes is
+    None); a short boxes list raises a clear error instead of an IndexError
+    mid-run after poses.jsonl has been partially written."""
+    if boxes is None:
+        return np.array(
+            [[0, 0, frame.shape[1], frame.shape[0]]], np.float32
+        )
+    if i >= len(boxes):
+        raise ValueError(
+            f"boxes list has {len(boxes)} entries but the sequence has at "
+            f"least {i + 1} frames — one [[x,y,w,h], ...] entry per frame"
+        )
+    return np.asarray(boxes[i], np.float32).reshape(-1, 4)
+
+
+def _empty_record(i: int, t: float, fb: np.ndarray) -> dict:
+    """Record for a frame with no detector boxes (shared by both modes)."""
+    return {
+        "frame": i, "t": t,
+        "track_ids": np.zeros((0,), np.int64),
+        "keypoints": np.zeros((0, 0, 2), np.float32),
+        "smoothed": np.zeros((0, 0, 2), np.float32),
+        "probabilities": np.zeros((0, 0), np.float32),
+        "scores": np.zeros((0, 0), np.float32),
+        "pose_scores": np.zeros((0,), np.float32),
+        "boxes": fb,
+    }
+
+
 class OksTracker:
     """Greedy OKS association of per-frame poses to persistent track ids.
 
@@ -215,23 +245,9 @@ def run_video(
         smoother = PoseSmoother()
     for i, frame in enumerate(frames):
         t = i / fps
-        if boxes is None:
-            fb = np.array(
-                [[0, 0, frame.shape[1], frame.shape[0]]], np.float32
-            )
-        else:
-            fb = np.asarray(boxes[i], np.float32).reshape(-1, 4)
+        fb = _frame_boxes(boxes, i, frame)
         if len(fb) == 0:
-            yield {
-                "frame": i, "t": t,
-                "track_ids": np.zeros((0,), np.int64),
-                "keypoints": np.zeros((0,) + (0, 2), np.float32),
-                "smoothed": np.zeros((0,) + (0, 2), np.float32),
-                "probabilities": np.zeros((0, 0), np.float32),
-                "scores": np.zeros((0, 0), np.float32),
-                "pose_scores": np.zeros((0,), np.float32),
-                "boxes": fb,
-            }
+            yield _empty_record(i, t, fb)
             continue
         out = predictor.predict_frame(frame, fb)
         yield _postprocess_frame(
@@ -392,12 +408,7 @@ def run_video_stream(
         buf_ids: list = []
         for i, frame in enumerate(frames):
             t = i / fps
-            if boxes is None:
-                fb = np.array(
-                    [[0, 0, frame.shape[1], frame.shape[0]]], np.float32
-                )
-            else:
-                fb = np.asarray(boxes[i], np.float32).reshape(-1, 4)
+            fb = _frame_boxes(boxes, i, frame)
             meta.append((i, t, len(fb), fb))
             if len(fb) == 0:
                 continue
@@ -424,16 +435,7 @@ def run_video_stream(
         while meta and meta[0][2] <= filled:
             i, t, n, fb = meta.popleft()
             if n == 0:
-                yield {
-                    "frame": i, "t": t,
-                    "track_ids": np.zeros((0,), np.int64),
-                    "keypoints": np.zeros((0, 0, 2), np.float32),
-                    "smoothed": np.zeros((0, 0, 2), np.float32),
-                    "probabilities": np.zeros((0, 0), np.float32),
-                    "scores": np.zeros((0, 0), np.float32),
-                    "pose_scores": np.zeros((0,), np.float32),
-                    "boxes": fb,
-                }
+                yield _empty_record(i, t, fb)
                 continue
             out = {k: v[:n] for k, v in rows.items()}
             rows = {k: v[n:] for k, v in rows.items()}
@@ -489,6 +491,13 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "into batches of this size driven through "
                         "predict_stream (0 = autotuned batch); incompatible "
                         "with --render (results lag the frame read)")
+    parser.add_argument("--stream-frame-shape", type=str, default=None,
+                        metavar="H,W",
+                        help="pad every frame to this shape in stream mode "
+                        "(default: the first frame's shape rounded up to "
+                        "the predictor's size multiple — set this when "
+                        "later frames are LARGER than the first; bundles "
+                        "use their exported shape)")
     args = parser.parse_args(argv)
     if args.stream_batch is not None and args.render:
         parser.error("--stream-batch is incompatible with --render")
@@ -536,6 +545,16 @@ def main(argv: Sequence[str] | None = None) -> None:
         track_threshold=args.track_threshold,
     )
     if args.stream_batch is not None:
+        if args.stream_frame_shape is not None:
+            if args.bundle:
+                parser.error(
+                    "--stream-frame-shape is fixed at bundle export time"
+                )
+            stream_frame_shape = tuple(
+                int(v) for v in args.stream_frame_shape.split(",")
+            )
+            if len(stream_frame_shape) != 2:
+                parser.error("--stream-frame-shape expects H,W")
         records = run_video_stream(
             predictor, frames,
             batch=args.stream_batch or stream_batch_default or None,

@@ -36,7 +36,7 @@ sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
 
 def make_config(root: Path, out_dir: Path, quick: bool,
                 head_type: str = "probmap", rotation_deg: float = 0.0,
-                visibility_weight: float = 0.0):
+                visibility_weight: float = 0.0, epochs: int | None = None):
     from probpose_pytorch_tpu.models.model import ModelConfig
     from probpose_pytorch_tpu.ops.augment import AugmentConfig
     from probpose_pytorch_tpu.train.config import (
@@ -63,7 +63,7 @@ def make_config(root: Path, out_dir: Path, quick: bool,
             pool_sizes=((2, 2), (2, 2)),
             normalize=1.0,
         )
-        batch, epochs = 16, 8
+        batch, epochs = 16, (8 if epochs is None else epochs)
     else:
         model = ModelConfig(
             img_size=(256, 192),
@@ -77,7 +77,7 @@ def make_config(root: Path, out_dir: Path, quick: bool,
             normalize=1.0,
             attn_impl="fused",
         )
-        batch, epochs = 128, 250
+        batch, epochs = 128, (250 if epochs is None else epochs)
     return TrainConfig(
         model=model,
         optim=OptimConfig(ema_decay=0.999, max_nonfinite_skips=5),
@@ -130,6 +130,12 @@ def main() -> None:
                     "flagship recipe and the reference's train.py:29 both "
                     "use 0.0 — the branch stays untrained and "
                     "uncalibrated; >0 trains it)")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override TrainConfig.epochs — the OneCycle "
+                    "schedule anneals over steps_per_epoch*epochs total "
+                    "steps, so set this to make --steps+--resume-steps "
+                    "cover the FULL schedule (the r3 baseline runs "
+                    "covered only 60%% of theirs)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only run eval phases on an existing checkpoint")
     args = ap.parse_args()
@@ -174,7 +180,8 @@ def main() -> None:
     out.mkdir(parents=True, exist_ok=True)
     cfg = make_config(root, out, args.quick, head_type=args.head_type,
                       rotation_deg=args.rotation_deg,
-                      visibility_weight=args.visibility_weight)
+                      visibility_weight=args.visibility_weight,
+                      epochs=args.epochs)
     cfg.save(out / "config.json")
 
     from probpose_pytorch_tpu.train.cli import main as train_main

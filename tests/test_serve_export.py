@@ -436,3 +436,29 @@ def test_mesh_predictor_rejected(tmp_path):
         export_predictor_bundle(
             predictor, tmp_path / "b", buckets=(1,), frame_shape=(64, 64)
         )
+
+
+def test_direct_dataclass_construction(bundle_env):
+    """ServingBundle built via the generated __init__ (not load()) must be
+    usable — _programs is a default field, not load()-only state."""
+    from probpose_pytorch_tpu.serve import ServingBundle
+
+    _, loaded = bundle_env
+    bundle = ServingBundle(
+        directory=loaded.directory,
+        manifest=loaded.manifest,
+        variables=loaded.variables,
+    )
+    rng = np.random.default_rng(3)
+    frames, boxes = _frames_boxes(rng, 1, h=64, w=64)
+    out = bundle(frames, boxes)
+    ref = loaded(frames, boxes)
+    np.testing.assert_allclose(out["keypoints"], ref["keypoints"])
+
+
+def test_manifest_records_calibration(bundle_env):
+    """The manifest must state the baked-in calibration temperatures (empty
+    for an uncalibrated export) so deploy tooling can tell raw from
+    temperature-scaled bundles."""
+    _, bundle = bundle_env
+    assert bundle.manifest["calibration"] == {}

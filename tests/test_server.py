@@ -326,6 +326,19 @@ class TestHTTP:
         })
         assert status == 400 and "error" in out
 
+    def test_oversized_frame_400_not_500(self, http_env):
+        """A frame larger than the server frame shape is the CLIENT's
+        mistake: the synchronous ValueError from submit() must map to 400,
+        not be lumped with genuine server faults as 500."""
+        _, base, _ = http_env
+        big = np.zeros((128, 128, 3), np.uint8)
+        status, out = _post(base + "/predict", {
+            "frame_b64": base64.b64encode(big.tobytes()).decode(),
+            "shape": [128, 128, 3],
+            "boxes": [[0, 0, 10, 10]],
+        })
+        assert status == 400 and "exceeds" in out["error"]
+
     def test_unknown_path_404(self, http_env):
         _, base, _ = http_env
         status, out = _post(base + "/nope", {})
@@ -403,3 +416,20 @@ def test_multi_model_routing():
         assert 'pose_requests_total{model="big"}' in text
     finally:
         srv.shutdown()
+
+
+def test_close_during_coalescing_window_is_prompt():
+    """close() must terminate the dispatcher even when it lands inside the
+    coalescing window: the dispatcher's _wake.clear() used to swallow the
+    close signal, leaving the thread parked in wait() forever and close()
+    eating its full 10 s join timeout (regression: wake-clear race)."""
+    mb = MicroBatcher(EchoRunner({4}), (4,), (16, 16), max_wait_ms=500)
+    fut = mb.submit(_frame(0), np.ones((1, 4), np.float32))
+    time.sleep(0.05)  # dispatcher is inside the 500 ms coalescing window
+    t0 = time.perf_counter()
+    mb.close()
+    assert time.perf_counter() - t0 < 5, "close() hit the join timeout"
+    assert not mb._thread.is_alive()
+    # the pending request fails cleanly instead of hanging
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=1)

@@ -381,3 +381,23 @@ def test_video_cli(tmp_path):
     assert rec["track_ids"] == [0]
     img = PIL.Image.open(out / "frame_000000.png")
     assert img.size == (64, 64)
+
+
+class TestBoxesValidation:
+    def test_short_boxes_list_raises_clearly(self, tiny_predictor):
+        """A boxes list shorter than the frame sequence must raise a clear
+        ValueError (not an IndexError mid-run after partial output)."""
+        from probpose_pytorch_tpu.video import run_video, run_video_stream
+
+        rng = np.random.default_rng(0)
+        frames = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(3)
+        ]
+        boxes = [np.array([[0, 0, 32, 32]], np.float32)]  # 1 entry, 3 frames
+        with pytest.raises(ValueError, match="boxes list has 1 entries"):
+            list(run_video(tiny_predictor, iter(frames), boxes=boxes,
+                           nms=None))
+        with pytest.raises(ValueError, match="boxes list has 1 entries"):
+            list(run_video_stream(tiny_predictor, iter(frames), boxes=boxes,
+                                  nms=None, batch=4))
