@@ -55,6 +55,7 @@ def evaluate_topdown(
     verbose: bool = False,
     calibration: bool = False,
     per_joint: bool = False,
+    track_instances: bool = False,
 ) -> dict[str, Any]:
     """Run top-down evaluation over a COCO-style crop dataset.
 
@@ -72,7 +73,11 @@ def evaluate_topdown(
     visibility branch — see eval/calibration.py. With `per_joint=True` it
     carries a `per_joint` sub-dict: {joint name: {n, EPE, PCK@0.2}} over
     labeled keypoints (COCO-17 names when K == 17, indices otherwise) —
-    the standard which-joints-hurt breakdown.
+    the standard which-joints-hurt breakdown. With `track_instances=True`
+    it carries an `instances` list (one record per GT-matched instance:
+    dataset index, image_id, instance-matched OKS, EPE, score, crop-space
+    predicted keypoints + probabilities) — the input to
+    eval/analysis.dump_worst_cases error triage.
     """
     # Resolve ignore-regions from the original dataset before any view wrap.
     ignores_by_image = getattr(dataset, "ignores_by_image", {})
@@ -91,6 +96,8 @@ def evaluate_topdown(
     cal_presence_y: list[np.ndarray] = []
     cal_vis_p: list[np.ndarray] = []
     cal_vis_y: list[np.ndarray] = []
+    instances: list[dict[str, Any]] = []  # track_instances records
+    sig = np.asarray(sigmas, np.float64)
 
     H, W = predictor.input_size
     batches = Prefetcher(
@@ -180,6 +187,21 @@ def evaluate_topdown(
                     np.full(len(d), max(float(bw), float(bh), 1.0))
                 )
                 kp_joints.append(np.nonzero(labeled)[0])
+                if track_instances:
+                    # Instance-matched OKS vs this crop's own GT (the COCO
+                    # per-pair kernel: e = d^2 / (2*(2 sigma)^2 * area)).
+                    var = (2.0 * sig[labeled]) ** 2
+                    area = max(float(batch["area"][i]), np.spacing(1))
+                    e = (d.astype(np.float64) ** 2) / (2.0 * var * area)
+                    instances.append(dict(
+                        index=done + i,
+                        image_id=int(batch["image_id"][i]),
+                        oks=float(np.exp(-e).mean()),
+                        epe=float(d.mean()),
+                        score=float(np.mean(sc * pr)),
+                        pred=np.asarray(kp, np.float64),
+                        probs=np.asarray(pr, np.float64),
+                    ))
             if calibration and labeled.any():
                 # Presence branch: trained against the codec's in_image
                 # (keypoint inside the crop region); here the crop region
@@ -294,4 +316,6 @@ def evaluate_topdown(
                 np.concatenate(cal_vis_p), np.concatenate(cal_vis_y)
             )
         summary["calibration"] = cal
+    if track_instances:
+        summary["instances"] = instances
     return summary

@@ -88,6 +88,15 @@ def main(argv=None) -> None:
         help="report per-keypoint EPE / PCK@0.2 (which joints hurt)",
     )
     parser.add_argument(
+        "--dump-worst", type=int, default=0, metavar="N",
+        help="write the N lowest-OKS instances (crop overlays: prediction "
+        "red, GT green + worst.json index) for error triage",
+    )
+    parser.add_argument(
+        "--dump-worst-dir", type=Path, default=Path("worst_cases"),
+        help="output directory for --dump-worst (default: worst_cases/)",
+    )
+    parser.add_argument(
         "--apply-temperature", type=str, default=None,
         help="apply fitted per-branch temperature scaling to the "
         "probability outputs before scoring: either a --calibration-dump "
@@ -175,9 +184,11 @@ def main(argv=None) -> None:
         max_samples=args.max_samples,
         calibration=args.calibration,
         per_joint=args.per_joint,
+        track_instances=args.dump_worst > 0,
     )
     cal = summary.pop("calibration", {})
     joints = summary.pop("per_joint", {})
+    instances = summary.pop("instances", [])
     line = {k: round(v, 4) for k, v in summary.items()}
     for branch, rep in cal.items():
         for key in ("ece", "mce", "brier", "nll", "temperature"):
@@ -192,6 +203,17 @@ def main(argv=None) -> None:
                 f"EPE={rep['EPE']:7.2f}px  "
                 f"PCK@0.2={rep['PCK@0.2']:.4f}{mark}"
             )
+    if args.dump_worst > 0 and instances:
+        from probpose_pytorch_tpu.eval.analysis import dump_worst_cases
+
+        rows = dump_worst_cases(
+            dataset, instances, args.dump_worst_dir, n=args.dump_worst
+        )
+        print(
+            f"[eval] {len(rows)} worst instances (OKS "
+            f"{rows[0]['oks']:.3f}..{rows[-1]['oks']:.3f}) -> "
+            f"{args.dump_worst_dir}/"
+        )
     if args.calibration_dump is not None and cal:
         args.calibration_dump.parent.mkdir(parents=True, exist_ok=True)
         args.calibration_dump.write_text(json.dumps(cal, indent=1))

@@ -40,9 +40,13 @@ def draw_keypoints(
     probabilities: np.ndarray | None = None,
     prob_threshold: float = 0.9,
     radius: int = 5,
+    color: tuple[int, int, int] = (255, 0, 0),
+    label: bool = True,
 ):
     """Draw keypoints (K, 2) on a PIL image, skipping low-probability ones —
-    the reference inference script's rendering (inference.py:115-128)."""
+    the reference inference script's rendering (inference.py:115-128).
+    `color` / `label` support multi-set overlays (e.g. prediction in red vs
+    ground truth in green for the eval worst-case dump)."""
     import PIL.ImageDraw
 
     draw = PIL.ImageDraw.Draw(image)
@@ -55,9 +59,13 @@ def draw_keypoints(
         if 0 <= x < w and 0 <= y < h:
             draw.ellipse(
                 (x - radius, y - radius, x + radius, y + radius),
-                fill=(255, 0, 0),
+                fill=color,
             )
-            draw.text((x + 10, y - 10), f"{j}: {prob:.2f}", fill=(255, 255, 255))
+            if label:
+                draw.text(
+                    (x + 10, y - 10), f"{j}: {prob:.2f}",
+                    fill=(255, 255, 255),
+                )
     return image
 
 

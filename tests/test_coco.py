@@ -371,3 +371,53 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     rec_b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     for k, v in rec.items():
         assert rec_b[k] == pytest.approx(v, abs=1e-6), k
+
+
+def test_track_instances_and_dump_worst(mini_coco, tmp_path):
+    """track_instances records per-instance OKS/EPE; dump_worst_cases writes
+    the triage artifacts (worst.json + red/green overlay PNGs)."""
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.codec import ProbMap
+    from probpose_pytorch_tpu.eval.analysis import dump_worst_cases
+    from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
+
+    ann_file, img_dir = mini_coco
+    ds = COCOPoseDataset(ann_file, img_dir, (64, 48), min_keypoints=1)
+    pm = ProbMap((48, 64), (48, 64), sigmas=COCO_SIGMAS)
+
+    class Oracle:
+        input_size = (64, 48)
+
+        def __call__(self, crops, boxes):
+            i = getattr(self, "_i", 0)
+            samples = [ds[min(i + j, len(ds) - 1)] for j in range(len(crops))]
+            self._i = i + len(crops)
+            kpts = np.stack([s["keypoints"] for s in samples])
+            vis = np.stack([s["keypoints_visible"] for s in samples])
+            enc = pm.encode(jnp.asarray(kpts), jnp.asarray(vis))
+            dec, scores = pm.decode(enc["heatmaps"])
+            return dict(
+                keypoints=np.asarray(dec),
+                scores=np.asarray(scores),
+                probabilities=np.ones((len(crops), 1, kpts.shape[1])),
+            )
+
+    res = evaluate_topdown(Oracle(), ds, batch_size=2, sigmas=COCO_SIGMAS,
+                           track_instances=True)
+    inst = res["instances"]
+    assert len(inst) == len(ds)
+    assert [r["index"] for r in inst] == list(range(len(ds)))
+    # oracle round-trip: every instance-matched OKS is near-perfect
+    assert all(r["oks"] > 0.9 for r in inst), [r["oks"] for r in inst]
+    assert all(r["pred"].shape == (17, 2) for r in inst)
+
+    out = tmp_path / "worst"
+    rows = dump_worst_cases(ds, inst, out, n=2)
+    assert len(rows) == 2
+    # sorted ascending by OKS (worst first)
+    assert rows[0]["oks"] <= rows[1]["oks"]
+    dumped = json.loads((out / "worst.json").read_text())
+    assert [r["rank"] for r in dumped] == [0, 1]
+    for r in dumped:
+        assert (out / r["png"]).exists()
