@@ -126,11 +126,20 @@ def export_timm_vit_params(
     Depth is discovered from the block{i} keys. Plain trunks only: prefix
     tokens, adapters, and LoRA deltas have no timm counterpart — merge or
     strip them first (models/lora.py:merge_lora_params)."""
-    unsupported = [
-        k for k in params
-        if k in ("prefix_tokens",) or k.startswith("adapter")
-        or k.endswith("_lora")
-    ]
+    def _unsupported(tree: Mapping[str, Any], path: str = "") -> list[str]:
+        # LoRA deltas nest inside block{i}/attn etc. — scan the whole tree,
+        # not just the top level, or they silently drop from the export.
+        bad = []
+        for k, v in tree.items():
+            p = f"{path}/{k}" if path else k
+            if (k in ("prefix_tokens",) or k.startswith("adapter")
+                    or k.endswith("_lora")):
+                bad.append(p)
+            elif isinstance(v, Mapping):
+                bad.extend(_unsupported(v, p))
+        return bad
+
+    unsupported = _unsupported(params)
     if unsupported:
         raise ValueError(
             f"no timm counterpart for {unsupported}; export plain ViT "

@@ -95,7 +95,9 @@ class SimCCLoss:
         dt_errs = dt_errs.reshape(B, C)
 
         # ---- OKS / error targets from decoded coordinates, on device ----
-        need_decode = (not self.freeze_oks) or (not self.freeze_error)
+        need_decode = (
+            (not self.freeze_oks) or (not self.freeze_error) or compute_acc
+        )
         if need_decode:
             eps = 1e-12
             gt_coords = self._decode_bins(
@@ -126,8 +128,14 @@ class SimCCLoss:
         annotated_in = (gt_annotated & (gt_probs > 0.5)).astype(f32)
 
         # ---- the five terms ----
+        # ProbMap's learn_heatmaps_from_zeros trains annotated OUT-of-image
+        # keypoints toward their (representable) all-zero heatmaps; a
+        # softmax bin distribution cannot emit zeros — _axis_labels would
+        # renormalize the truncated tail into a confident edge spike — so
+        # the closest sound semantic here is annotated AND in-image
+        # (off-grid keypoints contribute nothing either way).
         label_weights = (
-            gt_annotated.astype(f32)
+            annotated_in
             if learn_heatmaps_from_zeros
             else keypoint_weights
         )
@@ -154,15 +162,10 @@ class SimCCLoss:
         if not compute_acc:
             return losses
 
-        # PCK@0.05 from decoded coordinates, normalized per axis by
+        # PCK@0.05 from decoded coordinates (already decoded above —
+        # compute_acc folds into need_decode), normalized per axis by
         # bins/10 — the pose_pck_accuracy convention transplanted to the
         # bin grid.
-        if not need_decode:
-            eps = 1e-12
-            gt_coords = self._decode_bins(
-                jnp.log(gt_x + eps), jnp.log(gt_y + eps)
-            )
-            dt_coords = self._decode_bins(dt_x, dt_y)
         norm = jnp.asarray([Wb / 10.0, Hb / 10.0], f32)
         dist = jnp.linalg.norm((gt_coords - dt_coords) / norm, axis=-1)
         mask = keypoint_weights > 0.5

@@ -83,12 +83,17 @@ def lora_frozen_labels(params: Any) -> Any:
     return jtu.tree_map_with_path(label, params)
 
 
-def merge_lora_params(params: Any, alpha: float = 16.0) -> Any:
+def merge_lora_params(params: Any, alpha: float) -> Any:
     """Fold every `<layer>_lora/{a, b}` delta into its sibling base kernel
     (kernel += (α/r)·A·B) and strip the LoRA parameters. Returns a standard
     checkpoint tree for deployment; outputs match the unmerged model to
     compute-dtype rounding (the delta moves from activation-side bf16
-    matmuls into the f32 kernel)."""
+    matmuls into the f32 kernel).
+
+    `alpha` is REQUIRED and must be the `ModelConfig.lora_alpha` the deltas
+    were trained with — it is not recoverable from the tree, and a silent
+    default would mis-scale every delta (the compat/merge_lora.py CLI
+    threads it from the run config)."""
 
     def walk(node):
         if not isinstance(node, dict):

@@ -333,7 +333,11 @@ def make_train_step(
                 rotate_crops_and_keypoints,
             )
 
-            key = jax.random.fold_in(base_key, state.step)
+            # fold_in domain 2*step (box jitter above uses 2*step+1): the
+            # two per-step streams must never share a fold_in index or
+            # flip/rot/color draws at step 2t+1 correlate with the box
+            # jitter drawn at step t.
+            key = jax.random.fold_in(base_key, state.step * 2)
             k_flip, k_rot, k_color = jax.random.split(key, 3)
             images, kpts, vis, visibility = flip_crops_and_keypoints(
                 k_flip,
@@ -421,9 +425,32 @@ def make_eval_step(
     model, encode_codec: Codec, loss_fn: ProbPoseLoss, cfg: TrainConfig
 ) -> Callable:
     weights = cfg.loss_weights.as_dict()
+    H, W = cfg.model.img_size
 
     def step(state: TrainState, batch: dict[str, Any]):
-        images = _prepare_images(batch)
+        if "frame" in batch:
+            # frame-mode batches (frame + box), same crop path as the
+            # train step minus augmentation — validation must accept
+            # whatever layout training runs on.
+            from probpose_pytorch_tpu.ops.preprocess import (
+                crop_resize,
+                transform_keypoints,
+            )
+
+            boxes = jnp.asarray(batch["box"], jnp.float32)
+            images = crop_resize(
+                batch["frame"], boxes, (H, W), cfg.preprocess_method
+            )
+            batch = dict(
+                batch,
+                keypoints=transform_keypoints(
+                    jnp.asarray(batch["keypoints"], jnp.float32),
+                    boxes,
+                    (H, W),
+                ),
+            )
+        else:
+            images = _prepare_images(batch)
         gt = _encode_targets(encode_codec, batch)
         pred = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -773,6 +800,7 @@ class Trainer:
     ) -> None:
         step_idx = start_step
         t0 = time.time()
+        last_log = None  # step index of the previous log point
         done = False
         strikes = 0  # consecutive non-finite losses observed at log points
         recoveries = 0
@@ -783,10 +811,18 @@ class Trainer:
                 self.state, metrics = self.train_step(self.state, batch)
                 if step_idx % cfg.log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
+                    # Honest throughput: steps actually elapsed since the
+                    # previous log point (not cfg.log_every — wrong on the
+                    # first window after start/resume/recovery), over
+                    # train-only wall time (validation time is subtracted
+                    # below).
                     dt = time.time() - t0
                     host["steps_per_sec"] = (
-                        cfg.log_every / dt if step_idx else 0.0
+                        (step_idx - last_log) / dt
+                        if last_log is not None and dt > 0
+                        else 0.0
                     )
+                    last_log = step_idx
                     t0 = time.time()
                     logger.log(step_idx, host, prefix="training")
                     # Failure containment (config.py:recover_on_nonfinite):
@@ -817,6 +853,12 @@ class Trainer:
                                     f"{restore_step} (recovery {recoveries}/"
                                     f"{cfg.max_recoveries})"
                                 )
+                                # Rewind the loop counter with the state:
+                                # checkpoint labels must keep matching
+                                # state.step or a later resume restores a
+                                # stale higher-labeled checkpoint.
+                                step_idx = int(self.state.step)
+                                last_log = None
                             else:
                                 print(
                                     "[trainer] non-finite loss with no "
@@ -829,7 +871,9 @@ class Trainer:
                     val_batches is not None
                     and step_idx % cfg.val_every == 0
                 ):
+                    tv0 = time.time()
                     val = self._validate(val_batches, logger, step_idx)
+                    t0 += time.time() - tv0  # keep steps_per_sec train-only
                     if best_ckpt is not None and val is not None:
                         if cfg.track_best_metric not in val:
                             raise ValueError(
@@ -848,7 +892,7 @@ class Trainer:
                         ):
                             best_value = v
                             best_ckpt.save(
-                                step_idx,
+                                int(self.state.step),
                                 self.state,
                                 force=True,
                                 metadata=dict(
@@ -869,24 +913,30 @@ class Trainer:
                 if max_steps is not None and step_idx - start_step >= max_steps:
                     done = True
                     break
+            # Checkpoint labels come from state.step — the counter resume
+            # actually restores — NOT the loop counter, which can run ahead
+            # of a state rewound by non-finite recovery (a higher-labeled
+            # stale checkpoint would then shadow every later save).
+            true_step = int(self.state.step)
             if (epoch % cfg.checkpoint_every_epochs == 0 or done) and (
-                ckpt.latest_step() != step_idx
+                ckpt.latest_step() != true_step
             ):
                 if state_is_finite(self.state):
                     ckpt.save(
-                        step_idx, self.state, metadata=layout_metadata(cfg)
+                        true_step, self.state, metadata=layout_metadata(cfg)
                     )
                 else:
                     print(
-                        f"[trainer] NOT saving checkpoint at step {step_idx}:"
+                        f"[trainer] NOT saving checkpoint at step {true_step}:"
                         " state has non-finite leaves (keeping the last"
                         " clean checkpoint for recovery)"
                     )
         ckpt.wait()  # commit any in-flight async save before the check
-        if ckpt.latest_step() != step_idx:
+        true_step = int(self.state.step)
+        if ckpt.latest_step() != true_step:
             if state_is_finite(self.state):
                 ckpt.save(
-                    step_idx,
+                    true_step,
                     self.state,
                     force=True,
                     metadata=layout_metadata(cfg),
@@ -894,7 +944,7 @@ class Trainer:
             else:
                 print(
                     f"[trainer] NOT saving final checkpoint at step "
-                    f"{step_idx}: state has non-finite leaves (latest clean "
+                    f"{true_step}: state has non-finite leaves (latest clean "
                     f"checkpoint: step {ckpt.latest_step()})"
                 )
         ckpt.close()

@@ -106,7 +106,8 @@ class TestLoRAModel:
     def test_merge_rejects_orphan_lora(self):
         with pytest.raises(ValueError, match="sibling"):
             merge_lora_params(
-                {"x_lora": {"a": np.zeros((4, 2)), "b": np.zeros((2, 8))}}
+                {"x_lora": {"a": np.zeros((4, 2)), "b": np.zeros((2, 8))}},
+                alpha=16.0,
             )
 
     def test_validations(self):

@@ -326,3 +326,47 @@ class TestMeshServing:
             np.testing.assert_allclose(
                 meshed[k], single[k], rtol=1e-5, atol=1e-5, err_msg=k
             )
+
+
+def test_learn_from_zeros_masks_out_of_image_keypoints():
+    """learn_heatmaps_from_zeros must NOT give CE weight to annotated
+    out-of-image keypoints: their truncated 1-D Gaussians renormalize into
+    a confident edge spike (a softmax head cannot represent the ProbMap
+    analogue's all-zero target), which would train systematic edge bias."""
+    import jax.numpy as jnp
+
+    from probpose_pytorch_tpu.codec_simcc import SimCCCodec
+    from probpose_pytorch_tpu.losses_simcc import SimCCLoss
+
+    from probpose_pytorch_tpu.codec_simcc import SimCCLabel
+    codec = SimCCCodec(SimCCLabel((32, 24), sigmas=np.full(2, 0.05)))
+    loss_fn = SimCCLoss(codec)
+    # one in-image keypoint, one annotated keypoint OUTSIDE the crop
+    kpts = jnp.asarray([[[10.0, 10.0], [-7.0, 12.0]]])
+    gt = dict(
+        codec.encode(kpts, jnp.ones((1, 2))),
+        keypoints_visible=jnp.ones((1, 2)),
+    )
+    Wb, Hb = codec.label.bins
+    rng = np.random.default_rng(0)
+    pred = (
+        (
+            jnp.asarray(rng.normal(size=(1, 2, Wb)), jnp.float32),
+            jnp.asarray(rng.normal(size=(1, 2, Hb)), jnp.float32),
+        ),
+        jnp.full((1, 2), 0.5),
+        jnp.full((1, 2), 0.5),
+        jnp.zeros((1, 2)),
+        jnp.zeros((1, 2)),
+    )
+    base = loss_fn(gt, pred, learn_heatmaps_from_zeros=True)
+
+    # perturb ONLY the out-of-image keypoint's logits: the kpt CE must not
+    # move (weight 0), while the default weighting path also gives it 0
+    # weight (keypoint_weights = vis * in_image)
+    (dx, dy), *rest = pred
+    dx2 = dx.at[0, 1].add(3.0)
+    moved = loss_fn(gt, ((dx2, dy), *rest), learn_heatmaps_from_zeros=True)
+    np.testing.assert_allclose(
+        float(base["kpt"]), float(moved["kpt"]), rtol=1e-6
+    )

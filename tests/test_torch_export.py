@@ -112,6 +112,16 @@ class TestRoundTrip:
                     "qkv_lora": {"a": np.zeros(1)},
                 }
             )
+        # LoRA deltas live NESTED inside blocks — the guard must find them
+        # there too (they used to bypass a top-level-only scan and silently
+        # drop from the export)
+        with pytest.raises(ValueError, match="qkv_lora"):
+            export_timm_vit_params(
+                {
+                    "patch_embed": {},
+                    "block0": {"attn": {"qkv_lora": {"a": np.zeros(1)}}},
+                }
+            )
 
 
 class TestTorchOracle:

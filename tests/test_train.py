@@ -538,3 +538,49 @@ class TestCheckpointHygiene:
         assert CheckpointManager(
             f"{cfg.out_dir}/checkpoints"
         ).latest_step() == clean_step
+
+
+class TestEvalFrameMode:
+    def test_eval_step_accepts_frame_batches(self, tmp_path):
+        """Validation must accept the same frame-mode layout the train step
+        does (it used to KeyError on 'image' mid-run)."""
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=4)
+        batch = next(iter(_data(cfg)()))
+        H, W = cfg.model.img_size
+        frame_batch = dict(
+            frame=jnp.asarray(batch["image"]),
+            box=jnp.tile(jnp.asarray([[0.0, 0.0, W, H]]), (4, 1)),
+            keypoints=jnp.asarray(batch["keypoints"]),
+            keypoints_visible=jnp.asarray(batch["keypoints_visible"]),
+            keypoints_visibility=jnp.asarray(batch["keypoints_visibility"]),
+        )
+        m_frame = trainer.eval_step(trainer.state, frame_batch)
+        m_crop = trainer.eval_step(trainer.state, batch)
+        # identity box -> same crops -> same eval loss
+        np.testing.assert_allclose(
+            float(m_frame["loss"]), float(m_crop["loss"]), rtol=5e-3
+        )
+
+
+def test_recovery_checkpoint_labels_match_state_step(tmp_path, capsys):
+    """After a non-finite recovery rewinds the state, checkpoint labels must
+    keep matching state.step — a loop-counter label running ahead would make
+    resume restore a stale higher-labeled checkpoint."""
+    cfg = _tiny_cfg(
+        tmp_path, epochs=3, checkpoint_every_epochs=1, max_recoveries=3
+    )
+    trainer = Trainer.create(cfg, steps_per_epoch=2)
+    good = list(_data(cfg)())[:2]
+    poisoned = [
+        {**b, "keypoints": np.full_like(b["keypoints"], np.nan)}
+        for b in good
+    ]
+    plans = iter([good, poisoned, good])
+    state = trainer.fit(lambda: next(plans))
+    assert "restored checkpoint" in capsys.readouterr().out
+
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(f"{cfg.out_dir}/checkpoints", keep=5)
+    assert ckpt.latest_step() == int(state.step)
