@@ -1,0 +1,195 @@
+"""Detection codec: person boxes <-> center-point targets, fully on-device.
+
+Greenfield superset: the reference has no detector at all — its inference
+resizes the whole image (/root/reference/probpose/inference.py:74-75) and its
+multi-person story ends at "bring your own boxes". This codec is the
+TPU-native half of a CenterNet-style anchor-free person detector that makes
+the framework standalone end to end (detect -> top-down pose).
+
+TPU-first design points:
+
+* `encode_boxes` runs INSIDE the jitted train step (like the pose target
+  encoder): the center heatmap is a broadcasted max of per-box Gaussians
+  over the feature grid — one fused elementwise program, no host loop and
+  no scatter.
+* Size/offset supervision is formulated as a GATHER, not a scatter: targets
+  stay sparse per box (B, M, 2) with an index array into the flattened grid;
+  the loss gathers predictions at those indices. XLA gathers are cheap and
+  static-shaped; scatters are not.
+* `decode_boxes` is static-shape end to end: 3x3 max-pool peak NMS (one
+  reduce_window) + `lax.top_k` with a fixed K, so serving compiles one
+  program per frame bucket. Score thresholding happens on host where
+  dynamic shapes are free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["gaussian_radius", "encode_boxes", "decode_boxes"]
+
+
+def gaussian_radius(
+    height: jax.Array, width: jax.Array, min_iou: float = 0.7
+) -> jax.Array:
+    """Largest center-splat radius (in feature cells) such that any corner
+    placed within it still yields IoU >= min_iou with the true box.
+
+    The three quadratic cases bound the three ways a radius-r shifted box
+    can overlap the (height, width) ground-truth box: both corners inside,
+    both outside, and one in / one out. Each solves
+    a*r^2 + b*r + c = 0 for the IoU-= min_iou boundary; the binding
+    constraint is the minimum root.
+    """
+    t = min_iou
+
+    a1 = 1.0
+    b1 = height + width
+    c1 = width * height * (1.0 - t) / (1.0 + t)
+    r1 = (b1 - jnp.sqrt(jnp.maximum(b1**2 - 4 * a1 * c1, 0.0))) / (2 * a1)
+
+    a2 = 4.0
+    b2 = 2.0 * (height + width)
+    c2 = (1.0 - t) * width * height
+    r2 = (b2 - jnp.sqrt(jnp.maximum(b2**2 - 4 * a2 * c2, 0.0))) / (2 * a2)
+
+    a3 = 4.0 * t
+    b3 = -2.0 * t * (height + width)
+    c3 = (t - 1.0) * width * height
+    r3 = (b3 + jnp.sqrt(jnp.maximum(b3**2 - 4 * a3 * c3, 0.0))) / (2 * a3)
+
+    return jnp.minimum(jnp.minimum(r1, r2), r3)
+
+
+def encode_boxes(
+    boxes: jax.Array,
+    mask: jax.Array,
+    feat_hw: tuple[int, int],
+    stride: int,
+    ignore_boxes: jax.Array | None = None,
+    ignore_mask: jax.Array | None = None,
+    min_iou: float = 0.7,
+) -> dict[str, jax.Array]:
+    """Encode padded person boxes into center-point detection targets.
+
+    boxes: (B, M, 4) xywh in input pixels; mask: (B, M) valid flags.
+    ignore_boxes/ignore_mask: (B, Mi, 4)/(B, Mi) regions excluded from the
+    negative loss (COCO crowds and unlabeled-person instances — the same
+    records the keypoint evaluator treats as detection-absorbing).
+
+    Returns dict:
+      heat       (B, H, W)  splatted center heatmap, exactly 1.0 at centers
+      ind        (B, M)     int32 flat index of each center in the grid
+      size       (B, M, 2)  (w, h) targets in feature cells
+      offset     (B, M, 2)  sub-cell center remainders in [0, 1)
+      mask       (B, M)     valid AND center-in-grid
+      neg_weight (B, H, W)  0 inside ignore regions, 1 elsewhere
+    """
+    H, W = feat_hw
+    boxes = boxes.astype(jnp.float32)
+    x, y, w, h = (boxes[..., i] for i in range(4))  # (B, M)
+    cx = (x + w / 2.0) / stride
+    cy = (y + h / 2.0) / stride
+    cxi = jnp.floor(cx)
+    cyi = jnp.floor(cy)
+    in_grid = (cxi >= 0) & (cxi < W) & (cyi >= 0) & (cyi < H)
+    valid = mask.astype(bool) & in_grid & (w > 0) & (h > 0)
+    cxi = jnp.clip(cxi, 0, W - 1)
+    cyi = jnp.clip(cyi, 0, H - 1)
+
+    radius = jnp.maximum(
+        gaussian_radius(h / stride, w / stride, min_iou), 1.0
+    )
+    sigma = (2.0 * radius + 1.0) / 6.0  # (B, M)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    # Splat around the INTEGER center cell so the peak value is exactly
+    # exp(0) == 1.0 there — the focal loss keys positives off heat == 1.
+    d2 = (
+        (xs[None, None, None, :] - cxi[..., None, None]) ** 2
+        + (ys[None, None, :, None] - cyi[..., None, None]) ** 2
+    )  # (B, M, H, W)
+    g = jnp.exp(-d2 / (2.0 * sigma[..., None, None] ** 2))
+    g = jnp.where(valid[..., None, None], g, 0.0)
+    heat = jnp.max(g, axis=1)  # (B, H, W)
+
+    ind = (cyi * W + cxi).astype(jnp.int32)
+    size_t = jnp.stack([w, h], axis=-1) / stride
+    off_t = jnp.stack([cx - cxi, cy - cyi], axis=-1)
+
+    if ignore_boxes is not None:
+        ib = ignore_boxes.astype(jnp.float32) / stride
+        ix, iy, iw, ih = (ib[..., i] for i in range(4))  # (B, Mi)
+        im = (
+            ignore_mask.astype(bool)
+            if ignore_mask is not None
+            else jnp.ones(ib.shape[:2], bool)
+        ) & (iw > 0) & (ih > 0)
+        # Cell-center membership test against each ignore box.
+        px = xs[None, None, None, :] + 0.5
+        py = ys[None, None, :, None] + 0.5
+        inside = (
+            (px >= ix[..., None, None])
+            & (px <= (ix + iw)[..., None, None])
+            & (py >= iy[..., None, None])
+            & (py <= (iy + ih)[..., None, None])
+            & im[..., None, None]
+        )
+        neg_weight = 1.0 - jnp.any(inside, axis=1).astype(jnp.float32)
+    else:
+        neg_weight = jnp.ones_like(heat)
+
+    return dict(
+        heat=heat,
+        ind=ind,
+        size=size_t,
+        offset=off_t,
+        mask=valid,
+        neg_weight=neg_weight,
+    )
+
+
+def decode_boxes(
+    center_logits: jax.Array,
+    size: jax.Array,
+    offset: jax.Array,
+    k: int = 64,
+    stride: int = 4,
+) -> tuple[jax.Array, jax.Array]:
+    """Decode detector outputs into the top-K boxes per image, on device.
+
+    center_logits (B, H, W, 1), size/offset (B, H, W, 2) -> boxes
+    (B, K, 4) xywh in input pixels + scores (B, K), score-descending.
+    Peak NMS is a 3x3 max-pool equality test (a plateau of tied scores
+    keeps every tied cell — ties are measure-zero with real logits);
+    thresholding is left to the host, keeping shapes static under jit.
+    """
+    B, H, W, _ = center_logits.shape
+    p = jax.nn.sigmoid(center_logits.astype(jnp.float32)[..., 0])
+    pmax = jax.lax.reduce_window(
+        p,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
+    peaks = jnp.where(p >= pmax, p, 0.0).reshape(B, H * W)
+    scores, ind = jax.lax.top_k(peaks, k)  # (B, K)
+    xi = (ind % W).astype(jnp.float32)
+    yi = (ind // W).astype(jnp.float32)
+
+    def gather2(m: jax.Array) -> jax.Array:  # (B, H, W, 2) -> (B, K, 2)
+        flat = m.astype(jnp.float32).reshape(B, H * W, 2)
+        return jnp.take_along_axis(flat, ind[..., None], axis=1)
+
+    off = gather2(offset)
+    wh = jnp.maximum(gather2(size), 0.0)
+    cxp = (xi + off[..., 0]) * stride
+    cyp = (yi + off[..., 1]) * stride
+    bw = wh[..., 0] * stride
+    bh = wh[..., 1] * stride
+    boxes = jnp.stack([cxp - bw / 2, cyp - bh / 2, bw, bh], axis=-1)
+    return boxes, scores

@@ -217,6 +217,27 @@ class OksTracker:
         return ids
 
 
+def detector_boxes(
+    detector,
+    frame: np.ndarray,
+    input_size: tuple[int, int],
+    bbox_scale: float = 1.25,
+    threshold: float | None = None,
+) -> np.ndarray:
+    """Person-detector boxes for one frame, expanded to the pose crop
+    aspect (`expand_bbox`, the same conditioning pose training used) —
+    ready for `predict_frame`."""
+    from probpose_pytorch_tpu.data.coco import expand_bbox
+
+    det, _ = detector.detect_frame(frame, threshold)
+    if len(det) == 0:
+        return np.zeros((0, 4), np.float32)
+    H, W = input_size
+    return np.stack(
+        [expand_bbox(b, scale=bbox_scale, aspect=W / H) for b in det]
+    ).astype(np.float32)
+
+
 def run_video(
     predictor,
     frames,
@@ -228,15 +249,22 @@ def run_video(
     track_threshold: float = 0.3,
     smoother=None,
     tracker: OksTracker | None = None,
+    detector=None,
+    detector_threshold: float | None = None,
+    bbox_scale: float = 1.25,
 ) -> Iterator[dict]:
     """Run the full sequence pipeline; yields one record dict per frame.
 
     predictor: a TopDownPredictor. frames: iterable of (H, W, 3) uint8.
     boxes: per-frame (N_i, 4) xywh arrays (None -> one full-frame box per
-    frame). Records carry numpy arrays: frame index, time, track_ids,
-    keypoints (raw), smoothed (== raw when smooth=False), probabilities,
-    scores, pose_scores, boxes.
+    frame). detector: a detect.DetectorPredictor — boxes then come from the
+    framework's own person detector per frame (standalone mode; mutually
+    exclusive with `boxes`). Records carry numpy arrays: frame index, time,
+    track_ids, keypoints (raw), smoothed (== raw when smooth=False),
+    probabilities, scores, pose_scores, boxes.
     """
+    if detector is not None and boxes is not None:
+        raise ValueError("pass either boxes or a detector, not both")
     if tracker is None:
         tracker = OksTracker(threshold=track_threshold)
     if smooth and smoother is None:
@@ -245,7 +273,13 @@ def run_video(
         smoother = PoseSmoother()
     for i, frame in enumerate(frames):
         t = i / fps
-        fb = _frame_boxes(boxes, i, frame)
+        if detector is not None:
+            fb = detector_boxes(
+                detector, frame, predictor.input_size,
+                bbox_scale, detector_threshold,
+            )
+        else:
+            fb = _frame_boxes(boxes, i, frame)
         if len(fb) == 0:
             yield _empty_record(i, t, fb)
             continue
@@ -471,6 +505,13 @@ def main(argv: Sequence[str] | None = None) -> None:
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--frames", type=Path, required=True,
                         help="frame directory or (T, H, W, 3) .npy/.npz")
+    parser.add_argument("--detector", type=Path, default=None,
+                        help="person-detector checkpoint directory "
+                        "(detect.train CLI output): boxes then come from "
+                        "the framework's own detector — standalone mode, "
+                        "no --boxes file needed")
+    parser.add_argument("--detector-threshold", type=float, default=None,
+                        help="detection score threshold override")
     parser.add_argument("--boxes", type=Path, default=None,
                         help="per-frame [[x,y,w,h], ...] JSON "
                         "(default: full-frame box)")
@@ -522,6 +563,18 @@ def main(argv: Sequence[str] | None = None) -> None:
             flip_test=args.flip_test,
         )
     boxes = load_boxes(args.boxes) if args.boxes else None
+    detector = None
+    if args.detector is not None:
+        if args.boxes is not None:
+            parser.error("--detector and --boxes are mutually exclusive")
+        if args.stream_batch is not None:
+            parser.error(
+                "--detector runs per-frame; not available in --stream-batch "
+                "throughput mode (pre-compute boxes to a JSON file instead)"
+            )
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        detector = load_detector(args.detector)
     args.out.mkdir(parents=True, exist_ok=True)
 
     frames = iter_frames(args.frames)
@@ -562,7 +615,12 @@ def main(argv: Sequence[str] | None = None) -> None:
             **common,
         )
     else:
-        records = run_video(predictor, frames, **common)
+        records = run_video(
+            predictor, frames,
+            detector=detector,
+            detector_threshold=args.detector_threshold,
+            **common,
+        )
 
     n = 0
     with (args.out / "poses.jsonl").open("w") as sink:

@@ -211,6 +211,49 @@ class TestRunVideo:
         assert r["keypoints"].shape[0] == n
 
 
+class TestRunVideoDetector:
+    def test_detector_supplies_boxes(self, tiny_predictor):
+        """run_video(detector=...) — standalone mode: boxes come from the
+        framework's own detector per frame, expanded to the pose crop
+        aspect."""
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        calls = []
+
+        class FakeDetector:
+            def detect_frame(self, fr, thr=None):
+                calls.append(thr)
+                return (
+                    np.array([[8.0, 8.0, 24.0, 24.0]], np.float32),
+                    np.array([0.9], np.float32),
+                )
+
+        recs = list(
+            run_video(
+                tiny_predictor, iter([frame] * 2),
+                detector=FakeDetector(), detector_threshold=0.5,
+                nms=None, smooth=False,
+            )
+        )
+        assert len(recs) == 2 and calls == [0.5, 0.5]
+        # the pose box is the detector box expanded to the crop aspect
+        H, W = tiny_predictor.input_size
+        box = recs[0]["boxes"][0]
+        assert abs(box[2] / box[3] - W / H) < 1e-5
+        assert len(recs[0]["keypoints"]) == 1
+
+    def test_detector_and_boxes_mutually_exclusive(self, tiny_predictor):
+        with pytest.raises(ValueError, match="not both"):
+            next(
+                run_video(
+                    tiny_predictor,
+                    iter([np.zeros((32, 32, 3), np.uint8)]),
+                    boxes=[np.zeros((1, 4), np.float32)],
+                    detector=object(),
+                )
+            )
+
+
 class TestRunVideoStream:
     @pytest.mark.parametrize("nms", [None, "soft_oks"])
     def test_matches_per_frame_mode(self, tiny_predictor, nms):
