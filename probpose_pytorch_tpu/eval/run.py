@@ -104,6 +104,17 @@ def main(argv=None) -> None:
         "an inline spec like 'presence=1.8,visibility=1.2'",
     )
     parser.add_argument(
+        "--detector", type=Path, default=None,
+        help="person-detector run directory (detect.train CLI output): "
+        "evaluate END TO END with the framework's own detections instead "
+        "of GT boxes (the real COCO protocol; reports the detector's box "
+        "AP@0.5 alongside the keypoint summary)",
+    )
+    parser.add_argument(
+        "--detector-threshold", type=float, default=0.3,
+        help="with --detector: detection score threshold",
+    )
+    parser.add_argument(
         "--data-parallel",
         action="store_true",
         help="shard eval batches over all devices (dp mesh); the batch "
@@ -171,6 +182,35 @@ def main(argv=None) -> None:
             scale_test_scores=args.scale_test_scores,
             calibration=calibration,
         )
+    if args.detector is not None:
+        if args.calibration or args.per_joint or args.dump_worst:
+            parser.error(
+                "--detector reports the end-to-end AP summary; "
+                "--calibration/--per-joint/--dump-worst need the GT-box "
+                "crop stream (instance-matched GT)"
+            )
+        from probpose_pytorch_tpu.detect.pipeline import (
+            evaluate_detector_topdown,
+        )
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        det_dir = args.detector
+        if (det_dir / "checkpoints").exists():
+            det_dir = det_dir / "checkpoints"
+        detector = load_detector(
+            det_dir, score_threshold=args.detector_threshold
+        )
+        summary = evaluate_detector_topdown(
+            predictor,
+            detector,
+            args.annotations,
+            args.images,
+            bbox_scale=args.bbox_scale,
+            max_images=args.max_samples,
+            verbose=True,
+        )
+        print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}))
+        return
     dataset = COCOPoseDataset(
         args.annotations,
         args.images,

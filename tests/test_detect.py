@@ -426,6 +426,66 @@ class TestEndToEnd:
         assert summary["det_recall50"] == 1.0
         assert "AP" in summary and 0.0 <= summary["AP"] <= 1.0
 
+    def test_eval_cli_detector_flag(self, tmp_path, capsys):
+        """eval.run --detector: end-to-end AP with the framework's own
+        detections, via the CLI (checkpointed pose model + checkpointed
+        detector)."""
+        import json
+
+        from probpose_pytorch_tpu.data.synth_coco import generate_coco_synth
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.eval.run import main as eval_main
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        root = generate_coco_synth(
+            tmp_path / "coco", n_train_images=2, n_val_images=2,
+            frame_hw=(96, 96), seed=0,
+        )
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-eval",
+            dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=17,
+                backbone="vit-tiny-eval", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+            out_dir=str(tmp_path / "pose"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        pose_out = tmp_path / "pose"
+        pose_out.mkdir(exist_ok=True)
+        cfg.save(pose_out / "config.json")
+        ckpt = CheckpointManager(pose_out / "checkpoints", keep=1)
+        ckpt.save(0, trainer.state, force=True)
+        ckpt.close()
+
+        det_out = tmp_path / "det"
+        det_out.mkdir()
+        dt = DetectorTrainer.create(img_size=(64, 64), total_steps=1)
+        (det_out / "detector.json").write_text(
+            json.dumps(dict(img_size=[64, 64], preset="conv-t"))
+        )
+        dckpt = CheckpointManager(det_out / "checkpoints", keep=1)
+        dckpt.save(0, dt.state, force=True)
+        dckpt.close()
+
+        eval_main([
+            "--checkpoint", str(pose_out / "checkpoints"),
+            "--config", str(pose_out / "config.json"),
+            "--annotations",
+            str(root / "annotations/person_keypoints_val2017.json"),
+            "--images", str(root / "val2017"),
+            "--detector", str(det_out),
+        ])
+        rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert {"AP", "det_ap50", "det_recall50"} <= set(rec)
+
     def test_detector_predictor_jit_buckets(self):
         model = PersonDetector(img_size=(64, 64), preset="conv-t")
         vars_ = model.init(
