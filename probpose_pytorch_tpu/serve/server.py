@@ -437,11 +437,16 @@ def _make_handler(
     batchers: dict[str, MicroBatcher],
     default: str,
     request_timeout_s: float = 300.0,
+    detector=None,
 ):
     # generous default: the FIRST request on each bucket pays the XLA
     # compile (~20-40 s on TPU); steady-state requests return in ms.
     # batchers: one MicroBatcher per served model; requests pick one with
     # the JSON "model" field (default: the first configured model).
+    # detector: a detect.DetectorPredictor — requests that OMIT "boxes"
+    # then auto-detect people in the frame (standalone mode); the response
+    # carries the boxes used. Detection runs synchronously in the handler
+    # thread (its own jitted program), the pose forward still micro-batches.
     from http.server import BaseHTTPRequestHandler
 
     class Handler(BaseHTTPRequestHandler):
@@ -534,7 +539,16 @@ def _make_handler(
                         f"{frame.size} bytes != shape {shape}"
                     )
                 frame = frame.reshape(shape)
-                boxes = np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+                boxes = (
+                    np.asarray(req["boxes"], np.float32).reshape(-1, 4)
+                    if "boxes" in req
+                    else None
+                )
+                if boxes is None and detector is None:
+                    raise ValueError(
+                        "request has no 'boxes' and the server has no "
+                        "--detector configured"
+                    )
                 model = req.get("model", default)
             except Exception as e:  # noqa: BLE001 — client error -> 400
                 self._reply(400, {"error": str(e)})
@@ -546,6 +560,22 @@ def _make_handler(
                     f"(serving: {sorted(batchers)})"
                 })
                 return
+            detected = None
+            if boxes is None:
+                from probpose_pytorch_tpu.video import detector_boxes
+
+                try:
+                    boxes = detector_boxes(
+                        detector, frame, batcher.runner.input_size,
+                        threshold=req.get("detector_threshold"),
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": f"detector: {e}"})
+                    return
+                detected = boxes
+                if len(boxes) == 0:
+                    self._reply(200, {"boxes": [], "keypoints": []})
+                    return
             try:
                 fut = batcher.submit(frame, boxes)
             except ValueError as e:
@@ -558,7 +588,10 @@ def _make_handler(
             except Exception as e:  # noqa: BLE001 — server error -> 500
                 self._reply(500, {"error": str(e)})
                 return
-            self._reply(200, {k: v.tolist() for k, v in out.items()})
+            payload = {k: v.tolist() for k, v in out.items()}
+            if detected is not None:
+                payload["boxes"] = detected.tolist()
+            self._reply(200, payload)
 
     return Handler
 
@@ -573,7 +606,7 @@ class PoseHTTPServer:
 
     def __init__(self, batcher, host: str = "0.0.0.0",
                  port: int = 8000, request_timeout_s: float = 300.0,
-                 default: str | None = None):
+                 default: str | None = None, detector=None):
         from http.server import ThreadingHTTPServer
 
         if isinstance(batcher, MicroBatcher):
@@ -589,7 +622,8 @@ class PoseHTTPServer:
             raise ValueError(f"default model {default!r} not in {sorted(batchers)}")
         self.httpd = ThreadingHTTPServer(
             (host, port),
-            _make_handler(batchers, default, request_timeout_s),
+            _make_handler(batchers, default, request_timeout_s,
+                          detector=detector),
         )
         self.port = self.httpd.server_address[1]
         self._thread: threading.Thread | None = None
@@ -630,6 +664,12 @@ def main(argv=None) -> None:
                         help="comma-separated batch buckets "
                         "(default: autotuned ladder)")
     parser.add_argument("--max-wait-ms", type=float, default=5.0)
+    parser.add_argument("--detector", type=Path, default=None,
+                        help="person-detector run directory (detect.train "
+                        "output): requests may then omit 'boxes' and the "
+                        "server detects people itself (standalone mode; "
+                        "the response carries the boxes used)")
+    parser.add_argument("--detector-threshold", type=float, default=0.3)
     parser.add_argument("--ema", action="store_true")
     parser.add_argument("--warmup", action="store_true",
                         help="compile every (bucket, frame-count) program "
@@ -704,7 +744,19 @@ def main(argv=None) -> None:
         print(
             f"warmed {n} programs in {time.perf_counter() - t0:.1f}s"
         )
-    server = PoseHTTPServer(batchers, args.host, args.port)
+    detector = None
+    if args.detector is not None:
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        det_dir = args.detector
+        if (det_dir / "checkpoints").exists():
+            det_dir = det_dir / "checkpoints"
+        detector = load_detector(
+            det_dir, score_threshold=args.detector_threshold
+        )
+        print(f"detector: {det_dir} (threshold {args.detector_threshold})")
+    server = PoseHTTPServer(batchers, args.host, args.port,
+                            detector=detector)
     print(
         f"serving {sorted(batchers)} on {args.host}:{server.port} "
         f"(wait {args.max_wait_ms} ms)"

@@ -344,6 +344,74 @@ class TestHTTP:
         status, out = _post(base + "/nope", {})
         assert status == 404
 
+    def test_omitted_boxes_without_detector_400(self, http_env):
+        _, base, _ = http_env
+        frame = _frame(3, 64, 64)
+        status, out = _post(base + "/predict", {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": list(frame.shape),
+        })
+        assert status == 400 and "detector" in out["error"]
+
+
+class TestHTTPDetector:
+    def test_standalone_mode(self, http_env):
+        """A server configured with a detector serves requests that omit
+        'boxes': the response carries the auto-detected (aspect-expanded)
+        boxes plus the pose fields; an empty detection returns boxes=[]."""
+        _, _, predictor = http_env
+
+        calls = []
+
+        class FakeDetector:
+            def detect_frame(self, frame, thr=None):
+                calls.append(thr)
+                if thr is not None and thr > 1.0:
+                    return (np.zeros((0, 4), np.float32),
+                            np.zeros((0,), np.float32))
+                return (
+                    np.array([[8.0, 8.0, 24.0, 24.0],
+                              [30.0, 20.0, 20.0, 28.0]], np.float32),
+                    np.array([0.9, 0.7], np.float32),
+                )
+
+        batcher = MicroBatcher(
+            predictor, (1, 4), (64, 64), max_wait_ms=0, indexed=True
+        )
+        server = PoseHTTPServer(
+            batcher, host="127.0.0.1", port=0, detector=FakeDetector()
+        )
+        server.start()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            frame = _frame(7, 64, 64)
+            payload = {
+                "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+                "shape": list(frame.shape),
+            }
+            status, out = _post(base + "/predict", payload)
+            assert status == 200, out
+            assert len(out["boxes"]) == 2
+            assert len(out["keypoints"]) == 2
+            # boxes were expanded to the pose crop aspect
+            H, W = predictor.input_size
+            for b in out["boxes"]:
+                assert abs(b[2] / b[3] - W / H) < 1e-5
+            # explicit-boxes requests still work on the same server
+            status, out2 = _post(base + "/predict", dict(
+                payload, boxes=[[0.0, 0.0, 32.0, 32.0]],
+            ))
+            assert status == 200 and "boxes" not in out2
+            assert len(out2["keypoints"]) == 1
+            # detector_threshold plumbs through; empty detection -> []
+            status, out3 = _post(base + "/predict", dict(
+                payload, detector_threshold=2.0,
+            ))
+            assert status == 200 and out3["boxes"] == []
+            assert calls == [None, 2.0]
+        finally:
+            server.shutdown()
+
 
 def test_warmup_compiles_all_programs():
     """warmup() touches every (bucket, frame-count) combination once; after
