@@ -105,6 +105,23 @@ class DetectorPredictor:
         return boxes[0][keep], scores[0][keep]
 
 
+def expand_detections(
+    det_boxes: np.ndarray,
+    input_size: tuple[int, int],
+    bbox_scale: float = 1.25,
+) -> np.ndarray:
+    """Detector boxes -> pose crop boxes: pad each to the pose input's
+    aspect ratio and expand by `bbox_scale` about the center (the same
+    `expand_bbox` conditioning pose training used). (n, 4) xywh in, out."""
+    det_boxes = np.asarray(det_boxes, np.float32).reshape(-1, 4)
+    if len(det_boxes) == 0:
+        return np.zeros((0, 4), np.float32)
+    H, W = input_size
+    return np.stack(
+        [expand_bbox(b, scale=bbox_scale, aspect=W / H) for b in det_boxes]
+    ).astype(np.float32)
+
+
 def box_iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """IoU between xywh box sets a (N, 4) and b (M, 4) -> (N, M)."""
     a = np.asarray(a, np.float64).reshape(-1, 4)

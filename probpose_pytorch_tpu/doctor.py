@@ -75,6 +75,26 @@ def main(argv=None) -> None:
 
     checks.append(("model forward (tiny ViT + head)", model_forward, True))
 
+    def detector_forward():
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.detect.codec import decode_boxes
+        from probpose_pytorch_tpu.detect.model import PersonDetector
+
+        model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        boxes, scores = decode_boxes(
+            out["center"], out["size"], out["offset"], k=4
+        )
+        jax.block_until_ready(boxes)
+        return f"boxes {tuple(boxes.shape)}"
+
+    checks.append(("person detector forward + decode", detector_forward,
+                   True))
+
     def pallas():
         import jax
         import jax.numpy as jnp

@@ -169,6 +169,11 @@ class TopDownPredictor:
     # jitted program — and therefore baked into exported serving bundles.
     # None/{} disables.
     calibration: dict | None = None
+    # Optional detect.DetectorPredictor: `predict_frame(frame)` (boxes
+    # omitted or None) then finds the people itself — standalone mode.
+    # Detected boxes are expanded to this predictor's crop aspect
+    # (detect/pipeline.expand_detections) and returned under "boxes".
+    detector: Any = None
     # "int8": post-training dynamic-quantized backbone matmuls
     # (models/vit_int8.py). Opt-in and honest: measured SLOWER than bf16 at
     # ViT-S and ViT-B on v5e (the transformer is HBM-bound there; the
@@ -505,11 +510,12 @@ class TopDownPredictor:
     def predict_frame(
         self,
         frame: np.ndarray,
-        boxes: np.ndarray,
+        boxes: np.ndarray | None = None,
         buckets: tuple[int, ...] | None = None,
         nms: str | None = None,
         nms_threshold: float = 0.9,
         nms_sigmas: np.ndarray | None = None,
+        detector_threshold: float | None = None,
     ) -> dict:
         """Variable-count detector boxes on one frame: pads the box list to
         the next bucket size (bounding recompilation to len(buckets) programs)
@@ -526,7 +532,32 @@ class TopDownPredictor:
         ops/oks_nms.py). Pose score = mean over keypoints of
         score·probability (the eval pipeline's instance score); box w·h is
         the OKS area. Adds "pose_scores" to the output; "soft_oks" returns
-        decayed scores."""
+        decayed scores.
+
+        boxes=None (standalone mode, needs `detector=`): the framework's
+        own person detector supplies the boxes, which are returned under
+        "boxes" (aspect-expanded, the geometry the crops actually used)."""
+        if boxes is None:
+            if self.detector is None:
+                raise ValueError(
+                    "predict_frame needs boxes, or construct the predictor "
+                    "with detector= for standalone mode"
+                )
+            from probpose_pytorch_tpu.detect.pipeline import (
+                expand_detections,
+            )
+
+            det, _ = self.detector.detect_frame(frame, detector_threshold)
+            boxes = expand_detections(det, self.input_size)
+            out = self.predict_frame(
+                frame, boxes, buckets, nms, nms_threshold, nms_sigmas
+            )
+            if out:
+                kept = out.get("keep")
+                out["boxes"] = boxes if kept is None else boxes[kept]
+            else:
+                out = {"boxes": boxes}
+            return out
         if nms is not None:
             raw = self.predict_frame(frame, boxes, buckets)
             if not raw:

@@ -227,15 +227,10 @@ def detector_boxes(
     """Person-detector boxes for one frame, expanded to the pose crop
     aspect (`expand_bbox`, the same conditioning pose training used) —
     ready for `predict_frame`."""
-    from probpose_pytorch_tpu.data.coco import expand_bbox
+    from probpose_pytorch_tpu.detect.pipeline import expand_detections
 
     det, _ = detector.detect_frame(frame, threshold)
-    if len(det) == 0:
-        return np.zeros((0, 4), np.float32)
-    H, W = input_size
-    return np.stack(
-        [expand_bbox(b, scale=bbox_scale, aspect=W / H) for b in det]
-    ).astype(np.float32)
+    return expand_detections(det, input_size, bbox_scale)
 
 
 def run_video(

@@ -486,6 +486,64 @@ class TestEndToEnd:
         rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert {"AP", "det_ap50", "det_recall50"} <= set(rec)
 
+    def test_predict_frame_standalone_mode(self):
+        """TopDownPredictor(detector=...).predict_frame(frame) — boxes come
+        from the detector; the output carries the expanded boxes used."""
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-eval",
+            dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=17,
+                backbone="vit-tiny-eval", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+
+        class FakeDetector:
+            def detect_frame(self, frame, thr=None):
+                if thr is not None and thr > 1.0:
+                    return (np.zeros((0, 4), np.float32),
+                            np.zeros((0,), np.float32))
+                return (
+                    np.array([[8.0, 8.0, 24.0, 24.0]], np.float32),
+                    np.array([0.9], np.float32),
+                )
+
+        pose = TopDownPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+            detector=FakeDetector(),
+        )
+        frame = np.zeros((96, 96, 3), np.uint8)
+        out = pose.predict_frame(frame)
+        assert out["boxes"].shape == (1, 4)
+        assert len(out["keypoints"]) == 1
+        H, W = cfg.model.img_size
+        assert abs(out["boxes"][0, 2] / out["boxes"][0, 3] - W / H) < 1e-5
+        # empty detection
+        out2 = pose.predict_frame(frame, detector_threshold=2.0)
+        assert out2["boxes"].shape == (0, 4)
+        # no detector configured -> clear error
+        pose.detector = None
+        import pytest
+
+        with pytest.raises(ValueError, match="detector"):
+            pose.predict_frame(frame)
+
     def test_detector_predictor_jit_buckets(self):
         model = PersonDetector(img_size=(64, 64), preset="conv-t")
         vars_ = model.init(
