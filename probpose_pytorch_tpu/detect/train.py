@@ -142,11 +142,22 @@ def load_detector(
     max_detections: int = 64,
 ):
     """Build a DetectorPredictor from a detector checkpoint directory
-    (config JSON beside it, written by the CLI)."""
+    (config JSON beside it, written by the CLI). A directory holding an
+    exported detector bundle (serve.export_detector_bundle) loads as a
+    codeless DetectorBundle instead — same detect_frame contract, so every
+    --detector surface accepts either."""
     from probpose_pytorch_tpu.detect.pipeline import DetectorPredictor
     from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
 
     checkpoint_dir = Path(checkpoint_dir)
+    manifest = checkpoint_dir / "manifest.json"
+    if manifest.exists():
+        import json as _json
+
+        if _json.loads(manifest.read_text()).get("kind") == "detector":
+            from probpose_pytorch_tpu.serve.export import DetectorBundle
+
+            return DetectorBundle.load(checkpoint_dir)
     cfg_path = checkpoint_dir.parent / "detector.json"
     cfg = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
     trainer = DetectorTrainer.create(

@@ -9,13 +9,17 @@ configs, codec) on the box.
 """
 
 from probpose_pytorch_tpu.serve.export import (
+    DetectorBundle,
     ServingBundle,
+    export_detector_bundle,
     export_predictor_bundle,
 )
 from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
 
 __all__ = [
+    "DetectorBundle",
     "ServingBundle",
+    "export_detector_bundle",
     "export_predictor_bundle",
     "MicroBatcher",
     "PoseHTTPServer",

@@ -213,6 +213,11 @@ class ServingBundle:
     def load(cls, directory: str | Path) -> "ServingBundle":
         directory = Path(directory)
         manifest = json.loads((directory / "manifest.json").read_text())
+        if manifest.get("kind", "pose") != "pose":
+            raise ValueError(
+                f"{directory} is a {manifest['kind']!r} bundle, not a pose "
+                "bundle (detector bundles load with DetectorBundle)"
+            )
         if manifest.get("version") != BUNDLE_VERSION:
             raise ValueError(
                 f"bundle version {manifest.get('version')} != "
@@ -393,12 +398,153 @@ class ServingBundle:
         return {k: v[:n] for k, v in out.items()}
 
 
+def export_detector_bundle(
+    detector: Any,
+    out_dir: str | Path,
+    frame_shapes: Sequence[tuple[int, int]],
+    platforms: Sequence[str] | None = None,
+) -> Path:
+    """Export a `detect.DetectorPredictor` as a codeless bundle: one
+    StableHLO program per accepted (H, W) frame shape (batch 1 — detection
+    is per-frame), params, and a manifest. Smaller frames zero-pad up to
+    the closest exported shape at serve time (zero padding is black
+    content past the frame edge — it contains no people, and decoded box
+    coordinates are unchanged since padding is bottom/right only).
+
+    Together with `export_predictor_bundle` this makes the STANDALONE
+    pipeline (frame -> detect -> pose) deployable with no model code: the
+    serving host needs jax + numpy only. The detector is pure XLA convs
+    (no Pallas), so multi-platform export needs no special casing."""
+    import jax
+
+    shapes = sorted({(int(h), int(w)) for h, w in frame_shapes})
+    if not shapes:
+        raise ValueError("need at least one frame shape")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    var_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        detector.variables,
+    )
+    fn = detector._fn()
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    for H, W in shapes:
+        ex = jax.export.export(jax.jit(fn), **kwargs)(
+            var_abs, jax.ShapeDtypeStruct((1, H, W, 3), np.uint8)
+        )
+        (out_dir / f"det_h{H}w{W}.bin").write_bytes(ex.serialize())
+    np.savez(out_dir / "params.npz", **_flatten(detector.variables))
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "kind": "detector",
+        "frame_shapes": [list(s) for s in shapes],
+        "score_threshold": float(detector.score_threshold),
+        "max_detections": int(detector.max_detections),
+        "img_size": list(detector.model.img_size),
+        "platforms": (
+            list(platforms) if platforms else [jax.default_backend()]
+        ),
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out_dir
+
+
+@dataclasses.dataclass
+class DetectorBundle:
+    """A loaded detector bundle: frame -> (boxes, scores), no model code.
+    Duck-types `detect.DetectorPredictor.detect_frame`, so it drops into
+    every --detector surface (video, eval, HTTP server, predictor
+    standalone mode)."""
+
+    directory: Path
+    manifest: dict
+    variables: dict
+    _programs: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @classmethod
+    def load(cls, directory: str | Path) -> "DetectorBundle":
+        directory = Path(directory)
+        manifest = json.loads((directory / "manifest.json").read_text())
+        if manifest.get("kind") != "detector":
+            raise ValueError(
+                f"{directory} is not a detector bundle "
+                f"(kind={manifest.get('kind')!r}; pose bundles load with "
+                "ServingBundle)"
+            )
+        if manifest.get("version") != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {manifest.get('version')} != "
+                f"{BUNDLE_VERSION} (re-export with this release)"
+            )
+        with np.load(directory / "params.npz") as z:
+            variables = _unflatten({k: z[k] for k in z.files})
+        return cls(
+            directory=directory, manifest=manifest, variables=variables
+        )
+
+    @property
+    def frame_shapes(self) -> tuple[tuple[int, int], ...]:
+        return tuple(tuple(s) for s in self.manifest["frame_shapes"])
+
+    @property
+    def score_threshold(self) -> float:
+        return float(self.manifest["score_threshold"])
+
+    def _program(self, shape: tuple[int, int]):
+        if shape not in self._programs:
+            import jax
+
+            blob = (
+                self.directory / f"det_h{shape[0]}w{shape[1]}.bin"
+            ).read_bytes()
+            self._programs[shape] = jax.export.deserialize(bytearray(blob))
+        return self._programs[shape]
+
+    def detect_frame(
+        self, frame: np.ndarray, score_threshold: float | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One (H, W, 3) uint8 frame -> (boxes (n, 4), scores (n,)) above
+        the threshold, in frame pixels."""
+        frame = np.asarray(frame, np.uint8)
+        H, W = frame.shape[:2]
+        fit = [
+            s for s in self.frame_shapes if s[0] >= H and s[1] >= W
+        ]
+        if not fit:
+            raise ValueError(
+                f"frame {(H, W)} exceeds every exported shape "
+                f"{self.frame_shapes}"
+            )
+        He, We = min(fit)
+        if (H, W) != (He, We):
+            frame = np.pad(frame, ((0, He - H), (0, We - W), (0, 0)))
+        boxes, scores = self._program((He, We)).call(
+            self.variables, frame[None]
+        )
+        boxes, scores = np.asarray(boxes[0]), np.asarray(scores[0])
+        thr = (
+            self.score_threshold
+            if score_threshold is None
+            else score_threshold
+        )
+        keep = scores >= thr
+        return boxes[keep], scores[keep]
+
+
 def main(argv: Sequence[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         description="Export a checkpoint as a StableHLO serving bundle"
     )
-    parser.add_argument("--checkpoint", type=Path, required=True,
-                        help="Orbax checkpoint directory")
+    parser.add_argument("--checkpoint", type=Path, default=None,
+                        help="Orbax checkpoint directory (pose model)")
+    parser.add_argument("--detector-checkpoint", type=Path, default=None,
+                        metavar="DIR",
+                        help="export a PERSON-DETECTOR bundle instead "
+                        "(detect.train output dir); use --frame-size "
+                        "(repeatable via ';') for the accepted shapes")
+    parser.add_argument("--detector-threshold", type=float, default=0.3,
+                        help="default score threshold baked into the "
+                        "detector bundle manifest")
     parser.add_argument("--config", type=Path, default=None,
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--out", type=Path, required=True,
@@ -417,6 +563,31 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "'cpu,tpu' for a portable bundle; needs a "
                         "Pallas-free attn_impl — einsum)")
     args = parser.parse_args(argv)
+    if (args.checkpoint is None) == (args.detector_checkpoint is None):
+        parser.error("pass exactly one of --checkpoint / "
+                     "--detector-checkpoint")
+
+    platforms = (
+        tuple(args.platforms.split(",")) if args.platforms else None
+    )
+    if args.detector_checkpoint is not None:
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        det_dir = args.detector_checkpoint
+        if (det_dir / "checkpoints").exists():
+            det_dir = det_dir / "checkpoints"
+        detector = load_detector(
+            det_dir, score_threshold=args.detector_threshold
+        )
+        shapes = [
+            tuple(int(v) for v in part.split(","))
+            for part in args.frame_size.split(";")
+        ]
+        export_detector_bundle(
+            detector, args.out, shapes, platforms=platforms
+        )
+        print(f"wrote detector bundle {args.out} (frames {shapes})")
+        return
 
     from probpose_pytorch_tpu.inference import (
         load_predictor,
@@ -432,9 +603,7 @@ def main(argv: Sequence[str] | None = None) -> None:
     predictor = load_predictor(args.checkpoint, args.config, ema=args.ema)
     export_predictor_bundle(
         predictor, args.out, buckets, frame_shape,
-        platforms=(
-            tuple(args.platforms.split(",")) if args.platforms else None
-        ),
+        platforms=platforms,
         indexed=not args.no_indexed,
     )
     print(f"wrote bundle {args.out} (buckets {buckets}, frame {frame_shape})")

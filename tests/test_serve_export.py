@@ -378,6 +378,113 @@ def test_portable_export_guard_and_platforms(tmp_path):
         )
 
 
+class TestDetectorBundle:
+    @pytest.fixture(scope="class")
+    def det_env(self, tmp_path_factory):
+        from probpose_pytorch_tpu.detect.pipeline import DetectorPredictor
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.serve import (
+            DetectorBundle,
+            export_detector_bundle,
+        )
+
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=1
+        )
+        live = DetectorPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            score_threshold=0.0,  # untrained: keep everything, compare raw
+            max_detections=8,
+        )
+        root = tmp_path_factory.mktemp("detbundle")
+        out = export_detector_bundle(
+            live, root / "bundle", frame_shapes=[(64, 64), (96, 96)]
+        )
+        return live, DetectorBundle.load(out), out
+
+    def test_manifest_and_kind_gates(self, det_env, bundle_env):
+        from probpose_pytorch_tpu.serve import DetectorBundle, ServingBundle
+
+        live, bundle, out = det_env
+        assert bundle.frame_shapes == ((64, 64), (96, 96))
+        assert bundle.score_threshold == 0.0
+        # a pose bundle refuses to load as a detector and vice versa
+        _, pose_bundle = bundle_env
+        with pytest.raises(ValueError, match="not a detector bundle"):
+            DetectorBundle.load(pose_bundle.directory)
+        with pytest.raises((ValueError, KeyError)):
+            ServingBundle.load(out)
+
+    def test_matches_live_detector(self, det_env):
+        live, bundle, _ = det_env
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        lb, ls = live.detect_frame(frame)
+        bb, bs = bundle.detect_frame(frame)
+        np.testing.assert_allclose(bb, lb, atol=1e-5)
+        np.testing.assert_allclose(bs, ls, atol=1e-6)
+
+    def test_pads_smaller_frames_and_rejects_oversize(self, det_env):
+        live, bundle, _ = det_env
+        rng = np.random.default_rng(1)
+        # 80x70 pads up to the 96x96 program; padding is bottom/right so
+        # coordinates match the live detector fed the padded frame
+        frame = rng.integers(0, 256, (80, 70, 3), dtype=np.uint8)
+        padded = np.pad(frame, ((0, 16), (0, 26), (0, 0)))
+        lb, ls = live.detect_frame(padded)
+        bb, bs = bundle.detect_frame(frame)
+        np.testing.assert_allclose(bb, lb, atol=1e-5)
+        np.testing.assert_allclose(bs, ls, atol=1e-6)
+        with pytest.raises(ValueError, match="exceeds"):
+            bundle.detect_frame(
+                np.zeros((128, 128, 3), np.uint8)
+            )
+
+    def test_load_detector_dispatches_to_bundle(self, det_env):
+        from probpose_pytorch_tpu.detect.train import load_detector
+        from probpose_pytorch_tpu.serve import DetectorBundle
+
+        _, _, out = det_env
+        loaded = load_detector(out)
+        assert isinstance(loaded, DetectorBundle)
+
+    def test_export_cli_detector_mode(self, det_env, tmp_path, capsys):
+        """serve.export --detector-checkpoint: CLI round trip on a saved
+        detector checkpoint."""
+        import json as _json
+
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.serve.export import main as export_main
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        run = tmp_path / "det_run"
+        run.mkdir()
+        trainer = DetectorTrainer.create(img_size=(64, 64), total_steps=1)
+        (run / "detector.json").write_text(
+            _json.dumps(dict(img_size=[64, 64], preset="conv-t"))
+        )
+        ckpt = CheckpointManager(run / "checkpoints", keep=1)
+        ckpt.save(0, trainer.state, force=True)
+        ckpt.close()
+        export_main([
+            "--detector-checkpoint", str(run),
+            "--out", str(tmp_path / "det_bundle"),
+            "--frame-size", "64,64;96,96",
+        ])
+        from probpose_pytorch_tpu.serve import DetectorBundle
+
+        bundle = DetectorBundle.load(tmp_path / "det_bundle")
+        assert bundle.frame_shapes == ((64, 64), (96, 96))
+        boxes, scores = bundle.detect_frame(
+            np.zeros((64, 64, 3), np.uint8)
+        )
+        assert boxes.shape[1] == 4
+
+
 def test_flatten_roundtrip():
     from probpose_pytorch_tpu.serve.export import _flatten, _unflatten
 
