@@ -116,6 +116,10 @@ def expand_detections(
     det_boxes = np.asarray(det_boxes, np.float32).reshape(-1, 4)
     if len(det_boxes) == 0:
         return np.zeros((0, 4), np.float32)
+    # Degenerate (zero-size) detections would divide by zero in the aspect
+    # conditioning; floor them at 1 px instead of crashing the pipeline.
+    det_boxes = det_boxes.copy()
+    det_boxes[:, 2:] = np.maximum(det_boxes[:, 2:], 1.0)
     H, W = input_size
     return np.stack(
         [expand_bbox(b, scale=bbox_scale, aspect=W / H) for b in det_boxes]
@@ -267,8 +271,6 @@ def evaluate_detector_topdown(
 
     from probpose_pytorch_tpu.data.coco import COCO_SIGMAS
 
-    H, W = pose_predictor.input_size
-    aspect = W / H
     evaluator = COCOKeypointEvaluator(
         np.asarray(COCO_SIGMAS if sigmas is None else sigmas)
     )
@@ -305,11 +307,8 @@ def evaluate_detector_topdown(
             K = gts[0]["keypoints"].shape[0]
         dts, scores = [], []
         if len(det_boxes):
-            crops = np.stack(
-                [
-                    expand_bbox(b, scale=bbox_scale, aspect=aspect)
-                    for b in det_boxes
-                ]
+            crops = expand_detections(
+                det_boxes, pose_predictor.input_size, bbox_scale
             )
             out = pose_predictor.predict_frame(frame, crops, nms=nms)
             if nms is not None and "keep" in out:
