@@ -22,6 +22,7 @@ import numpy as np
 __all__ = [
     "AugmentConfig",
     "augment_boxes",
+    "half_body_boxes",
     "flip_crops_and_keypoints",
     "rotate_crops",
     "rotate_crops_and_keypoints",
@@ -51,6 +52,20 @@ class AugmentConfig:
     brightness: float = 0.2
     contrast: float = 0.2
     flip_pairs: tuple[tuple[int, int], ...] = COCO_FLIP_PAIRS
+    # Random half-body crops (the HRNet/MMPose RandomHalfBody recipe —
+    # greenfield, the reference has no augmentation): with probability
+    # half_body_prob per sample, when the sample has MORE THAN
+    # half_body_min_total labeled keypoints and the randomly chosen half
+    # (upper w.p. 0.5) has at least half_body_min_half, the crop box
+    # becomes the chosen half's labeled-keypoint bbox, padded to the crop
+    # aspect ratio and scaled by half_body_padding. Frame-mode training
+    # only (crop-mode batches cannot re-crop). 0 disables.
+    half_body_prob: float = 0.0
+    half_body_min_total: int = 8
+    half_body_min_half: int = 2
+    half_body_padding: float = 1.5
+    # COCO-17 upper body: nose/eyes/ears/shoulders/elbows/wrists (0-10).
+    upper_body_ids: tuple[int, ...] = tuple(range(11))
 
     @property
     def enabled(self) -> bool:
@@ -81,6 +96,70 @@ def augment_boxes(
     w = boxes[:, 2:3] * scale
     h = boxes[:, 3:4] * scale
     return jnp.concatenate([cx - w / 2, cy - h / 2, w, h], axis=1)
+
+
+def half_body_boxes(
+    key: jax.Array,
+    boxes: jax.Array,
+    keypoints: jax.Array,
+    labeled: jax.Array,
+    cfg: AugmentConfig,
+    aspect: float | None = None,
+) -> jax.Array:
+    """Random half-body crop boxes, fused into the frame-mode train step.
+
+    The HRNet `half_body_transform` / MMPose `RandomHalfBody` recipe as a
+    pure where-select (no data-dependent control flow, jit/shard-safe):
+    per sample, draw apply ~ Bern(half_body_prob) and a 50/50 upper/lower
+    coin; when apply AND total labeled > half_body_min_total AND the
+    chosen half has >= half_body_min_half labeled keypoints, replace the
+    (B, 4) frame-space xywh box with the half's labeled-keypoint bbox,
+    padded to `aspect` (crop W/H, matching data.coco.expand_bbox) and
+    scaled by half_body_padding about its center. `keypoints` are
+    FRAME-space (B, K, 2); `labeled` is (B, K), >0 where annotated.
+    Keypoints that fall outside the new crop are handled downstream by
+    the codec's map weighting, exactly like box jitter.
+    """
+    B, K, _ = keypoints.shape
+    upper = np.zeros((K,), bool)
+    upper[[i for i in cfg.upper_body_ids if i < K]] = True
+    upper = jnp.asarray(upper)
+    k1, k2 = jax.random.split(key)
+    lab = labeled > 0
+    upper_lab = upper[None, :] & lab
+    lower_lab = ~upper[None, :] & lab
+    # HRNet's selection: the coin picks upper only when upper has enough
+    # labeled keypoints, otherwise it falls through to lower; a too-small
+    # lower then invalidates the sample (no reverse fallback).
+    coin = jax.random.bernoulli(k1, 0.5, (B,))
+    use_upper = coin & (upper_lab.sum(axis=1) >= cfg.half_body_min_half)
+    half = jnp.where(use_upper[:, None], upper_lab, lower_lab)
+    apply = (
+        (jax.random.uniform(k2, (B,)) < cfg.half_body_prob)
+        & (lab.sum(axis=1) > cfg.half_body_min_total)
+        & (half.sum(axis=1) >= cfg.half_body_min_half)
+    )
+
+    big = jnp.float32(1e9)
+    x = keypoints[..., 0].astype(jnp.float32)
+    y = keypoints[..., 1].astype(jnp.float32)
+    xmin = jnp.min(jnp.where(half, x, big), axis=1)
+    xmax = jnp.max(jnp.where(half, x, -big), axis=1)
+    ymin = jnp.min(jnp.where(half, y, big), axis=1)
+    ymax = jnp.max(jnp.where(half, y, -big), axis=1)
+    cx, cy = (xmin + xmax) / 2, (ymin + ymax) / 2
+    # Floor at 1 px: min_half labeled keypoints can still be collinear,
+    # and a zero-size box would degenerate the crop affine.
+    w = jnp.maximum(xmax - xmin, 1.0)
+    h = jnp.maximum(ymax - ymin, 1.0)
+    if aspect is not None:
+        wide = w > h * aspect
+        h = jnp.where(wide, w / aspect, h)
+        w = jnp.where(wide, w, h * aspect)
+    w = w * cfg.half_body_padding
+    h = h * cfg.half_body_padding
+    nb = jnp.stack([cx - w / 2, cy - h / 2, w, h], axis=1)
+    return jnp.where(apply[:, None], nb, boxes.astype(jnp.float32))
 
 
 def _swap_pairs(arr: jax.Array, pairs: Sequence[tuple[int, int]]) -> jax.Array:

@@ -299,6 +299,7 @@ def make_train_step(
     weights = cfg.loss_weights.as_dict()
     aug = cfg.augment
     base_key = jax.random.PRNGKey(cfg.seed)
+    hb_base_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2**31 - 1)
     H, W = cfg.model.img_size
 
     def step(state: TrainState, batch: dict[str, Any]):
@@ -310,6 +311,22 @@ def make_train_step(
             )
 
             boxes = jnp.asarray(batch["box"], jnp.float32)
+            if aug is not None and aug.half_body_prob > 0:
+                from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+                # Separate root key (seed-derived): the 2*step / 2*step+1
+                # fold_in domains are taken by flip/rot/color and box
+                # jitter, and any arithmetic third domain collides with
+                # one of them at some step.
+                kh = jax.random.fold_in(hb_base_key, state.step)
+                boxes = half_body_boxes(
+                    kh,
+                    boxes,
+                    jnp.asarray(batch["keypoints"], jnp.float32),
+                    jnp.asarray(batch["keypoints_visibility"]),
+                    aug,
+                    aspect=W / H,
+                )
             if aug is not None and (aug.scale_jitter or aug.shift_jitter):
                 kb = jax.random.fold_in(base_key, state.step * 2 + 1)
                 boxes = augment_boxes(kb, boxes, aug)

@@ -224,3 +224,202 @@ class TestRotation:
                                          num_workers=1)))
         state, m = trainer.train_step(trainer.state, batch)
         assert np.isfinite(float(m["loss"]))
+
+
+class TestHalfBody:
+    """half_body_boxes — the HRNet/MMPose RandomHalfBody recipe on device."""
+
+    def _kpts(self):
+        # 17 keypoints on a grid: upper (0-10) in y [0, 50], lower (11-16)
+        # in y [100, 160]; all in x [10, 90].
+        k = np.zeros((17, 2), np.float32)
+        for i in range(11):
+            k[i] = [10 + 8 * i, 5 * i]
+        for j, i in enumerate(range(11, 17)):
+            k[i] = [20 + 12 * j, 100 + 10 * j]
+        return k
+
+    def test_forced_apply_gives_padded_half_bbox(self):
+        from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+        k = self._kpts()
+        boxes = jnp.asarray([[0.0, 0.0, 200.0, 200.0]])
+        labeled = jnp.ones((1, 17))
+        # Empty "upper" set: the coin's upper pick falls through (HRNet
+        # fallback), so every sample selects the lower half == all
+        # keypoints -> deterministic expectation.
+        cfg = AugmentConfig(
+            half_body_prob=1.0, half_body_min_total=8,
+            half_body_min_half=2, half_body_padding=1.5,
+            upper_body_ids=(),
+        )
+        out = np.asarray(
+            half_body_boxes(
+                jax.random.PRNGKey(0), boxes, jnp.asarray(k)[None], labeled,
+                cfg, aspect=None,
+            )
+        )[0]
+        xmin, ymin = k.min(axis=0)
+        xmax, ymax = k.max(axis=0)
+        w, h = (xmax - xmin) * 1.5, (ymax - ymin) * 1.5
+        np.testing.assert_allclose(
+            out,
+            [
+                (xmin + xmax) / 2 - w / 2,
+                (ymin + ymax) / 2 - h / 2,
+                w,
+                h,
+            ],
+            rtol=1e-6,
+        )
+
+    def test_upper_or_lower_bbox(self):
+        """With the real COCO split, every applied box must be the padded
+        bbox of either the upper or the lower half."""
+        from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+        k = self._kpts()
+        B = 64
+        boxes = jnp.tile(jnp.asarray([[0.0, 0.0, 200.0, 200.0]]), (B, 1))
+        kpts = jnp.tile(jnp.asarray(k)[None], (B, 1, 1))
+        labeled = jnp.ones((B, 17))
+        cfg = AugmentConfig(half_body_prob=1.0)
+        out = np.asarray(
+            half_body_boxes(
+                jax.random.PRNGKey(1), boxes, kpts, labeled, cfg, aspect=None
+            )
+        )
+
+        def padded(idx):
+            s = k[list(idx)]
+            xmin, ymin = s.min(axis=0)
+            xmax, ymax = s.max(axis=0)
+            w, h = (xmax - xmin) * 1.5, (ymax - ymin) * 1.5
+            return np.asarray(
+                [(xmin + xmax) / 2 - w / 2, (ymin + ymax) / 2 - h / 2, w, h]
+            )
+
+        up, lo = padded(range(11)), padded(range(11, 17))
+        match_up = np.isclose(out, up[None], rtol=1e-5).all(axis=1)
+        match_lo = np.isclose(out, lo[None], rtol=1e-5).all(axis=1)
+        assert (match_up | match_lo).all()
+        assert match_up.any() and match_lo.any()  # the coin actually flips
+
+    def test_insufficient_keypoints_keeps_box(self):
+        from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+        k = self._kpts()
+        boxes = jnp.asarray([[1.0, 2.0, 50.0, 60.0]] * 2)
+        kpts = jnp.tile(jnp.asarray(k)[None], (2, 1, 1))
+        # sample 0: only 5 labeled (< min_total) -> unchanged;
+        # sample 1: all labeled -> may change.
+        labeled = np.zeros((2, 17), np.float32)
+        labeled[0, :5] = 1
+        labeled[1, :] = 1
+        cfg = AugmentConfig(half_body_prob=1.0)
+        out = np.asarray(
+            half_body_boxes(
+                jax.random.PRNGKey(2), boxes, kpts, jnp.asarray(labeled),
+                cfg, aspect=None,
+            )
+        )
+        np.testing.assert_allclose(out[0], [1.0, 2.0, 50.0, 60.0])
+        assert not np.allclose(out[1], [1.0, 2.0, 50.0, 60.0])
+
+    def test_aspect_conditioning_matches_expand_bbox(self):
+        from probpose_pytorch_tpu.data.coco import expand_bbox
+        from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+        k = self._kpts()
+        boxes = jnp.asarray([[0.0, 0.0, 200.0, 200.0]])
+        labeled = jnp.ones((1, 17))
+        cfg = AugmentConfig(
+            half_body_prob=1.0, half_body_padding=1.5,
+            upper_body_ids=(),
+        )
+        aspect = 192 / 256
+        out = np.asarray(
+            half_body_boxes(
+                jax.random.PRNGKey(0), boxes, jnp.asarray(k)[None], labeled,
+                cfg, aspect=aspect,
+            )
+        )[0]
+        xmin, ymin = k.min(axis=0)
+        xmax, ymax = k.max(axis=0)
+        raw = np.asarray([xmin, ymin, xmax - xmin, ymax - ymin])
+        np.testing.assert_allclose(
+            out, expand_bbox(raw, scale=1.5, aspect=aspect), rtol=1e-5
+        )
+
+    def test_zero_prob_identity_and_jit(self):
+        from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+        k = self._kpts()
+        boxes = jnp.asarray([[3.0, 4.0, 90.0, 170.0]])
+        cfg = AugmentConfig(half_body_prob=0.0)
+        fn = jax.jit(
+            lambda key, b, kp, lab: half_body_boxes(
+                key, b, kp, lab, cfg, aspect=0.75
+            )
+        )
+        out = np.asarray(
+            fn(jax.random.PRNGKey(0), boxes, jnp.asarray(k)[None],
+               jnp.ones((1, 17)))
+        )
+        np.testing.assert_allclose(out[0], [3.0, 4.0, 90.0, 170.0])
+
+    def test_half_body_in_frame_mode_train_step(self, tmp_path):
+        from probpose_pytorch_tpu.data import (
+            SyntheticPoseDataset,
+            batch_iterator,
+        )
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-e2e",
+            dict(embed_dim=32, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=17,
+                backbone="vit-tiny-e2e", compute_dtype="float32",
+                deconv_out_channels=(16, 16), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+            augment=AugmentConfig(
+                flip_prob=0.0, scale_jitter=0.0, shift_jitter=0.0,
+                brightness=0.0, contrast=0.0,
+                half_body_prob=1.0, half_body_min_total=3,
+            ),
+            epochs=1, train_batch_size=4,
+            out_dir=str(tmp_path / "run"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        ds = SyntheticPoseDataset(4, cfg.model.img_size, 17, seed=0)
+        batch = next(iter(batch_iterator(ds, 4, shuffle=False,
+                                         num_workers=1)))
+        H, W = cfg.model.img_size
+        frame_batch = dict(
+            frame=jnp.asarray(batch["image"]),
+            box=jnp.tile(jnp.asarray([[0.0, 0.0, W, H]]), (4, 1)),
+            keypoints=jnp.asarray(batch["keypoints"]),
+            keypoints_visible=jnp.asarray(batch["keypoints_visible"]),
+            keypoints_visibility=jnp.asarray(batch["keypoints_visibility"]),
+        )
+        state, m = trainer.train_step(trainer.state, frame_batch)
+        assert np.isfinite(float(m["loss"]))
+
+    def test_config_roundtrip_with_half_body(self, tmp_path):
+        from probpose_pytorch_tpu.train import TrainConfig
+
+        cfg = TrainConfig(
+            augment=AugmentConfig(half_body_prob=0.3, upper_body_ids=(0, 1, 2))
+        )
+        p = tmp_path / "c.json"
+        cfg.save(p)
+        cfg2 = TrainConfig.load(p)
+        assert cfg2.augment.half_body_prob == 0.3
+        assert cfg2.augment.upper_body_ids == (0, 1, 2)
+        assert cfg2 == cfg
