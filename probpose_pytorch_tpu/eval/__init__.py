@@ -8,3 +8,8 @@ from probpose_pytorch_tpu.eval.calibration import (  # noqa: F401
     fit_temperature,
 )
 from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown  # noqa: F401
+from probpose_pytorch_tpu.eval.results import (  # noqa: F401
+    load_results,
+    save_results,
+    score_results,
+)

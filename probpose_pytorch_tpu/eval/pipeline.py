@@ -56,6 +56,7 @@ def evaluate_topdown(
     calibration: bool = False,
     per_joint: bool = False,
     track_instances: bool = False,
+    collect_predictions: bool = False,
 ) -> dict[str, Any]:
     """Run top-down evaluation over a COCO-style crop dataset.
 
@@ -77,7 +78,11 @@ def evaluate_topdown(
     it carries an `instances` list (one record per GT-matched instance:
     dataset index, image_id, instance-matched OKS, EPE, score, crop-space
     predicted keypoints + probabilities) — the input to
-    eval/analysis.dump_worst_cases error triage.
+    eval/analysis.dump_worst_cases error triage. With
+    `collect_predictions=True` it carries a `predictions` list in the
+    official COCO keypoint-results format (eval/results.py) — dump with
+    `save_results`, re-score offline with `score_results`, or feed to
+    real pycocotools / the COCO evaluation server.
     """
     # Resolve ignore-regions from the original dataset before any view wrap.
     ignores_by_image = getattr(dataset, "ignores_by_image", {})
@@ -97,6 +102,7 @@ def evaluate_topdown(
     cal_vis_p: list[np.ndarray] = []
     cal_vis_y: list[np.ndarray] = []
     instances: list[dict[str, Any]] = []  # track_instances records
+    predictions: list[dict[str, Any]] = []  # collect_predictions records
     sig = np.asarray(sigmas, np.float64)
 
     H, W = predictor.input_size
@@ -168,6 +174,17 @@ def evaluate_topdown(
             # predicted presence (validated against the COCOeval-protocol
             # oracle in tests/test_coco_protocol.py).
             rec["scores"].append(float(np.mean(sc * pr)))
+            if collect_predictions:
+                from probpose_pytorch_tpu.eval.results import keypoint_result
+
+                predictions.append(
+                    keypoint_result(
+                        int(batch["image_id"][i]),
+                        frame_kp,
+                        sc,
+                        float(np.mean(sc * pr)),
+                    )
+                )
             rec["gt"].append(gt)
             rec["areas"].append(float(batch["area"][i]))
             rec["boxes"].append(
@@ -318,4 +335,6 @@ def evaluate_topdown(
         summary["calibration"] = cal
     if track_instances:
         summary["instances"] = instances
+    if collect_predictions:
+        summary["predictions"] = predictions
     return summary

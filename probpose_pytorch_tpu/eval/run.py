@@ -42,11 +42,17 @@ def _parse_temperatures(spec: str) -> dict[str, float]:
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="ProbPose-TPU COCO eval")
-    src = parser.add_mutually_exclusive_group(required=True)
+    src = parser.add_mutually_exclusive_group(required=False)
     src.add_argument("--checkpoint", type=Path,
                      help="Orbax checkpoint directory (live predictor)")
     src.add_argument("--bundle", type=Path,
                      help="exported StableHLO bundle directory")
+    src.add_argument(
+        "--score-predictions", type=Path, metavar="RESULTS_JSON",
+        help="model-free: re-score a COCO keypoint-results file "
+        "(--dump-predictions output, or any pycocotools-format results "
+        "list) against the annotations",
+    )
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--annotations", type=Path, required=True)
     parser.add_argument("--images", type=Path, required=True)
@@ -127,11 +133,35 @@ def main(argv=None) -> None:
         help="with --data-parallel: shard attention heads over a model "
         "axis of this size (tensor-parallel serving for big backbones)",
     )
+    parser.add_argument(
+        "--dump-predictions", type=Path, default=None, metavar="OUT_JSON",
+        help="write predictions in the official COCO keypoint-results "
+        "format (pycocotools loadRes / COCO-server compatible; re-score "
+        "offline with --score-predictions)",
+    )
     args = parser.parse_args(argv)
 
     from probpose_pytorch_tpu.data.coco import COCOPoseDataset
     from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
     from probpose_pytorch_tpu.inference import load_predictor
+
+    if args.score_predictions is not None:
+        from probpose_pytorch_tpu.eval.results import (
+            load_results,
+            score_results,
+        )
+
+        dataset = COCOPoseDataset(
+            args.annotations, args.images, (256, 192),
+            bbox_scale=args.bbox_scale,
+        )
+        summary = score_results(load_results(args.score_predictions), dataset)
+        print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}))
+        return
+    if args.checkpoint is None and args.bundle is None:
+        parser.error(
+            "one of --checkpoint / --bundle / --score-predictions is required"
+        )
 
     if args.bundle and (
         args.ema or args.flip_test or args.scale_test or args.data_parallel
@@ -225,10 +255,21 @@ def main(argv=None) -> None:
         calibration=args.calibration,
         per_joint=args.per_joint,
         track_instances=args.dump_worst > 0,
+        collect_predictions=args.dump_predictions is not None,
     )
     cal = summary.pop("calibration", {})
     joints = summary.pop("per_joint", {})
     instances = summary.pop("instances", [])
+    preds = summary.pop("predictions", [])
+    if args.dump_predictions is not None:
+        from probpose_pytorch_tpu.eval.results import save_results
+
+        args.dump_predictions.parent.mkdir(parents=True, exist_ok=True)
+        save_results(preds, args.dump_predictions)
+        print(
+            f"[eval] {len(preds)} COCO-format results -> "
+            f"{args.dump_predictions}"
+        )
     line = {k: round(v, 4) for k, v in summary.items()}
     for branch, rep in cal.items():
         for key in ("ece", "mce", "brier", "nll", "temperature"):

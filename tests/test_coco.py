@@ -372,6 +372,35 @@ def test_eval_cli_runs(mini_coco, tmp_path, capsys):
     for k, v in rec.items():
         assert rec_b[k] == pytest.approx(v, abs=1e-6), k
 
+    # COCO-results interchange: dump predictions in the official results
+    # format, then re-score the file model-free — same AP numbers.
+    preds_json = tmp_path / "preds.json"
+    eval_main([
+        "--checkpoint", str(out / "checkpoints"),
+        "--config", str(out / "config.json"),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+        "--batch-size", "2",
+        "--dump-predictions", str(preds_json),
+    ])
+    dump_out = capsys.readouterr().out.strip().splitlines()
+    rec_dump = json.loads([ln for ln in dump_out if ln.startswith("{")][-1])
+    dumped_preds = json.loads(preds_json.read_text())
+    assert dumped_preds and all(
+        set(r) == {"image_id", "category_id", "keypoints", "score"}
+        for r in dumped_preds
+    )
+    eval_main([
+        "--score-predictions", str(preds_json),
+        "--annotations", str(ann_file),
+        "--images", str(img_dir),
+    ])
+    rec_scored = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    for k in ("AP", "AP50", "AP75", "AR"):
+        assert rec_scored[k] == pytest.approx(rec_dump[k], abs=1e-6), k
+
 
 def test_track_instances_and_dump_worst(mini_coco, tmp_path):
     """track_instances records per-instance OKS/EPE; dump_worst_cases writes
@@ -421,3 +450,90 @@ def test_track_instances_and_dump_worst(mini_coco, tmp_path):
     assert [r["rank"] for r in dumped] == [0, 1]
     for r in dumped:
         assert (out / r["png"]).exists()
+
+
+class TestResultsInterchange:
+    """eval/results.py: COCO keypoint-results dump + model-free re-scoring."""
+
+    def _run_with_predictions(self, mini_coco):
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.codec import ProbMap
+        from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
+
+        ann_file, img_dir = mini_coco
+        ds = COCOPoseDataset(ann_file, img_dir, (64, 48), min_keypoints=1)
+        pm = ProbMap((48, 64), (48, 64), sigmas=COCO_SIGMAS)
+
+        class Oracle:
+            input_size = (64, 48)
+
+            def __call__(self, crops, boxes):
+                i = getattr(self, "_i", 0)
+                samples = [
+                    ds[min(i + j, len(ds) - 1)] for j in range(len(crops))
+                ]
+                self._i = i + len(crops)
+                kpts = np.stack([s["keypoints"] for s in samples])
+                vis = np.stack([s["keypoints_visible"] for s in samples])
+                enc = pm.encode(jnp.asarray(kpts), jnp.asarray(vis))
+                dec, scores = pm.decode(enc["heatmaps"])
+                return dict(
+                    keypoints=np.asarray(dec),
+                    scores=np.asarray(scores),
+                    probabilities=np.ones((len(crops), 1, kpts.shape[1])),
+                )
+
+        res = evaluate_topdown(
+            Oracle(), ds, batch_size=2, sigmas=COCO_SIGMAS,
+            collect_predictions=True,
+        )
+        return res, ds
+
+    def test_rescoring_matches_live_eval(self, mini_coco, tmp_path):
+        from probpose_pytorch_tpu.eval.results import (
+            load_results,
+            save_results,
+            score_results,
+        )
+
+        res, ds = self._run_with_predictions(mini_coco)
+        preds = res["predictions"]
+        assert len(preds) == len(ds)
+        path = tmp_path / "preds.json"
+        save_results(preds, path)
+        scored = score_results(load_results(path), ds)
+        for k in ("AP", "AP50", "AP75", "AP_medium", "AP_large", "AR"):
+            assert scored[k] == pytest.approx(res[k], abs=1e-6), k
+        assert scored["n_results"] == len(preds)
+
+    def test_missing_results_count_false_negatives(self, mini_coco):
+        from probpose_pytorch_tpu.eval.results import score_results
+
+        res, ds = self._run_with_predictions(mini_coco)
+        # Drop every detection: AR must collapse, but every GT image still
+        # participates (false negatives counted).
+        scored = score_results([], ds)
+        assert scored["AR"] == pytest.approx(0.0) or scored["AR"] == -1.0
+        assert scored["n_images"] >= 3
+
+    def test_unknown_image_results_dropped(self, mini_coco):
+        from probpose_pytorch_tpu.eval.results import score_results
+
+        res, ds = self._run_with_predictions(mini_coco)
+        alien = dict(res["predictions"][0], image_id=999_999)
+        scored = score_results(res["predictions"] + [alien], ds)
+        assert scored["n_results"] == len(res["predictions"])
+        for k in ("AP", "AR"):
+            assert scored[k] == pytest.approx(res[k], abs=1e-6), k
+
+    def test_malformed_results_rejected(self, tmp_path):
+        from probpose_pytorch_tpu.eval.results import load_results
+
+        p = tmp_path / "bad.json"
+        p.write_text(json.dumps({"not": "a list"}))
+        with pytest.raises(ValueError):
+            load_results(p)
+        p.write_text(json.dumps([{"image_id": 1}]))
+        with pytest.raises(ValueError):
+            load_results(p)
