@@ -27,7 +27,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["gaussian_radius", "encode_boxes", "decode_boxes"]
+__all__ = [
+    "gaussian_radius",
+    "encode_boxes",
+    "decode_boxes",
+    "decode_poses",
+]
 
 
 def gaussian_radius(
@@ -70,6 +75,7 @@ def encode_boxes(
     ignore_boxes: jax.Array | None = None,
     ignore_mask: jax.Array | None = None,
     min_iou: float = 0.7,
+    keypoints: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """Encode padded person boxes into center-point detection targets.
 
@@ -77,6 +83,9 @@ def encode_boxes(
     ignore_boxes/ignore_mask: (B, Mi, 4)/(B, Mi) regions excluded from the
     negative loss (COCO crowds and unlabeled-person instances — the same
     records the keypoint evaluator treats as detection-absorbing).
+    keypoints: optional (B, M, K, 3) frame keypoints in input pixels with
+    COCO v flags — adds single-stage pose targets (joint offsets from the
+    integer center cell, in feature cells).
 
     Returns dict:
       heat       (B, H, W)  splatted center heatmap, exactly 1.0 at centers
@@ -85,6 +94,8 @@ def encode_boxes(
       offset     (B, M, 2)  sub-cell center remainders in [0, 1)
       mask       (B, M)     valid AND center-in-grid
       neg_weight (B, H, W)  0 inside ignore regions, 1 elsewhere
+      kpts       (B, M, K, 2)  joint - center displacement in cells
+      kpt_mask   (B, M, K)     labeled (v > 0) AND instance valid
     """
     H, W = feat_hw
     boxes = boxes.astype(jnp.float32)
@@ -141,7 +152,7 @@ def encode_boxes(
     else:
         neg_weight = jnp.ones_like(heat)
 
-    return dict(
+    out = dict(
         heat=heat,
         ind=ind,
         size=size_t,
@@ -149,6 +160,15 @@ def encode_boxes(
         mask=valid,
         neg_weight=neg_weight,
     )
+    if keypoints is not None:
+        kp = keypoints.astype(jnp.float32)  # (B, M, K, 3)
+        # Displacement from the INTEGER center cell (the decode adds it
+        # back at the same cell), in feature cells.
+        kx = kp[..., 0] / stride - cxi[..., None]
+        ky = kp[..., 1] / stride - cyi[..., None]
+        out["kpts"] = jnp.stack([kx, ky], axis=-1)
+        out["kpt_mask"] = (kp[..., 2] > 0) & valid[..., None]
+    return out
 
 
 def decode_boxes(
@@ -193,3 +213,55 @@ def decode_boxes(
     bh = wh[..., 1] * stride
     boxes = jnp.stack([cxp - bw / 2, cyp - bh / 2, bw, bh], axis=-1)
     return boxes, scores
+
+
+def decode_poses(
+    center_logits: jax.Array,
+    size: jax.Array,
+    offset: jax.Array,
+    kpts: jax.Array,
+    k: int = 32,
+    stride: int = 4,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Decode single-stage pose outputs into the top-K poses per image.
+
+    center_logits (B, H, W, 1), size/offset (B, H, W, 2),
+    kpts (B, H, W, 2K) joint-offset maps -> (boxes (B, K, 4) xywh px,
+    scores (B, K), poses (B, K, Kj, 2) px), score-descending. Same
+    static-shape design as decode_boxes (3x3 peak NMS + top_k; host
+    thresholds). Joint positions are the regressed displacements from each
+    peak's integer cell — the pure objects-as-points decode (no heatmap
+    snapping stage; see detect/pipeline.BottomUpPredictor for scores)."""
+    B, H, W, _ = center_logits.shape
+    Kj = kpts.shape[-1] // 2
+    p = jax.nn.sigmoid(center_logits.astype(jnp.float32)[..., 0])
+    pmax = jax.lax.reduce_window(
+        p,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1)),
+    )
+    peaks = jnp.where(p >= pmax, p, 0.0).reshape(B, H * W)
+    scores, ind = jax.lax.top_k(peaks, k)  # (B, K)
+    xi = (ind % W).astype(jnp.float32)
+    yi = (ind // W).astype(jnp.float32)
+
+    def gather(m: jax.Array, c: int) -> jax.Array:
+        flat = m.astype(jnp.float32).reshape(B, H * W, c)
+        return jnp.take_along_axis(flat, ind[..., None], axis=1)
+
+    off = gather(offset, 2)
+    wh = jnp.maximum(gather(size, 2), 0.0)
+    cxp = (xi + off[..., 0]) * stride
+    cyp = (yi + off[..., 1]) * stride
+    bw = wh[..., 0] * stride
+    bh = wh[..., 1] * stride
+    boxes = jnp.stack([cxp - bw / 2, cyp - bh / 2, bw, bh], axis=-1)
+
+    jo = gather(kpts, 2 * Kj).reshape(B, k, Kj, 2)  # cells from int cell
+    px = (xi[..., None] + jo[..., 0]) * stride
+    py = (yi[..., None] + jo[..., 1]) * stride
+    poses = jnp.stack([px, py], axis=-1)
+    return boxes, scores, poses

@@ -36,6 +36,9 @@ class FrameDetectionDataset:
     image_root: str | Path
     max_boxes: int = 16
     max_ignore: int = 8
+    # >0: items also carry padded `keypoints` (M, K, 3) frame-space rows
+    # aligned with `boxes` — the single-stage pose family's targets.
+    num_keypoints: int = 0
     image_ids: list = field(default=None, repr=False)  # type: ignore[assignment]
 
     def __post_init__(self):
@@ -46,9 +49,10 @@ class FrameDetectionDataset:
         for rec in records:
             e = by_image.setdefault(
                 int(rec["image_id"]),
-                dict(path=rec["image_path"], boxes=[], ignores=[]),
+                dict(path=rec["image_path"], boxes=[], kpts=[], ignores=[]),
             )
             e["boxes"].append(np.asarray(rec["bbox"], np.float32))
+            e["kpts"].append(np.asarray(rec["keypoints"], np.float32))
         # Ignore records carry no image path (they may land on images with
         # no positive instance); recover paths from the annotation file's
         # image table.
@@ -62,7 +66,7 @@ class FrameDetectionDataset:
         for rec in ignores:
             iid = int(rec["image_id"])
             e = by_image.setdefault(
-                iid, dict(path=paths[iid], boxes=[], ignores=[])
+                iid, dict(path=paths[iid], boxes=[], kpts=[], ignores=[])
             )
             e["ignores"].append(np.asarray(rec["bbox"], np.float32))
         if self.image_ids is None:
@@ -91,7 +95,7 @@ class FrameDetectionDataset:
 
         boxes, box_mask = pad(e["boxes"], self.max_boxes)
         ign, ign_mask = pad(e["ignores"], self.max_ignore)
-        return dict(
+        item = dict(
             frame=frame,
             boxes=boxes,
             box_mask=box_mask,
@@ -99,3 +103,15 @@ class FrameDetectionDataset:
             ignore_mask=ign_mask,
             image_id=np.int64(self.image_ids[idx]),
         )
+        if self.num_keypoints > 0:
+            K = self.num_keypoints
+            kp = np.zeros((self.max_boxes, K, 3), np.float32)
+            for j, rows in enumerate(e["kpts"][: self.max_boxes]):
+                if rows.shape[0] != K:
+                    raise ValueError(
+                        f"annotation has {rows.shape[0]} keypoints, "
+                        f"dataset configured for {K}"
+                    )
+                kp[j] = rows
+            item["keypoints"] = kp
+        return item

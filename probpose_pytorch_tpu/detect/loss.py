@@ -20,6 +20,7 @@ def detection_loss(
     targets: dict,
     size_weight: float = 0.1,
     offset_weight: float = 1.0,
+    kpt_weight: float = 1.0,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """pred: model output dict (center logits / size / offset maps).
     targets: encode_boxes output dict. Returns (total, per-term dict).
@@ -65,6 +66,22 @@ def detection_loss(
     total = (
         center_loss + size_weight * size_loss + offset_weight * offset_loss
     )
-    return total, dict(
-        center=center_loss, size=size_loss, offset=offset_loss, total=total
-    )
+    terms = dict(center=center_loss, size=size_loss, offset=offset_loss)
+    if "kpts" in pred and "kpts" in targets:
+        # Single-stage pose: gathered L1 on the joint-offset regression at
+        # each center, masked to labeled joints of valid instances —
+        # the CenterNet pose objective (same gather formulation as
+        # size/offset; no dense scatter).
+        Kj = targets["kpts"].shape[2]
+        flat = pred["kpts"].astype(jnp.float32).reshape(B, -1, 2 * Kj)
+        at_ctr = jnp.take_along_axis(flat, ind[..., None], axis=1)
+        at_ctr = at_ctr.reshape(B, -1, Kj, 2)
+        km = targets["kpt_mask"].astype(jnp.float32)[..., None]
+        kdenom = jnp.maximum(jnp.sum(km) * 2.0, 1.0)
+        kpt_loss = (
+            jnp.sum(jnp.abs(at_ctr - targets["kpts"]) * km) / kdenom
+        )
+        terms["kpts"] = kpt_loss
+        total = total + kpt_weight * kpt_loss
+    terms["total"] = total
+    return total, terms

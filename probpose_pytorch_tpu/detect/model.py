@@ -26,13 +26,21 @@ __all__ = ["PersonDetector"]
 
 class PersonDetector(nn.Module):
     """image (B, H, W, 3) -> dict(center (B, H/4, W/4, 1) logits,
-    size (B, H/4, W/4, 2), offset (B, H/4, W/4, 2))."""
+    size (B, H/4, W/4, 2), offset (B, H/4, W/4, 2)).
+
+    With `num_keypoints > 0` the same trunk becomes a SINGLE-STAGE
+    multi-person pose model (the CenterNet objects-as-points pose
+    formulation): an extra `kpts` head (B, H/4, W/4, 2K) regresses each
+    joint's displacement from the person center, so one forward on the
+    full frame yields every person's pose — no detector -> crop -> pose
+    round trip. Superset family: the reference is top-down only."""
 
     img_size: tuple[int, int] = (512, 512)
     preset: str = "conv-t"
     head_channels: int = 64
     dtype: jnp.dtype = jnp.bfloat16
     out_stride: int = 4  # backbone stride 16, two 2x upsamples
+    num_keypoints: int = 0  # >0: add the joint-offset pose head
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
@@ -68,7 +76,13 @@ class PersonDetector(nn.Module):
         )(y)
         size = nn.Conv(2, (1, 1), dtype=jnp.float32, name="size")(y)
         offset = nn.Conv(2, (1, 1), dtype=jnp.float32, name="offset")(y)
-        return dict(center=center, size=size, offset=offset)
+        out = dict(center=center, size=size, offset=offset)
+        if self.num_keypoints > 0:
+            out["kpts"] = nn.Conv(
+                2 * self.num_keypoints, (1, 1), dtype=jnp.float32,
+                name="kpts",
+            )(y)
+        return out
 
     @property
     def feat_hw(self) -> tuple[int, int]:

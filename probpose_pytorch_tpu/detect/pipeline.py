@@ -23,13 +23,15 @@ from typing import Any
 import numpy as np
 
 from probpose_pytorch_tpu.data.coco import expand_bbox, parse_coco_annotations
-from probpose_pytorch_tpu.detect.codec import decode_boxes
+from probpose_pytorch_tpu.detect.codec import decode_boxes, decode_poses
 
 __all__ = [
     "DetectorPredictor",
+    "BottomUpPredictor",
     "box_iou_matrix",
     "detection_pr",
     "evaluate_detector_topdown",
+    "evaluate_bottomup",
 ]
 
 
@@ -103,6 +105,88 @@ class DetectorPredictor:
         boxes, scores = self(frame[None])
         keep = scores[0] >= thr
         return boxes[0][keep], scores[0][keep]
+
+
+@dataclasses.dataclass
+class BottomUpPredictor:
+    """Single-stage multi-person pose: batched frames -> every person's
+    pose in ONE forward (CenterNet objects-as-points decode — no detector
+    -> crop -> top-down round trip).
+
+    Same serving shape discipline as DetectorPredictor: on-device full-frame
+    resize, forward, peak decode and joint gather in one jitted program per
+    frame shape; score thresholding on host. Each joint inherits its
+    person's center score (the formulation has no per-joint confidence —
+    the top-down family supplies that when you need it)."""
+
+    model: Any
+    variables: Any
+    score_threshold: float = 0.3
+    max_detections: int = 32
+
+    def __post_init__(self):
+        import jax
+
+        self._jax = jax
+        self._jitted: dict[tuple, Any] = {}
+
+    def _fn(self):
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.ops.preprocess import crop_resize
+
+        def run(variables, frames):
+            B, Hf, Wf, _ = frames.shape
+            Hd, Wd = self.model.img_size
+            full = jnp.tile(
+                jnp.array([[0.0, 0.0, Wf, Hf]], jnp.float32), (B, 1)
+            )
+            imgs = crop_resize(frames, full, (Hd, Wd), "bilinear_matmul")
+            pred = self.model.apply(variables, imgs, train=False)
+            boxes, scores, poses = decode_poses(
+                pred["center"],
+                pred["size"],
+                pred["offset"],
+                pred["kpts"],
+                k=self.max_detections,
+                stride=self.model.out_stride,
+            )
+            sx, sy = Wf / Wd, Hf / Hd
+            boxes = boxes * jnp.array([sx, sy, sx, sy], jnp.float32)
+            poses = poses * jnp.array([sx, sy], jnp.float32)
+            return boxes, scores, poses
+
+        return run
+
+    def __call__(
+        self, frames: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K),
+        poses (B, K, Kj, 2)) in frame pixels, score-descending,
+        UNthresholded."""
+        key = frames.shape
+        if key not in self._jitted:
+            self._jitted[key] = self._jax.jit(self._fn())
+        boxes, scores, poses = self._jitted[key](self.variables, frames)
+        return np.asarray(boxes), np.asarray(scores), np.asarray(poses)
+
+    def predict_frame(
+        self, frame: np.ndarray, score_threshold: float | None = None
+    ) -> dict[str, np.ndarray]:
+        """One frame -> dict(keypoints (n, Kj, 2), scores (n,),
+        boxes (n, 4)) above the threshold, frame pixels."""
+        thr = (
+            self.score_threshold
+            if score_threshold is None
+            else score_threshold
+        )
+        boxes, scores, poses = self(frame[None])
+        keep = scores[0] >= thr
+        return dict(
+            keypoints=poses[0][keep],
+            scores=scores[0][keep],
+            boxes=boxes[0][keep],
+        )
 
 
 def expand_detections(
@@ -370,4 +454,126 @@ def evaluate_detector_topdown(
     summary["det_per_image"] = (
         det["n_dt"] / max(len(det_images), 1)
     )
+    return summary
+
+
+def evaluate_bottomup(
+    predictor: BottomUpPredictor,
+    annotation_file: str | Path,
+    image_root: str | Path,
+    score_threshold: float | None = None,
+    max_images: int | None = None,
+    sigmas: np.ndarray | None = None,
+    verbose: bool = False,
+) -> dict[str, float]:
+    """COCO keypoint AP for the single-stage pose family: one forward per
+    frame yields every person's pose (no boxes in, none of the top-down
+    machinery). GT assembly and the ignore protocol match
+    evaluate_detector_topdown; each joint carries its person's center
+    score, and the instance score is the center score. Also reports the
+    center head's box AP@0.5 (`det_ap50`)."""
+    import PIL.Image
+
+    from probpose_pytorch_tpu.data.coco import COCO_SIGMAS
+    from probpose_pytorch_tpu.eval.coco_eval import COCOKeypointEvaluator
+
+    records, ignores = parse_coco_annotations(
+        annotation_file, image_root, include_ignore=True
+    )
+    gt_by_image: dict[int, list] = defaultdict(list)
+    for rec in records:
+        gt_by_image[int(rec["image_id"])].append(rec)
+    ignores_by_image: dict[int, list] = defaultdict(list)
+    for rec in ignores:
+        ignores_by_image[int(rec["image_id"])].append(rec)
+
+    import json
+
+    raw = json.loads(Path(annotation_file).read_text())
+    images = sorted(raw["images"], key=lambda im: im["id"])
+    if max_images is not None:
+        images = images[:max_images]
+
+    evaluator = COCOKeypointEvaluator(
+        np.asarray(COCO_SIGMAS if sigmas is None else sigmas)
+    )
+    det_images = []
+    K = None
+    for n_done, im in enumerate(images):
+        image_id = int(im["id"])
+        gts = gt_by_image.get(image_id, [])
+        igs = ignores_by_image.get(image_id, [])
+        if not gts and not igs:
+            continue
+        frame = np.asarray(
+            PIL.Image.open(Path(image_root) / im["file_name"]).convert(
+                "RGB"
+            ),
+            np.uint8,
+        )
+        out = predictor.predict_frame(frame, score_threshold)
+        det_images.append(
+            dict(
+                dt_boxes=out["boxes"],
+                dt_scores=out["scores"],
+                gt_boxes=np.asarray(
+                    [g["bbox"] for g in gts], np.float64
+                ).reshape(-1, 4),
+                ignore_boxes=np.asarray(
+                    [g["bbox"] for g in igs], np.float64
+                ).reshape(-1, 4),
+            )
+        )
+        if K is None and gts:
+            K = gts[0]["keypoints"].shape[0]
+        dts, scores = [], []
+        for j in range(len(out["keypoints"])):
+            s = float(out["scores"][j])
+            dts.append(
+                np.concatenate(
+                    [
+                        out["keypoints"][j],
+                        np.full((out["keypoints"].shape[1], 1), s),
+                    ],
+                    axis=1,
+                )
+            )
+            scores.append(s)
+        Kk = K if K is not None else len(
+            igs[0]["keypoints"]
+        ) if igs else 17
+        gt = (
+            np.stack([g["keypoints"] for g in gts]).astype(np.float64)
+            if gts
+            else np.zeros((0, Kk, 3))
+        )
+        areas = [float(g["area"]) for g in gts]
+        boxes = [np.asarray(g["bbox"], np.float64) for g in gts]
+        ignore = list((gt[:, :, 2] > 0).sum(axis=1) == 0) if gts else []
+        crowd = [False] * len(ignore)
+        for ig in igs:
+            kp = np.asarray(ig["keypoints"], np.float64)
+            if kp.shape[0] != Kk:
+                kp = np.zeros((Kk, 3), np.float64)
+            gt = np.concatenate([gt, kp[None]], axis=0)
+            areas.append(float(ig["area"]))
+            boxes.append(np.asarray(ig["bbox"], np.float64))
+            ignore.append(True)
+            crowd.append(bool(ig["iscrowd"]))
+        evaluator.add_image(
+            np.stack(dts) if dts else np.zeros((0, gt.shape[1], 3)),
+            np.asarray(scores),
+            gt,
+            np.asarray(areas),
+            np.stack(boxes) if boxes else None,
+            gt_ignore=np.asarray(ignore, bool),
+            gt_crowd=np.asarray(crowd, bool),
+        )
+        if verbose and (n_done + 1) % 25 == 0:
+            print(f"[bottomup-eval] {n_done + 1}/{len(images)} images",
+                  flush=True)
+    summary = evaluator.summarize()
+    det = detection_pr(det_images)
+    summary["det_ap50"] = det["ap"]
+    summary["det_recall50"] = det["recall"]
     return summary

@@ -27,7 +27,7 @@ from probpose_pytorch_tpu.detect.codec import encode_boxes
 from probpose_pytorch_tpu.detect.loss import detection_loss
 from probpose_pytorch_tpu.detect.model import PersonDetector
 
-__all__ = ["DetectorTrainer", "load_detector", "main"]
+__all__ = ["DetectorTrainer", "load_detector", "load_bottomup", "main"]
 
 
 @dataclasses.dataclass
@@ -49,6 +49,7 @@ class DetectorTrainer:
         total_steps: int = 1500,
         weight_decay: float = 1e-4,
         seed: int = 0,
+        num_keypoints: int = 0,
     ) -> "DetectorTrainer":
         import jax
         import jax.numpy as jnp
@@ -56,7 +57,9 @@ class DetectorTrainer:
 
         from probpose_pytorch_tpu.train.state import TrainState
 
-        model = PersonDetector(img_size=img_size, preset=preset)
+        model = PersonDetector(
+            img_size=img_size, preset=preset, num_keypoints=num_keypoints
+        )
         variables = model.init(
             jax.random.PRNGKey(seed),
             jnp.zeros((1, *img_size, 3), jnp.float32),
@@ -103,6 +106,10 @@ class DetectorTrainer:
             scale = jnp.array(
                 [Wd / Wf, Hd / Hf, Wd / Wf, Hd / Hf], jnp.float32
             )
+            kpts = None
+            if model.num_keypoints > 0:
+                kp = batch["keypoints"].astype(jnp.float32)  # (B, M, K, 3)
+                kpts = kp.at[..., 0].mul(Wd / Wf).at[..., 1].mul(Hd / Hf)
             targets = encode_boxes(
                 batch["boxes"] * scale,
                 batch["box_mask"],
@@ -110,6 +117,7 @@ class DetectorTrainer:
                 stride,
                 ignore_boxes=batch["ignore_boxes"] * scale,
                 ignore_mask=batch["ignore_mask"],
+                keypoints=kpts,
             )
 
             def loss_fn(params):
@@ -163,10 +171,50 @@ def load_detector(
     trainer = DetectorTrainer.create(
         img_size=tuple(cfg.get("img_size", (512, 512))),
         preset=cfg.get("preset", "conv-t"),
+        num_keypoints=int(cfg.get("num_keypoints", 0)),
     )
     ckpt = CheckpointManager(checkpoint_dir)
     state = ckpt.restore(trainer.state)
     return DetectorPredictor(
+        model=trainer.model,
+        variables={
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+        },
+        score_threshold=score_threshold,
+        max_detections=max_detections,
+    )
+
+
+def load_bottomup(
+    checkpoint_dir: str | Path,
+    score_threshold: float = 0.3,
+    max_detections: int = 32,
+):
+    """Build a BottomUpPredictor (single-stage multi-person pose) from a
+    detector checkpoint trained with --keypoints > 0."""
+    from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    checkpoint_dir = Path(checkpoint_dir)
+    if (checkpoint_dir / "checkpoints").exists():
+        checkpoint_dir = checkpoint_dir / "checkpoints"
+    cfg_path = checkpoint_dir.parent / "detector.json"
+    cfg = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
+    num_keypoints = int(cfg.get("num_keypoints", 0))
+    if num_keypoints <= 0:
+        raise ValueError(
+            f"{cfg_path}: not a single-stage pose checkpoint "
+            "(num_keypoints == 0; train with detect.train --keypoints K)"
+        )
+    trainer = DetectorTrainer.create(
+        img_size=tuple(cfg.get("img_size", (512, 512))),
+        preset=cfg.get("preset", "conv-t"),
+        num_keypoints=num_keypoints,
+    )
+    ckpt = CheckpointManager(checkpoint_dir)
+    state = ckpt.restore(trainer.state)
+    return BottomUpPredictor(
         model=trainer.model,
         variables={
             "params": state.params,
@@ -188,6 +236,12 @@ def main(argv: Sequence[str] | None = None) -> None:
                         help="square detector input size")
     parser.add_argument("--preset", type=str, default="conv-t",
                         choices=("conv-t", "conv-s"))
+    parser.add_argument("--keypoints", type=int, default=0,
+                        help=">0: train the SINGLE-STAGE pose family "
+                        "(CenterNet objects-as-points: a joint-offset head "
+                        "on the same trunk; one forward -> all poses). "
+                        "Load with load_bottomup / eval with "
+                        "eval.run --bottomup")
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--max-boxes", type=int, default=16)
     parser.add_argument("--num-workers", type=int, default=4)
@@ -203,6 +257,7 @@ def main(argv: Sequence[str] | None = None) -> None:
         args.data_root / "annotations" / "person_keypoints_train2017.json",
         args.data_root / "train2017",
         max_boxes=args.max_boxes,
+        num_keypoints=args.keypoints,
     )
     print(f"[detect] {len(ds)} training frames")
     trainer = DetectorTrainer.create(
@@ -211,12 +266,14 @@ def main(argv: Sequence[str] | None = None) -> None:
         lr=args.lr,
         total_steps=args.steps,
         seed=args.seed,
+        num_keypoints=args.keypoints,
     )
     args.out.mkdir(parents=True, exist_ok=True)
     (args.out / "detector.json").write_text(
         json.dumps(
             dict(img_size=[args.img_size, args.img_size],
-                 preset=args.preset)
+                 preset=args.preset,
+                 num_keypoints=args.keypoints)
         )
     )
     ckpt = CheckpointManager(args.out / "checkpoints")
@@ -244,11 +301,15 @@ def main(argv: Sequence[str] | None = None) -> None:
                 rate = step * args.batch_size / (
                     time.perf_counter() - t0
                 )
+                kpt_part = (
+                    f" kpts {vals['kpts']:.4f}" if "kpts" in vals else ""
+                )
                 print(
                     f"[detect] step {step}/{args.steps} "
                     f"loss {vals['total']:.4f} "
                     f"(center {vals['center']:.4f} size {vals['size']:.4f} "
-                    f"offset {vals['offset']:.4f}) {rate:.0f} frames/s",
+                    f"offset {vals['offset']:.4f}{kpt_part}) "
+                    f"{rate:.0f} frames/s",
                     flush=True,
                 )
             if step >= args.steps:

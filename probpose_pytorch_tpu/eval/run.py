@@ -53,6 +53,12 @@ def main(argv=None) -> None:
         "(--dump-predictions output, or any pycocotools-format results "
         "list) against the annotations",
     )
+    src.add_argument(
+        "--bottomup", type=Path, metavar="RUN_DIR",
+        help="single-stage pose run directory (detect.train --keypoints K "
+        "output): one forward per frame yields every pose — no boxes, no "
+        "crops",
+    )
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--annotations", type=Path, required=True)
     parser.add_argument("--images", type=Path, required=True)
@@ -158,9 +164,26 @@ def main(argv=None) -> None:
         summary = score_results(load_results(args.score_predictions), dataset)
         print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}))
         return
+    if args.bottomup is not None:
+        from probpose_pytorch_tpu.detect.pipeline import evaluate_bottomup
+        from probpose_pytorch_tpu.detect.train import load_bottomup
+
+        predictor = load_bottomup(
+            args.bottomup, score_threshold=args.detector_threshold
+        )
+        summary = evaluate_bottomup(
+            predictor,
+            args.annotations,
+            args.images,
+            max_images=args.max_samples,
+            verbose=True,
+        )
+        print(json.dumps({k: round(float(v), 4) for k, v in summary.items()}))
+        return
     if args.checkpoint is None and args.bundle is None:
         parser.error(
-            "one of --checkpoint / --bundle / --score-predictions is required"
+            "one of --checkpoint / --bundle / --score-predictions / "
+            "--bottomup is required"
         )
 
     if args.bundle and (
