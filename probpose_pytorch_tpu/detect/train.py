@@ -192,11 +192,22 @@ def load_bottomup(
     max_detections: int = 32,
 ):
     """Build a BottomUpPredictor (single-stage multi-person pose) from a
-    detector checkpoint trained with --keypoints > 0."""
+    detector checkpoint trained with --keypoints > 0. A directory holding
+    an exported bottom-up bundle (serve.export_bottomup_bundle) loads as a
+    codeless BottomUpBundle instead — same predict_frame contract, so
+    eval.run --bottomup and the video pipeline accept either."""
     from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
     from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
 
     checkpoint_dir = Path(checkpoint_dir)
+    manifest = checkpoint_dir / "manifest.json"
+    if manifest.exists():
+        import json as _json
+
+        if _json.loads(manifest.read_text()).get("kind") == "bottomup":
+            from probpose_pytorch_tpu.serve.export import BottomUpBundle
+
+            return BottomUpBundle.load(checkpoint_dir)
     if (checkpoint_dir / "checkpoints").exists():
         checkpoint_dir = checkpoint_dir / "checkpoints"
     cfg_path = checkpoint_dir.parent / "detector.json"

@@ -9,16 +9,20 @@ configs, codec) on the box.
 """
 
 from probpose_pytorch_tpu.serve.export import (
+    BottomUpBundle,
     DetectorBundle,
     ServingBundle,
+    export_bottomup_bundle,
     export_detector_bundle,
     export_predictor_bundle,
 )
 from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
 
 __all__ = [
+    "BottomUpBundle",
     "DetectorBundle",
     "ServingBundle",
+    "export_bottomup_bundle",
     "export_detector_bundle",
     "export_predictor_bundle",
     "MicroBatcher",

@@ -531,6 +531,191 @@ class DetectorBundle:
         return boxes[keep], scores[keep]
 
 
+def export_bottomup_bundle(
+    predictor: Any,
+    out_dir: str | Path,
+    frame_shapes: Sequence[tuple[int, int]],
+    batches: Sequence[int] = (1,),
+    platforms: Sequence[str] | None = None,
+) -> Path:
+    """Export a `detect.BottomUpPredictor` (single-stage multi-person
+    pose) as a codeless bundle: one StableHLO program per (batch bucket,
+    frame shape). Unlike the per-frame detector, bottom-up serving batches
+    FRAMES (its whole point: frame rate independent of person count), so a
+    batch ladder is first-class. Smaller frames zero-pad to the closest
+    exported shape; short batches pad with zero frames and the outputs are
+    trimmed (padding rows decode, but are dropped before return).
+
+    Third family through the same deployment story as
+    `export_predictor_bundle` (top-down) and `export_detector_bundle`:
+    the serving host needs jax + numpy only."""
+    import jax
+
+    shapes = sorted({(int(h), int(w)) for h, w in frame_shapes})
+    buckets = sorted({int(b) for b in batches})
+    if not shapes or not buckets or buckets[0] < 1:
+        raise ValueError("need at least one frame shape and batch >= 1")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    var_abs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        predictor.variables,
+    )
+    fn = predictor._fn()
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    for B in buckets:
+        for H, W in shapes:
+            ex = jax.export.export(jax.jit(fn), **kwargs)(
+                var_abs, jax.ShapeDtypeStruct((B, H, W, 3), np.uint8)
+            )
+            (out_dir / f"bu_b{B}_h{H}w{W}.bin").write_bytes(ex.serialize())
+    np.savez(out_dir / "params.npz", **_flatten(predictor.variables))
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "kind": "bottomup",
+        "frame_shapes": [list(s) for s in shapes],
+        "batches": buckets,
+        "score_threshold": float(predictor.score_threshold),
+        "max_detections": int(predictor.max_detections),
+        "img_size": list(predictor.model.img_size),
+        "num_keypoints": int(predictor.model.num_keypoints),
+        "platforms": (
+            list(platforms) if platforms else [jax.default_backend()]
+        ),
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out_dir
+
+
+@dataclasses.dataclass
+class BottomUpBundle:
+    """A loaded single-stage pose bundle: frames -> every person's pose in
+    one forward per frame, no model code. Duck-types
+    `detect.BottomUpPredictor` (`__call__` and `predict_frame`), so
+    `eval.run --bottomup`, the video pipeline, and the rehearsal scripts
+    accept either."""
+
+    directory: Path
+    manifest: dict
+    variables: dict
+    _programs: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @classmethod
+    def load(cls, directory: str | Path) -> "BottomUpBundle":
+        directory = Path(directory)
+        manifest = json.loads((directory / "manifest.json").read_text())
+        if manifest.get("kind") != "bottomup":
+            raise ValueError(
+                f"{directory} is not a bottom-up pose bundle "
+                f"(kind={manifest.get('kind')!r})"
+            )
+        if manifest.get("version") != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {manifest.get('version')} != "
+                f"{BUNDLE_VERSION} (re-export with this release)"
+            )
+        with np.load(directory / "params.npz") as z:
+            variables = _unflatten({k: z[k] for k in z.files})
+        return cls(
+            directory=directory, manifest=manifest, variables=variables
+        )
+
+    @property
+    def frame_shapes(self) -> tuple[tuple[int, int], ...]:
+        return tuple(tuple(s) for s in self.manifest["frame_shapes"])
+
+    @property
+    def batches(self) -> tuple[int, ...]:
+        return tuple(self.manifest["batches"])
+
+    @property
+    def score_threshold(self) -> float:
+        return float(self.manifest["score_threshold"])
+
+    def _program(self, b: int, shape: tuple[int, int]):
+        key = (b, shape)
+        if key not in self._programs:
+            import jax
+
+            blob = (
+                self.directory / f"bu_b{b}_h{shape[0]}w{shape[1]}.bin"
+            ).read_bytes()
+            self._programs[key] = jax.export.deserialize(bytearray(blob))
+        return self._programs[key]
+
+    def _fit_shape(self, H: int, W: int) -> tuple[int, int]:
+        fit = [s for s in self.frame_shapes if s[0] >= H and s[1] >= W]
+        if not fit:
+            raise ValueError(
+                f"frame {(H, W)} exceeds every exported shape "
+                f"{self.frame_shapes}"
+            )
+        return min(fit)
+
+    def __call__(
+        self, frames: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K),
+        poses (B, K, Kj, 2)) in frame pixels, score-descending,
+        UNthresholded — the live predictor's contract. B splits greedily
+        over the exported batch buckets (largest bucket that fits, else
+        the smallest bucket, zero-padded)."""
+        frames = np.asarray(frames, np.uint8)
+        B, H, W = frames.shape[:3]
+        He, We = self._fit_shape(H, W)
+        if (H, W) != (He, We):
+            frames = np.pad(
+                frames, ((0, 0), (0, He - H), (0, We - W), (0, 0))
+            )
+        buckets = self.batches
+        outs: list[tuple] = []
+        i = 0
+        while i < B:
+            left = B - i
+            fits = [b for b in buckets if b <= left]
+            b = max(fits) if fits else min(buckets)
+            chunk = frames[i : i + min(b, left)]
+            if len(chunk) < b:
+                chunk = np.pad(
+                    chunk, ((0, b - len(chunk)), (0, 0), (0, 0), (0, 0))
+                )
+            boxes, scores, poses = self._program(b, (He, We)).call(
+                self.variables, chunk
+            )
+            n = min(b, left)
+            outs.append(
+                (
+                    np.asarray(boxes[:n]),
+                    np.asarray(scores[:n]),
+                    np.asarray(poses[:n]),
+                )
+            )
+            i += n
+        return (
+            np.concatenate([o[0] for o in outs]),
+            np.concatenate([o[1] for o in outs]),
+            np.concatenate([o[2] for o in outs]),
+        )
+
+    def predict_frame(
+        self, frame: np.ndarray, score_threshold: float | None = None
+    ) -> dict[str, np.ndarray]:
+        """One frame -> dict(keypoints (n, Kj, 2), scores (n,),
+        boxes (n, 4)) above the threshold, frame pixels."""
+        thr = (
+            self.score_threshold
+            if score_threshold is None
+            else score_threshold
+        )
+        boxes, scores, poses = self(np.asarray(frame, np.uint8)[None])
+        keep = scores[0] >= thr
+        return dict(
+            keypoints=poses[0][keep],
+            scores=scores[0][keep],
+            boxes=boxes[0][keep],
+        )
+
+
 def main(argv: Sequence[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         description="Export a checkpoint as a StableHLO serving bundle"
@@ -542,9 +727,15 @@ def main(argv: Sequence[str] | None = None) -> None:
                         help="export a PERSON-DETECTOR bundle instead "
                         "(detect.train output dir); use --frame-size "
                         "(repeatable via ';') for the accepted shapes")
+    parser.add_argument("--bottomup-checkpoint", type=Path, default=None,
+                        metavar="DIR",
+                        help="export a SINGLE-STAGE POSE bundle instead "
+                        "(detect.train --keypoints output dir); "
+                        "--frame-size for accepted shapes (';'-separated), "
+                        "--buckets for the frame-batch ladder (default 1)")
     parser.add_argument("--detector-threshold", type=float, default=0.3,
                         help="default score threshold baked into the "
-                        "detector bundle manifest")
+                        "detector / bottom-up bundle manifest")
     parser.add_argument("--config", type=Path, default=None,
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--out", type=Path, required=True,
@@ -563,13 +754,43 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "'cpu,tpu' for a portable bundle; needs a "
                         "Pallas-free attn_impl — einsum)")
     args = parser.parse_args(argv)
-    if (args.checkpoint is None) == (args.detector_checkpoint is None):
+    n_modes = sum(
+        x is not None
+        for x in (args.checkpoint, args.detector_checkpoint,
+                  args.bottomup_checkpoint)
+    )
+    if n_modes != 1:
         parser.error("pass exactly one of --checkpoint / "
-                     "--detector-checkpoint")
+                     "--detector-checkpoint / --bottomup-checkpoint")
 
     platforms = (
         tuple(args.platforms.split(",")) if args.platforms else None
     )
+    if args.bottomup_checkpoint is not None:
+        from probpose_pytorch_tpu.detect.train import load_bottomup
+
+        bu_dir = args.bottomup_checkpoint
+        if (bu_dir / "checkpoints").exists():
+            bu_dir = bu_dir / "checkpoints"
+        predictor = load_bottomup(
+            bu_dir, score_threshold=args.detector_threshold
+        )
+        shapes = [
+            tuple(int(v) for v in part.split(","))
+            for part in args.frame_size.split(";")
+        ]
+        batches = (
+            tuple(int(b) for b in args.buckets.split(","))
+            if args.buckets
+            else (1,)
+        )
+        export_bottomup_bundle(
+            predictor, args.out, shapes, batches=batches,
+            platforms=platforms,
+        )
+        print(f"wrote bottom-up bundle {args.out} "
+              f"(frames {shapes}, batches {batches})")
+        return
     if args.detector_checkpoint is not None:
         from probpose_pytorch_tpu.detect.train import load_detector
 

@@ -485,6 +485,140 @@ class TestDetectorBundle:
         assert boxes.shape[1] == 4
 
 
+class TestBottomUpBundle:
+    @pytest.fixture(scope="class")
+    def bu_env(self, tmp_path_factory):
+        from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.serve import (
+            BottomUpBundle,
+            export_bottomup_bundle,
+        )
+
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=1,
+            num_keypoints=5,
+        )
+        live = BottomUpPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            score_threshold=0.0,  # untrained: keep everything, compare raw
+            max_detections=6,
+        )
+        root = tmp_path_factory.mktemp("bubundle")
+        out = export_bottomup_bundle(
+            live, root / "bundle",
+            frame_shapes=[(64, 64), (96, 96)], batches=(1, 2),
+        )
+        return live, BottomUpBundle.load(out), out
+
+    def test_manifest_and_kind_gates(self, bu_env, tmp_path):
+        import json as _json
+
+        from probpose_pytorch_tpu.serve import BottomUpBundle, DetectorBundle
+
+        live, bundle, out = bu_env
+        assert bundle.frame_shapes == ((64, 64), (96, 96))
+        assert bundle.batches == (1, 2)
+        assert bundle.manifest["num_keypoints"] == 5
+        # wrong-kind manifests refuse to load in either direction
+        fake = tmp_path / "fake_det"
+        fake.mkdir()
+        (fake / "manifest.json").write_text(
+            _json.dumps({"kind": "detector", "version": 1})
+        )
+        with pytest.raises(ValueError, match="not a bottom-up"):
+            BottomUpBundle.load(fake)
+        with pytest.raises(ValueError, match="not a detector bundle"):
+            DetectorBundle.load(out)
+
+    def test_matches_live_predictor(self, bu_env):
+        live, bundle, _ = bu_env
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
+        lb, ls, lp = live(frames)
+        bb, bs, bp = bundle(frames)
+        np.testing.assert_allclose(bb, lb, atol=1e-5)
+        np.testing.assert_allclose(bs, ls, atol=1e-6)
+        np.testing.assert_allclose(bp, lp, atol=1e-5)
+
+    def test_predict_frame_pads_and_thresholds(self, bu_env):
+        live, bundle, _ = bu_env
+        rng = np.random.default_rng(1)
+        # 80x70 pads up to the 96x96 program (bottom/right zero padding ==
+        # live predictor fed the padded frame)
+        frame = rng.integers(0, 256, (80, 70, 3), dtype=np.uint8)
+        padded = np.pad(frame, ((0, 16), (0, 26), (0, 0)))
+        lo = live.predict_frame(padded)
+        bo = bundle.predict_frame(frame)
+        np.testing.assert_allclose(bo["keypoints"], lo["keypoints"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(bo["scores"], lo["scores"], atol=1e-6)
+        with pytest.raises(ValueError, match="exceeds"):
+            bundle.predict_frame(np.zeros((128, 128, 3), np.uint8))
+        # a high threshold on an untrained net keeps nothing
+        empty = bundle.predict_frame(frame, score_threshold=2.0)
+        assert len(empty["keypoints"]) == 0
+
+    def test_batch_chunking_over_buckets(self, bu_env):
+        """B=5 splits 2+2+1 over the (1, 2) ladder; results match a live
+        batched call exactly."""
+        live, bundle, _ = bu_env
+        rng = np.random.default_rng(2)
+        frames = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+        lb, ls, lp = live(frames)
+        bb, bs, bp = bundle(frames)
+        assert bb.shape == lb.shape and bp.shape == lp.shape
+        np.testing.assert_allclose(bs, ls, atol=1e-6)
+        np.testing.assert_allclose(bp, lp, atol=1e-5)
+
+    def test_load_bottomup_dispatches_to_bundle(self, bu_env):
+        from probpose_pytorch_tpu.detect.train import load_bottomup
+        from probpose_pytorch_tpu.serve import BottomUpBundle
+
+        _, _, out = bu_env
+        loaded = load_bottomup(out)
+        assert isinstance(loaded, BottomUpBundle)
+
+    def test_export_cli_bottomup_mode(self, tmp_path):
+        """serve.export --bottomup-checkpoint: CLI round trip on a saved
+        single-stage pose checkpoint."""
+        import json as _json
+
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.serve.export import main as export_main
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        run = tmp_path / "bu_run"
+        run.mkdir()
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), total_steps=1, num_keypoints=5
+        )
+        (run / "detector.json").write_text(
+            _json.dumps(
+                dict(img_size=[64, 64], preset="conv-t", num_keypoints=5)
+            )
+        )
+        ckpt = CheckpointManager(run / "checkpoints", keep=1)
+        ckpt.save(0, trainer.state, force=True)
+        ckpt.close()
+        export_main([
+            "--bottomup-checkpoint", str(run),
+            "--out", str(tmp_path / "bu_bundle"),
+            "--frame-size", "64,64",
+            "--buckets", "1,2",
+        ])
+        from probpose_pytorch_tpu.serve import BottomUpBundle
+
+        bundle = BottomUpBundle.load(tmp_path / "bu_bundle")
+        assert bundle.batches == (1, 2)
+        out = bundle.predict_frame(np.zeros((64, 64, 3), np.uint8))
+        assert out["keypoints"].shape[1:] == (5, 2)
+
+
 def test_flatten_roundtrip():
     from probpose_pytorch_tpu.serve.export import _flatten, _unflatten
 
