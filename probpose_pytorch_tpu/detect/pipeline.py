@@ -158,17 +158,30 @@ class BottomUpPredictor:
 
         return run
 
+    def dispatch(self, frames: np.ndarray) -> dict:
+        """Non-blocking enqueue: frames (B, H, W, 3) uint8 -> dict of
+        in-flight device arrays (boxes (B, K, 4), scores (B, K), keypoints
+        (B, K, Kj, 2)) — the serving front (serve.server.FrameBatcher)
+        overlaps the next batch's assembly under this batch's compute and
+        reads back on its completion thread."""
+        key = frames.shape
+        if key not in self._jitted:
+            self._jitted[key] = self._jax.jit(self._fn())
+        boxes, scores, poses = self._jitted[key](self.variables, frames)
+        return dict(boxes=boxes, scores=scores, keypoints=poses)
+
     def __call__(
         self, frames: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K),
         poses (B, K, Kj, 2)) in frame pixels, score-descending,
         UNthresholded."""
-        key = frames.shape
-        if key not in self._jitted:
-            self._jitted[key] = self._jax.jit(self._fn())
-        boxes, scores, poses = self._jitted[key](self.variables, frames)
-        return np.asarray(boxes), np.asarray(scores), np.asarray(poses)
+        out = self.dispatch(np.asarray(frames, np.uint8))
+        return (
+            np.asarray(out["boxes"]),
+            np.asarray(out["scores"]),
+            np.asarray(out["keypoints"]),
+        )
 
     def predict_frame(
         self, frame: np.ndarray, score_threshold: float | None = None

@@ -652,6 +652,24 @@ class BottomUpBundle:
             )
         return min(fit)
 
+    def dispatch(self, frames: np.ndarray) -> dict:
+        """Non-blocking enqueue for the serving front: frames
+        (B, H, W, 3) uint8, where B is an exported batch bucket and (H, W)
+        an exported frame shape EXACTLY (the micro-batcher pads to both) ->
+        dict of in-flight device arrays (boxes, scores, keypoints). The
+        live predictor's `dispatch` counterpart."""
+        frames = np.asarray(frames, np.uint8)
+        B, H, W = frames.shape[:3]
+        if B not in self.batches or (H, W) not in self.frame_shapes:
+            raise ValueError(
+                f"dispatch batch {B} / frame {(H, W)} not exported "
+                f"(batches {self.batches}, shapes {self.frame_shapes})"
+            )
+        boxes, scores, poses = self._program(B, (H, W)).call(
+            self.variables, frames
+        )
+        return dict(boxes=boxes, scores=scores, keypoints=poses)
+
     def __call__(
         self, frames: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

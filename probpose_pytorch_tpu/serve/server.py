@@ -50,7 +50,7 @@ from typing import Any, Callable, Sequence
 
 import numpy as np
 
-__all__ = ["MicroBatcher", "PoseHTTPServer", "main"]
+__all__ = ["MicroBatcher", "BottomUpRunner", "PoseHTTPServer", "main"]
 
 # One 4K RGB frame base64-encodes to ~33 MB; 128 MB bounds any sane request
 # while keeping a ThreadingHTTPServer from buffering unbounded bodies.
@@ -433,6 +433,29 @@ class MicroBatcher:
         return out
 
 
+class BottomUpRunner:
+    """Adapts the single-stage pose family (a live `detect.pipeline.
+    BottomUpPredictor` or a loaded `serve.BottomUpBundle`) to the
+    MicroBatcher runner contract. Each request is ONE frame = one batch
+    row; the synthesized full-frame box rows the batcher assembles are
+    ignored (the model consumes whole frames by construction — that is the
+    family's point: cost per frame, not per person). `kind = "bottomup"`
+    tells the HTTP handler to post-process rows with score thresholding
+    instead of the top-down per-crop contract."""
+
+    kind = "bottomup"
+
+    def __init__(self, predictor):
+        self.predictor = predictor
+        self.score_threshold = float(predictor.score_threshold)
+
+    def dispatch(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        del boxes  # full-frame rows, one per request — nothing to crop
+        return self.predictor.dispatch(frames)
+
+    __call__ = dispatch
+
+
 def _make_handler(
     batchers: dict[str, MicroBatcher],
     default: str,
@@ -544,11 +567,6 @@ def _make_handler(
                     if "boxes" in req
                     else None
                 )
-                if boxes is None and detector is None:
-                    raise ValueError(
-                        "request has no 'boxes' and the server has no "
-                        "--detector configured"
-                    )
                 model = req.get("model", default)
             except Exception as e:  # noqa: BLE001 — client error -> 400
                 self._reply(400, {"error": str(e)})
@@ -558,6 +576,22 @@ def _make_handler(
                 self._reply(404, {
                     "error": f"unknown model {model!r} "
                     f"(serving: {sorted(batchers)})"
+                })
+                return
+            bottomup = getattr(batcher.runner, "kind", None) == "bottomup"
+            if bottomup:
+                if boxes is not None:
+                    self._reply(400, {
+                        "error": "bottom-up models take whole frames — "
+                        "omit 'boxes' (pass 'score_threshold' to filter)"
+                    })
+                    return
+                H, W = frame.shape[:2]
+                boxes = np.array([[0.0, 0.0, W, H]], np.float32)
+            elif boxes is None and detector is None:
+                self._reply(400, {
+                    "error": "request has no 'boxes' and the server has "
+                    "no --detector configured"
                 })
                 return
             detected = None
@@ -588,7 +622,19 @@ def _make_handler(
             except Exception as e:  # noqa: BLE001 — server error -> 500
                 self._reply(500, {"error": str(e)})
                 return
-            payload = {k: v.tolist() for k, v in out.items()}
+            if bottomup:
+                # one row per request: (1, K, ...) -> threshold over the
+                # K detection slots, return (n, ...) kept poses
+                thr = float(req.get(
+                    "score_threshold", batcher.runner.score_threshold
+                ))
+                keep = np.asarray(out["scores"][0]) >= thr
+                payload = {
+                    k: np.asarray(v[0])[keep].tolist()
+                    for k, v in out.items()
+                }
+            else:
+                payload = {k: v.tolist() for k, v in out.items()}
             if detected is not None:
                 payload["boxes"] = detected.tolist()
             self._reply(200, payload)
@@ -655,6 +701,12 @@ def main(argv=None) -> None:
                         metavar="[NAME=]DIR",
                         help="exported StableHLO bundle directory; repeat "
                         "with NAME=DIR to serve several models")
+    parser.add_argument("--bottomup", action="append", default=[],
+                        metavar="[NAME=]DIR",
+                        help="single-stage pose model (detect.train "
+                        "--keypoints run dir or an exported bottom-up "
+                        "bundle): requests send whole frames, no 'boxes' "
+                        "field; cost is per frame, not per person")
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
@@ -676,8 +728,10 @@ def main(argv=None) -> None:
                         "before accepting traffic (avoids compile storms "
                         "under load; adds startup time)")
     args = parser.parse_args(argv)
-    if not args.checkpoint and not args.bundle:
-        parser.error("need at least one --checkpoint or --bundle")
+    if not args.checkpoint and not args.bundle and not args.bottomup:
+        parser.error(
+            "need at least one --checkpoint / --bundle / --bottomup"
+        )
 
     # Graceful stop on SIGTERM (orchestrators send it; also the only
     # reliable stop for `&`-launched processes, whose SIGINT is SIG_IGN in
@@ -691,7 +745,9 @@ def main(argv=None) -> None:
 
     signal.signal(signal.SIGTERM, _term)
 
-    multi = len(args.checkpoint) + len(args.bundle) > 1
+    multi = (
+        len(args.checkpoint) + len(args.bundle) + len(args.bottomup) > 1
+    )
 
     def parse_named(entries, prefix):
         out = []
@@ -737,6 +793,19 @@ def main(argv=None) -> None:
         add(name, predictor,
             tuned_bucket_ladder() or (tuned_serving_batch(),),
             cli_frame_shape, True)
+    for name, path in parse_named(args.bottomup, "bottomup"):
+        from probpose_pytorch_tpu.detect.train import load_bottomup
+
+        bu = load_bottomup(
+            path, score_threshold=args.detector_threshold
+        )
+        if hasattr(bu, "batches"):  # exported bundle: fixed shape ladder
+            buckets = bu.batches
+            frame_shape = bu._fit_shape(*cli_frame_shape)
+        else:  # live predictor: jits per shape, any ladder works
+            buckets = (1, 2, 4, 8)
+            frame_shape = cli_frame_shape
+        add(name, BottomUpRunner(bu), buckets, frame_shape, False)
 
     if args.warmup:
         t0 = time.perf_counter()

@@ -12,6 +12,8 @@ superset serving stack.
         --checkpoint runs/flagship/checkpoints --frames frames_dir_or.npy \
         [--boxes boxes.json] [--fps 30] [--nms soft_oks] [--no-smooth] \
         [--render] --out out_dir
+    # or --bottomup run_dir/bundle_dir: single-stage multi-person pose,
+    # one forward per frame, no boxes/detector (run_video_bottomup)
 
 Frames: a directory of image files (sorted by name; any PIL format) or a
 `.npy`/`.npz` stack of shape (T, H, W, 3) uint8. Boxes: a JSON list with one
@@ -41,6 +43,7 @@ __all__ = [
     "load_boxes",
     "OksTracker",
     "run_video",
+    "run_video_bottomup",
     "run_video_stream",
     "main",
 ]
@@ -334,6 +337,50 @@ def _postprocess_frame(
     }
 
 
+def run_video_bottomup(
+    predictor,
+    frames,
+    fps: float = 30.0,
+    nms: str | None = "soft_oks",
+    nms_threshold: float = 0.9,
+    smooth: bool = True,
+    track_threshold: float = 0.3,
+    score_threshold: float | None = None,
+) -> Iterator[dict]:
+    """Single-stage mode of `run_video`: every person's pose comes from ONE
+    forward per frame (detect.BottomUpPredictor / serve.BottomUpBundle) —
+    no boxes, no detector, cost per frame instead of per person. Records
+    match `run_video`'s exactly; the bottom-up head has no per-joint
+    confidence, so `scores` carries the person's center score tiled per
+    joint and `probabilities` is all-ones (every joint renders)."""
+    tracker = OksTracker(threshold=track_threshold)
+    smoother = None
+    if smooth:
+        from probpose_pytorch_tpu.utils.smoothing import PoseSmoother
+
+        smoother = PoseSmoother()
+    for i, frame in enumerate(frames):
+        t = i / fps
+        out = predictor.predict_frame(
+            np.asarray(frame, np.uint8), score_threshold
+        )
+        kpts = np.asarray(out["keypoints"], np.float32)
+        sc = np.asarray(out["scores"], np.float32)
+        fb = np.asarray(out["boxes"], np.float32).reshape(-1, 4)
+        if len(kpts) == 0:
+            yield _empty_record(i, t, fb)
+            continue
+        Kj = kpts.shape[1]
+        yield _postprocess_frame(
+            {
+                "keypoints": kpts,
+                "scores": np.tile(sc[:, None], (1, Kj)),
+                "probabilities": np.ones((len(kpts), 1, Kj), np.float32),
+            },
+            fb, i, t, nms, nms_threshold, tracker, smoother,
+        )
+
+
 def run_video_stream(
     predictor,
     frames,
@@ -496,6 +543,11 @@ def main(argv: Sequence[str] | None = None) -> None:
     src.add_argument("--bundle", type=Path,
                      help="exported StableHLO bundle directory "
                      "(no model code needed)")
+    src.add_argument("--bottomup", type=Path,
+                     help="single-stage pose model (detect.train "
+                     "--keypoints run dir or an exported bottom-up "
+                     "bundle): every person's pose in one forward per "
+                     "frame — no --boxes / --detector needed")
     parser.add_argument("--config", type=Path, default=None,
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--frames", type=Path, required=True,
@@ -537,10 +589,25 @@ def main(argv: Sequence[str] | None = None) -> None:
     args = parser.parse_args(argv)
     if args.stream_batch is not None and args.render:
         parser.error("--stream-batch is incompatible with --render")
+    if args.bottomup is not None:
+        for flag, bad in (("--boxes", args.boxes),
+                          ("--detector", args.detector),
+                          ("--stream-batch", args.stream_batch)):
+            if bad is not None:
+                parser.error(f"--bottomup is incompatible with {flag} "
+                             "(the model finds people itself, per frame)")
+        if args.ema or args.flip_test:
+            parser.error("--ema/--flip-test are top-down options")
 
     stream_frame_shape = None
     stream_batch_default = None
-    if args.bundle:
+    if args.bottomup:
+        from probpose_pytorch_tpu.detect.train import load_bottomup
+
+        # threshold applies at predict time (works for bundles too, whose
+        # default is baked into the manifest at export)
+        predictor = load_bottomup(args.bottomup)
+    elif args.bundle:
         if args.ema or args.flip_test:
             parser.error(
                 "--ema/--flip-test are baked in at bundle export time"
@@ -592,7 +659,14 @@ def main(argv: Sequence[str] | None = None) -> None:
         smooth=not args.no_smooth,
         track_threshold=args.track_threshold,
     )
-    if args.stream_batch is not None:
+    if args.bottomup:
+        del common["boxes"]  # bottom-up takes whole frames
+        records = run_video_bottomup(
+            predictor, frames,
+            score_threshold=args.detector_threshold,
+            **common,
+        )
+    elif args.stream_batch is not None:
         if args.stream_frame_shape is not None:
             if args.bundle:
                 parser.error(

@@ -501,3 +501,121 @@ def test_close_during_coalescing_window_is_prompt():
     # the pending request fails cleanly instead of hanging
     with pytest.raises(RuntimeError, match="closed"):
         fut.result(timeout=1)
+
+
+class TestHTTPBottomUp:
+    """Single-stage pose over HTTP: whole frames in, thresholded poses
+    out, no 'boxes' field (rejected if present)."""
+
+    @pytest.fixture(scope="class")
+    def bu_http(self):
+        from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.serve.server import BottomUpRunner
+
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=1,
+            num_keypoints=5,
+        )
+        predictor = BottomUpPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            score_threshold=0.0,
+            max_detections=4,
+        )
+        mb = MicroBatcher(
+            BottomUpRunner(predictor), (1, 2), (64, 64), max_wait_ms=0
+        )
+        server = PoseHTTPServer({"pose": mb}, host="127.0.0.1", port=0)
+        server.start()
+        try:
+            yield server, f"http://127.0.0.1:{server.port}", predictor
+        finally:
+            server.shutdown()
+
+    def _payload(self, frame):
+        return {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": list(frame.shape),
+        }
+
+    def test_frame_only_request_matches_direct(self, bu_http):
+        _, base, predictor = bu_http
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+        code, out = _post(base + "/predict", self._payload(frame))
+        assert code == 200, out
+        # the batcher pads the frame to the 64x64 server shape; the live
+        # predictor on the padded frame is the ground truth
+        padded = np.pad(frame, ((0, 16), (0, 0), (0, 0)))
+        ref = predictor.predict_frame(padded)
+        np.testing.assert_allclose(
+            np.asarray(out["keypoints"], np.float32),
+            ref["keypoints"], atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["scores"], np.float32), ref["scores"],
+            atol=1e-5,
+        )
+        assert np.asarray(out["boxes"]).shape == ref["boxes"].shape
+
+    def test_boxes_field_rejected(self, bu_http):
+        _, base, _ = bu_http
+        frame = np.zeros((64, 64, 3), np.uint8)
+        payload = self._payload(frame)
+        payload["boxes"] = [[0, 0, 10, 10]]
+        code, out = _post(base + "/predict", payload)
+        assert code == 400
+        assert "bottom-up" in out["error"]
+
+    def test_score_threshold_filters(self, bu_http):
+        _, base, _ = bu_http
+        frame = np.zeros((64, 64, 3), np.uint8)
+        payload = self._payload(frame)
+        payload["score_threshold"] = 2.0
+        code, out = _post(base + "/predict", payload)
+        assert code == 200
+        assert out["keypoints"] == [] and out["scores"] == []
+
+    def test_concurrent_requests_batch(self, bu_http):
+        """Concurrent frame requests coalesce into multi-frame dispatches
+        without mixing rows up (each frame's result equals its solo run)."""
+        server, base, predictor = bu_http
+        rng = np.random.default_rng(1)
+        frames = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        # re-enable coalescing for this test
+        mb = server.batchers["pose"]
+        mb.max_wait_ms = 20.0
+        try:
+            results = [None] * 4
+
+            def call(i):
+                results[i] = _post(
+                    base + "/predict", self._payload(frames[i])
+                )
+
+            threads = [
+                threading.Thread(target=call, args=(i,)) for i in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=120)
+        finally:
+            mb.max_wait_ms = 0.0
+        for i, (code, out) in enumerate(results):
+            assert code == 200, out
+            ref = predictor.predict_frame(frames[i])
+            # batch-2 dispatches compile a different XLA tiling than the
+            # solo batch-1 reference; decoded coords agree to well under a
+            # twentieth of a pixel, not bit-exactly
+            np.testing.assert_allclose(
+                np.asarray(out["keypoints"], np.float32),
+                ref["keypoints"], atol=0.05,
+            )

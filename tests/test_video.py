@@ -444,3 +444,130 @@ class TestBoxesValidation:
         with pytest.raises(ValueError, match="boxes list has 1 entries"):
             list(run_video_stream(tiny_predictor, iter(frames), boxes=boxes,
                                   nms=None, batch=4))
+
+
+class TestRunVideoBottomUp:
+    """Single-stage mode: one forward per frame, no boxes/detector."""
+
+    @pytest.fixture(scope="class")
+    def bu_predictor(self):
+        from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=1,
+            num_keypoints=5,
+        )
+        return BottomUpPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            score_threshold=0.0,  # untrained: keep all detection slots
+            max_detections=4,
+        )
+
+    def test_record_contract_and_static_tracks(self, bu_predictor):
+        from probpose_pytorch_tpu.video import run_video_bottomup
+
+        rng = np.random.default_rng(0)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        recs = list(run_video_bottomup(
+            bu_predictor, iter([frame] * 3), nms=None, smooth=True
+        ))
+        assert len(recs) == 3
+        r = recs[0]
+        # identical record schema to run_video's
+        assert set(r) == {
+            "frame", "t", "track_ids", "keypoints", "smoothed",
+            "probabilities", "scores", "pose_scores", "boxes",
+        }
+        n = len(r["keypoints"])
+        assert n == 4  # threshold 0 keeps every detection slot
+        assert r["keypoints"].shape == (n, 5, 2)
+        assert r["boxes"].shape == (n, 4)
+        # no per-joint confidence in this family: probabilities all-ones,
+        # scores = center score tiled, pose_scores = center score
+        np.testing.assert_array_equal(
+            r["probabilities"], np.ones((n, 5), np.float32)
+        )
+        np.testing.assert_allclose(
+            r["pose_scores"], r["scores"][:, 0], atol=1e-6
+        )
+        # static scene -> stable track ids across frames
+        for rec in recs[1:]:
+            np.testing.assert_array_equal(
+                rec["track_ids"], recs[0]["track_ids"]
+            )
+
+    def test_threshold_empties_frame(self, bu_predictor):
+        from probpose_pytorch_tpu.video import run_video_bottomup
+
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        recs = list(run_video_bottomup(
+            bu_predictor, iter([frame]), score_threshold=2.0
+        ))
+        assert len(recs) == 1
+        assert len(recs[0]["keypoints"]) == 0
+        assert recs[0]["track_ids"].shape == (0,)
+
+    def test_nms_keeps_top_pose(self, bu_predictor):
+        """Untrained slots decode near-identical poses; OKS-NMS must
+        suppress duplicates down from max_detections."""
+        from probpose_pytorch_tpu.video import run_video_bottomup
+
+        rng = np.random.default_rng(2)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        (rec,) = run_video_bottomup(
+            bu_predictor, iter([frame]), nms="oks", nms_threshold=0.9
+        )
+        assert 1 <= len(rec["keypoints"]) <= 4
+
+    def test_cli_bottomup(self, tmp_path, bu_predictor):
+        """video --bottomup on a saved single-stage checkpoint."""
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+        from probpose_pytorch_tpu.video import main as video_main
+
+        run = tmp_path / "bu_run"
+        run.mkdir()
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=1,
+            num_keypoints=5,
+        )
+        (run / "detector.json").write_text(json.dumps(
+            dict(img_size=[64, 64], preset="conv-t", num_keypoints=5)
+        ))
+        ckpt = CheckpointManager(run / "checkpoints", keep=1)
+        ckpt.save(0, trainer.state, force=True)
+        ckpt.close()
+        rng = np.random.default_rng(3)
+        np.save(tmp_path / "vid.npy",
+                rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8))
+        out = tmp_path / "out"
+        video_main([
+            "--bottomup", str(run),
+            "--frames", str(tmp_path / "vid.npy"),
+            "--detector-threshold", "0.0",
+            "--out", str(out),
+        ])
+        lines = (out / "poses.jsonl").read_text().strip().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[0])
+        assert np.asarray(rec["keypoints"]).shape[1:] == (5, 2)
+
+    def test_cli_bottomup_flag_conflicts(self, tmp_path):
+        from probpose_pytorch_tpu.video import main as video_main
+
+        np.save(tmp_path / "vid.npy",
+                np.zeros((1, 8, 8, 3), np.uint8))
+        (tmp_path / "boxes.json").write_text("[[[0,0,4,4]]]")
+        with pytest.raises(SystemExit):
+            video_main([
+                "--bottomup", str(tmp_path),
+                "--frames", str(tmp_path / "vid.npy"),
+                "--boxes", str(tmp_path / "boxes.json"),
+                "--out", str(tmp_path / "o"),
+            ])
