@@ -76,6 +76,7 @@ def encode_boxes(
     ignore_mask: jax.Array | None = None,
     min_iou: float = 0.7,
     keypoints: jax.Array | None = None,
+    kpt_heatmaps: bool = False,
 ) -> dict[str, jax.Array]:
     """Encode padded person boxes into center-point detection targets.
 
@@ -96,6 +97,14 @@ def encode_boxes(
       neg_weight (B, H, W)  0 inside ignore regions, 1 elsewhere
       kpts       (B, M, K, 2)  joint - center displacement in cells
       kpt_mask   (B, M, K)     labeled (v > 0) AND instance valid
+
+    With `kpt_heatmaps=True` (and keypoints given), also:
+      kpt_heat      (B, H, W, K)  per-joint-type splat maps, 1.0 at joints
+      kpt_ind       (B, M, K)     int32 flat index of each joint's cell
+      kpt_off       (B, M, K, 2)  sub-cell joint remainders in [0, 1)
+      kpt_cell_mask (B, M, K)     labeled AND instance valid AND in grid
+    (the CenterNet pose refinement targets: the regression head proposes,
+    the joint heatmaps + shared sub-cell offset snap-refine at decode).
     """
     H, W = feat_hw
     boxes = boxes.astype(jnp.float32)
@@ -168,6 +177,45 @@ def encode_boxes(
         ky = kp[..., 1] / stride - cyi[..., None]
         out["kpts"] = jnp.stack([kx, ky], axis=-1)
         out["kpt_mask"] = (kp[..., 2] > 0) & valid[..., None]
+        if kpt_heatmaps:
+            jx = kp[..., 0] / stride  # (B, M, K)
+            jy = kp[..., 1] / stride
+            jxi = jnp.floor(jx)
+            jyi = jnp.floor(jy)
+            j_in = (jxi >= 0) & (jxi < W) & (jyi >= 0) & (jyi < H)
+            jvalid = (kp[..., 2] > 0) & valid[..., None] & j_in
+            jxi = jnp.clip(jxi, 0, W - 1)
+            jyi = jnp.clip(jyi, 0, H - 1)
+            out["kpt_ind"] = (jyi * W + jxi).astype(jnp.int32)
+            out["kpt_off"] = jnp.stack([jx - jxi, jy - jyi], axis=-1)
+            out["kpt_cell_mask"] = jvalid
+            # Per-joint-type splat maps, one channel per joint. Same
+            # integer-cell Gaussian as the center splat, with the PERSON's
+            # radius (the CenterNet pose recipe). Built with a sequential
+            # lax.map over joint types so the transient stays one
+            # (B, M, H, W) buffer — the K-way broadcast would be K x that.
+            jsig = jnp.broadcast_to(sigma[..., None], jxi.shape)
+
+            def _one_joint(args):
+                xi_k, yi_k, sg_k, va_k = args  # (B, M) each
+                dd = (
+                    (xs[None, None, None, :] - xi_k[..., None, None]) ** 2
+                    + (ys[None, None, :, None] - yi_k[..., None, None]) ** 2
+                )
+                gg = jnp.exp(-dd / (2.0 * sg_k[..., None, None] ** 2))
+                gg = jnp.where(va_k[..., None, None], gg, 0.0)
+                return jnp.max(gg, axis=1)  # (B, H, W)
+
+            kheat = jax.lax.map(
+                _one_joint,
+                (
+                    jnp.moveaxis(jxi, -1, 0),
+                    jnp.moveaxis(jyi, -1, 0),
+                    jnp.moveaxis(jsig, -1, 0),
+                    jnp.moveaxis(jvalid, -1, 0),
+                ),
+            )  # (K, B, H, W)
+            out["kpt_heat"] = jnp.moveaxis(kheat, 0, -1)
     return out
 
 
@@ -222,16 +270,33 @@ def decode_poses(
     kpts: jax.Array,
     k: int = 32,
     stride: int = 4,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+    kpt_heat: jax.Array | None = None,
+    kpt_offset: jax.Array | None = None,
+    snap_candidates: int = 16,
+    snap_threshold: float = 0.1,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Decode single-stage pose outputs into the top-K poses per image.
 
     center_logits (B, H, W, 1), size/offset (B, H, W, 2),
     kpts (B, H, W, 2K) joint-offset maps -> (boxes (B, K, 4) xywh px,
-    scores (B, K), poses (B, K, Kj, 2) px), score-descending. Same
-    static-shape design as decode_boxes (3x3 peak NMS + top_k; host
-    thresholds). Joint positions are the regressed displacements from each
-    peak's integer cell — the pure objects-as-points decode (no heatmap
-    snapping stage; see detect/pipeline.BottomUpPredictor for scores)."""
+    scores (B, K), poses (B, K, Kj, 2) px, kpt_scores (B, K, Kj)),
+    score-descending. Same static-shape design as decode_boxes (3x3 peak
+    NMS + top_k; host thresholds).
+
+    Without `kpt_heat`, joint positions are the regressed displacements
+    from each peak's integer cell (the pure objects-as-points decode) and
+    every joint inherits its person's center score.
+
+    With `kpt_heat` (B, H, W, Kj) joint heatmaps (and optionally
+    `kpt_offset` (B, H, W, 2) shared sub-cell offsets), each regressed
+    joint SNAPS to the nearest same-type heatmap peak that clears
+    `snap_threshold` and lies inside the person's box — the CenterNet
+    pose refinement, kept static-shape: per joint type the top
+    `snap_candidates` 3x3-NMS peaks are extracted once per image and every
+    person picks by masked argmin distance. Joints with no admissible peak
+    keep the regression. `kpt_scores` carries the snapped peak's
+    probability (or the heatmap probability at the regressed cell when
+    unsnapped) — the family's per-joint confidence."""
     B, H, W, _ = center_logits.shape
     Kj = kpts.shape[-1] // 2
     p = jax.nn.sigmoid(center_logits.astype(jnp.float32)[..., 0])
@@ -264,4 +329,70 @@ def decode_poses(
     px = (xi[..., None] + jo[..., 0]) * stride
     py = (yi[..., None] + jo[..., 1]) * stride
     poses = jnp.stack([px, py], axis=-1)
-    return boxes, scores, poses
+
+    if kpt_heat is None:
+        kpt_scores = jnp.tile(scores[..., None], (1, 1, Kj))
+        return boxes, scores, poses, kpt_scores
+
+    # --- CenterNet snap refinement, static shapes throughout ---
+    P = min(snap_candidates, H * W)
+    ph = jax.nn.sigmoid(kpt_heat.astype(jnp.float32))  # (B, H, W, Kj)
+    phm = jax.lax.reduce_window(
+        ph,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    jpeaks = jnp.where(ph >= phm, ph, 0.0)
+    jflat = jnp.moveaxis(jpeaks, -1, 1).reshape(B, Kj, H * W)
+    cs, ci = jax.lax.top_k(jflat, P)  # (B, Kj, P)
+    cxi = (ci % W).astype(jnp.float32)
+    cyi = (ci // W).astype(jnp.float32)
+    if kpt_offset is not None:
+        joff = kpt_offset.astype(jnp.float32).reshape(B, H * W, 2)
+        idx = ci.reshape(B, Kj * P)
+        ox = jnp.take_along_axis(joff[..., 0], idx, axis=1)
+        oy = jnp.take_along_axis(joff[..., 1], idx, axis=1)
+        cxi = cxi + ox.reshape(B, Kj, P)
+        cyi = cyi + oy.reshape(B, Kj, P)
+    cand_x = cxi * stride  # (B, Kj, P) input px
+    cand_y = cyi * stride
+
+    # Distances regressed joint -> candidate, per person: (B, k, Kj, P).
+    dx = poses[..., 0][..., None] - cand_x[:, None]
+    dy = poses[..., 1][..., None] - cand_y[:, None]
+    d2 = dx * dx + dy * dy
+    x0 = boxes[..., 0][..., None, None]
+    y0 = boxes[..., 1][..., None, None]
+    x1 = (boxes[..., 0] + boxes[..., 2])[..., None, None]
+    y1 = (boxes[..., 1] + boxes[..., 3])[..., None, None]
+    cx4 = cand_x[:, None]
+    cy4 = cand_y[:, None]
+    ok = (
+        (cs[:, None] >= snap_threshold)
+        & (cx4 >= x0) & (cx4 <= x1)
+        & (cy4 >= y0) & (cy4 <= y1)
+    )
+    best = jnp.argmin(jnp.where(ok, d2, jnp.inf), axis=-1)  # (B, k, Kj)
+    any_ok = ok.any(axis=-1)
+
+    def pick(c: jax.Array) -> jax.Array:  # (B, Kj, P) -> (B, k, Kj)
+        full = jnp.broadcast_to(c[:, None], (B, k, Kj, P))
+        return jnp.take_along_axis(full, best[..., None], axis=-1)[..., 0]
+
+    snapped = jnp.stack([pick(cand_x), pick(cand_y)], axis=-1)
+    poses_out = jnp.where(any_ok[..., None], snapped, poses)
+
+    # Per-joint confidence: snapped peak probability, else the heatmap
+    # probability at the regressed joint's cell.
+    rxi = jnp.clip(jnp.round(poses[..., 0] / stride), 0, W - 1)
+    ryi = jnp.clip(jnp.round(poses[..., 1] / stride), 0, H - 1)
+    cell = (ryi * W + rxi).astype(jnp.int32)  # (B, k, Kj)
+    comb = cell * Kj + jnp.arange(Kj, dtype=jnp.int32)[None, None, :]
+    reg_val = jnp.take_along_axis(
+        ph.reshape(B, H * W * Kj), comb.reshape(B, k * Kj), axis=1
+    ).reshape(B, k, Kj)
+    kpt_scores = jnp.where(any_ok, pick(cs), reg_val)
+    return boxes, scores, poses_out, kpt_scores

@@ -21,6 +21,8 @@ def detection_loss(
     size_weight: float = 0.1,
     offset_weight: float = 1.0,
     kpt_weight: float = 1.0,
+    kpt_heat_weight: float = 1.0,
+    kpt_offset_weight: float = 1.0,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """pred: model output dict (center logits / size / offset maps).
     targets: encode_boxes output dict. Returns (total, per-term dict).
@@ -83,5 +85,42 @@ def detection_loss(
         )
         terms["kpts"] = kpt_loss
         total = total + kpt_weight * kpt_loss
+    if "kpt_heat" in pred and "kpt_heat" in targets:
+        # Joint-heatmap refinement heads (model kpt_heatmaps=True): the
+        # same penalty-reduced focal, per joint-type channel, plus
+        # gathered L1 on the shared sub-cell joint offset at each labeled
+        # joint's cell (the CenterNet pose refinement objective).
+        klog = pred["kpt_heat"].astype(jnp.float32)  # (B, H, W, K)
+        kheat = targets["kpt_heat"]
+        kpos = kheat >= 1.0 - 1e-6
+        kp_ = jax.nn.sigmoid(klog)
+        kpos_term = -((1.0 - kp_) ** 2) * jax.nn.log_sigmoid(klog)
+        kneg_term = (
+            -((1.0 - kheat) ** 4)
+            * (kp_**2)
+            * jax.nn.log_sigmoid(-klog)
+        )
+        if "neg_weight" in targets:
+            kneg_term = kneg_term * targets["neg_weight"][..., None]
+        kn_pos = jnp.maximum(jnp.sum(kpos), 1.0)
+        kpt_heat_loss = (
+            jnp.sum(jnp.where(kpos, kpos_term, kneg_term)) / kn_pos
+        )
+        terms["kpt_heat"] = kpt_heat_loss
+        total = total + kpt_heat_weight * kpt_heat_loss
+
+        joff = pred["kpt_offset"].astype(jnp.float32).reshape(B, -1, 2)
+        kind = targets["kpt_ind"]  # (B, M, K)
+        _, M, Kj = kind.shape
+        at = jnp.take_along_axis(
+            joff, kind.reshape(B, M * Kj)[..., None], axis=1
+        ).reshape(B, M, Kj, 2)
+        km2 = targets["kpt_cell_mask"].astype(jnp.float32)[..., None]
+        kodenom = jnp.maximum(jnp.sum(km2) * 2.0, 1.0)
+        kpt_offset_loss = (
+            jnp.sum(jnp.abs(at - targets["kpt_off"]) * km2) / kodenom
+        )
+        terms["kpt_offset"] = kpt_offset_loss
+        total = total + kpt_offset_weight * kpt_offset_loss
     terms["total"] = total
     return total, terms

@@ -41,6 +41,10 @@ class PersonDetector(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     out_stride: int = 4  # backbone stride 16, two 2x upsamples
     num_keypoints: int = 0  # >0: add the joint-offset pose head
+    # With the pose head: also emit per-joint heatmaps (K channels) and a
+    # shared 2-channel sub-cell joint offset, for snap refinement at decode
+    # (the CenterNet pose recipe: regression proposes, heatmaps refine).
+    kpt_heatmaps: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> dict:
@@ -82,6 +86,18 @@ class PersonDetector(nn.Module):
                 2 * self.num_keypoints, (1, 1), dtype=jnp.float32,
                 name="kpts",
             )(y)
+            if self.kpt_heatmaps:
+                # Same focal-prior bias as the center head: K joint-type
+                # channels, trained with the identical penalty-reduced
+                # focal (detect/loss.py).
+                out["kpt_heat"] = nn.Conv(
+                    self.num_keypoints, (1, 1), dtype=jnp.float32,
+                    bias_init=nn.initializers.constant(-4.6),
+                    name="kpt_heat",
+                )(y)
+                out["kpt_offset"] = nn.Conv(
+                    2, (1, 1), dtype=jnp.float32, name="kpt_offset"
+                )(y)
         return out
 
     @property

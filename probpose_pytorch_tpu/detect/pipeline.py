@@ -35,6 +35,23 @@ __all__ = [
 ]
 
 
+def _device_frames(frames: np.ndarray, mesh: Any) -> tuple[Any, int]:
+    """Host frames -> device input (padded to the data axis on a mesh).
+
+    Returns (device_or_host_frames, n_real_rows). Zero-pad frames are full
+    batch members (decoded then dropped) — acceptable because serving
+    batches are small and the pad fraction is < 1/dp."""
+    n = len(frames)
+    if mesh is None:
+        return frames, n
+    from probpose_pytorch_tpu.parallel.sharding import shard_batch
+
+    dp = dict(mesh.shape).get("data", 1)
+    if n % dp:
+        frames = np.pad(frames, ((0, dp - n % dp), (0, 0), (0, 0), (0, 0)))
+    return shard_batch(np.ascontiguousarray(frames), mesh), n
+
+
 @dataclasses.dataclass
 class DetectorPredictor:
     """Batched frames -> thresholded person boxes.
@@ -50,12 +67,20 @@ class DetectorPredictor:
     variables: Any
     score_threshold: float = 0.3
     max_detections: int = 64
+    # jax.sharding.Mesh for data-parallel serving: frames shard over the
+    # "data" axis (batches pad up to a multiple of it), params replicate
+    # via GSPMD. Same contract as TopDownPredictor(mesh=...).
+    mesh: Any = None
 
     def __post_init__(self):
         import jax
 
         self._jax = jax
         self._jitted: dict[tuple, Any] = {}
+        if self.mesh is not None:
+            from probpose_pytorch_tpu.parallel.sharding import shard_params
+
+            self.variables = shard_params(self.variables, self.mesh)
 
     def _fn(self):
         import jax.numpy as jnp
@@ -87,11 +112,12 @@ class DetectorPredictor:
     def __call__(self, frames: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K))
         in frame pixels, score-descending, UNthresholded."""
+        frames, n = _device_frames(np.asarray(frames, np.uint8), self.mesh)
         key = frames.shape
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
         boxes, scores = self._jitted[key](self.variables, frames)
-        return np.asarray(boxes), np.asarray(scores)
+        return np.asarray(boxes)[:n], np.asarray(scores)[:n]
 
     def detect_frame(
         self, frame: np.ndarray, score_threshold: float | None = None
@@ -115,20 +141,28 @@ class BottomUpPredictor:
 
     Same serving shape discipline as DetectorPredictor: on-device full-frame
     resize, forward, peak decode and joint gather in one jitted program per
-    frame shape; score thresholding on host. Each joint inherits its
-    person's center score (the formulation has no per-joint confidence —
-    the top-down family supplies that when you need it)."""
+    frame shape; score thresholding on host. With a plain regression model
+    each joint inherits its person's center score; with joint-heatmap
+    refinement heads (model kpt_heatmaps=True) the decode snaps joints to
+    same-type heatmap peaks and `keypoint_scores` carries real per-joint
+    confidences (detect/codec.decode_poses)."""
 
     model: Any
     variables: Any
     score_threshold: float = 0.3
     max_detections: int = 32
+    # jax.sharding.Mesh for data-parallel serving (see DetectorPredictor).
+    mesh: Any = None
 
     def __post_init__(self):
         import jax
 
         self._jax = jax
         self._jitted: dict[tuple, Any] = {}
+        if self.mesh is not None:
+            from probpose_pytorch_tpu.parallel.sharding import shard_params
+
+            self.variables = shard_params(self.variables, self.mesh)
 
     def _fn(self):
         import jax.numpy as jnp
@@ -143,62 +177,76 @@ class BottomUpPredictor:
             )
             imgs = crop_resize(frames, full, (Hd, Wd), "bilinear_matmul")
             pred = self.model.apply(variables, imgs, train=False)
-            boxes, scores, poses = decode_poses(
+            boxes, scores, poses, kscores = decode_poses(
                 pred["center"],
                 pred["size"],
                 pred["offset"],
                 pred["kpts"],
                 k=self.max_detections,
                 stride=self.model.out_stride,
+                kpt_heat=pred.get("kpt_heat"),
+                kpt_offset=pred.get("kpt_offset"),
             )
             sx, sy = Wf / Wd, Hf / Hd
             boxes = boxes * jnp.array([sx, sy, sx, sy], jnp.float32)
             poses = poses * jnp.array([sx, sy], jnp.float32)
-            return boxes, scores, poses
+            return boxes, scores, poses, kscores
 
         return run
 
     def dispatch(self, frames: np.ndarray) -> dict:
         """Non-blocking enqueue: frames (B, H, W, 3) uint8 -> dict of
         in-flight device arrays (boxes (B, K, 4), scores (B, K), keypoints
-        (B, K, Kj, 2)) — the serving front (serve.server.FrameBatcher)
-        overlaps the next batch's assembly under this batch's compute and
-        reads back on its completion thread."""
+        (B, K, Kj, 2), keypoint_scores (B, K, Kj)) — the serving front
+        (serve.server.FrameBatcher) overlaps the next batch's assembly
+        under this batch's compute and reads back on its completion
+        thread."""
+        frames, n = _device_frames(np.asarray(frames, np.uint8), self.mesh)
         key = frames.shape
         if key not in self._jitted:
             self._jitted[key] = self._jax.jit(self._fn())
-        boxes, scores, poses = self._jitted[key](self.variables, frames)
-        return dict(boxes=boxes, scores=scores, keypoints=poses)
+        boxes, scores, poses, kscores = self._jitted[key](
+            self.variables, frames
+        )
+        return dict(
+            boxes=boxes[:n],
+            scores=scores[:n],
+            keypoints=poses[:n],
+            keypoint_scores=kscores[:n],
+        )
 
     def __call__(
         self, frames: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K),
-        poses (B, K, Kj, 2)) in frame pixels, score-descending,
-        UNthresholded."""
+        poses (B, K, Kj, 2), keypoint_scores (B, K, Kj)) in frame pixels,
+        score-descending, UNthresholded."""
         out = self.dispatch(np.asarray(frames, np.uint8))
         return (
             np.asarray(out["boxes"]),
             np.asarray(out["scores"]),
             np.asarray(out["keypoints"]),
+            np.asarray(out["keypoint_scores"]),
         )
 
     def predict_frame(
         self, frame: np.ndarray, score_threshold: float | None = None
     ) -> dict[str, np.ndarray]:
         """One frame -> dict(keypoints (n, Kj, 2), scores (n,),
-        boxes (n, 4)) above the threshold, frame pixels."""
+        boxes (n, 4), keypoint_scores (n, Kj)) above the threshold,
+        frame pixels."""
         thr = (
             self.score_threshold
             if score_threshold is None
             else score_threshold
         )
-        boxes, scores, poses = self(frame[None])
+        boxes, scores, poses, kscores = self(frame[None])
         keep = scores[0] >= thr
         return dict(
             keypoints=poses[0][keep],
             scores=scores[0][keep],
             boxes=boxes[0][keep],
+            keypoint_scores=kscores[0][keep],
         )
 
 
@@ -540,18 +588,23 @@ def evaluate_bottomup(
         if K is None and gts:
             K = gts[0]["keypoints"].shape[0]
         dts, scores = [], []
+        js = out.get("keypoint_scores")
         for j in range(len(out["keypoints"])):
             s = float(out["scores"][j])
+            if js is not None:
+                # Per-joint confidences (heatmap-refined models emit real
+                # ones; plain regression tiles the center score, making
+                # s * mean a rank-preserving s^2): mirror the top-down
+                # instance scoring det * mean(joint confidence).
+                col = np.asarray(js[j], np.float64).reshape(-1, 1)
+                inst = s * float(np.mean(js[j]))
+            else:
+                col = np.full((out["keypoints"].shape[1], 1), s)
+                inst = s
             dts.append(
-                np.concatenate(
-                    [
-                        out["keypoints"][j],
-                        np.full((out["keypoints"].shape[1], 1), s),
-                    ],
-                    axis=1,
-                )
+                np.concatenate([out["keypoints"][j], col], axis=1)
             )
-            scores.append(s)
+            scores.append(inst)
         Kk = K if K is not None else len(
             igs[0]["keypoints"]
         ) if igs else 17

@@ -50,6 +50,7 @@ class DetectorTrainer:
         weight_decay: float = 1e-4,
         seed: int = 0,
         num_keypoints: int = 0,
+        kpt_heatmaps: bool = False,
     ) -> "DetectorTrainer":
         import jax
         import jax.numpy as jnp
@@ -58,7 +59,10 @@ class DetectorTrainer:
         from probpose_pytorch_tpu.train.state import TrainState
 
         model = PersonDetector(
-            img_size=img_size, preset=preset, num_keypoints=num_keypoints
+            img_size=img_size,
+            preset=preset,
+            num_keypoints=num_keypoints,
+            kpt_heatmaps=kpt_heatmaps and num_keypoints > 0,
         )
         variables = model.init(
             jax.random.PRNGKey(seed),
@@ -118,6 +122,7 @@ class DetectorTrainer:
                 ignore_boxes=batch["ignore_boxes"] * scale,
                 ignore_mask=batch["ignore_mask"],
                 keypoints=kpts,
+                kpt_heatmaps=model.kpt_heatmaps,
             )
 
             def loss_fn(params):
@@ -148,6 +153,7 @@ def load_detector(
     checkpoint_dir: str | Path,
     score_threshold: float = 0.3,
     max_detections: int = 64,
+    mesh=None,
 ):
     """Build a DetectorPredictor from a detector checkpoint directory
     (config JSON beside it, written by the CLI). A directory holding an
@@ -163,6 +169,11 @@ def load_detector(
         import json as _json
 
         if _json.loads(manifest.read_text()).get("kind") == "detector":
+            if mesh is not None:
+                raise ValueError(
+                    "mesh serving needs a live checkpoint; exported "
+                    "bundles are single-device programs"
+                )
             from probpose_pytorch_tpu.serve.export import DetectorBundle
 
             return DetectorBundle.load(checkpoint_dir)
@@ -183,6 +194,7 @@ def load_detector(
         },
         score_threshold=score_threshold,
         max_detections=max_detections,
+        mesh=mesh,
     )
 
 
@@ -190,6 +202,7 @@ def load_bottomup(
     checkpoint_dir: str | Path,
     score_threshold: float = 0.3,
     max_detections: int = 32,
+    mesh=None,
 ):
     """Build a BottomUpPredictor (single-stage multi-person pose) from a
     detector checkpoint trained with --keypoints > 0. A directory holding
@@ -205,6 +218,11 @@ def load_bottomup(
         import json as _json
 
         if _json.loads(manifest.read_text()).get("kind") == "bottomup":
+            if mesh is not None:
+                raise ValueError(
+                    "mesh serving needs a live checkpoint; exported "
+                    "bundles are single-device programs"
+                )
             from probpose_pytorch_tpu.serve.export import BottomUpBundle
 
             return BottomUpBundle.load(checkpoint_dir)
@@ -222,6 +240,7 @@ def load_bottomup(
         img_size=tuple(cfg.get("img_size", (512, 512))),
         preset=cfg.get("preset", "conv-t"),
         num_keypoints=num_keypoints,
+        kpt_heatmaps=bool(cfg.get("kpt_heatmaps", False)),
     )
     ckpt = CheckpointManager(checkpoint_dir)
     state = ckpt.restore(trainer.state)
@@ -233,6 +252,7 @@ def load_bottomup(
         },
         score_threshold=score_threshold,
         max_detections=max_detections,
+        mesh=mesh,
     )
 
 
@@ -253,6 +273,11 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "on the same trunk; one forward -> all poses). "
                         "Load with load_bottomup / eval with "
                         "eval.run --bottomup")
+    parser.add_argument("--kpt-heatmaps", action="store_true",
+                        help="with --keypoints: add per-joint heatmap + "
+                        "sub-cell offset heads and snap-refine the "
+                        "regressed joints at decode (the CenterNet pose "
+                        "refinement; also yields per-joint confidences)")
     parser.add_argument("--lr", type=float, default=2.5e-4)
     parser.add_argument("--max-boxes", type=int, default=16)
     parser.add_argument("--num-workers", type=int, default=4)
@@ -278,13 +303,17 @@ def main(argv: Sequence[str] | None = None) -> None:
         total_steps=args.steps,
         seed=args.seed,
         num_keypoints=args.keypoints,
+        kpt_heatmaps=args.kpt_heatmaps,
     )
     args.out.mkdir(parents=True, exist_ok=True)
     (args.out / "detector.json").write_text(
         json.dumps(
             dict(img_size=[args.img_size, args.img_size],
                  preset=args.preset,
-                 num_keypoints=args.keypoints)
+                 num_keypoints=args.keypoints,
+                 kpt_heatmaps=bool(
+                     args.kpt_heatmaps and args.keypoints > 0
+                 ))
         )
     )
     ckpt = CheckpointManager(args.out / "checkpoints")
@@ -315,6 +344,11 @@ def main(argv: Sequence[str] | None = None) -> None:
                 kpt_part = (
                     f" kpts {vals['kpts']:.4f}" if "kpts" in vals else ""
                 )
+                if "kpt_heat" in vals:
+                    kpt_part += (
+                        f" kpt_heat {vals['kpt_heat']:.4f}"
+                        f" kpt_off {vals['kpt_offset']:.4f}"
+                    )
                 print(
                     f"[detect] step {step}/{args.steps} "
                     f"loss {vals['total']:.4f} "

@@ -168,8 +168,18 @@ def main(argv=None) -> None:
         from probpose_pytorch_tpu.detect.pipeline import evaluate_bottomup
         from probpose_pytorch_tpu.detect.train import load_bottomup
 
+        bu_mesh = None
+        if args.data_parallel:
+            import jax
+
+            from probpose_pytorch_tpu.parallel import make_mesh
+
+            if len(jax.devices()) > 1:
+                bu_mesh = make_mesh(len(jax.devices()))
         predictor = load_bottomup(
-            args.bottomup, score_threshold=args.detector_threshold
+            args.bottomup,
+            score_threshold=args.detector_threshold,
+            mesh=bu_mesh,
         )
         summary = evaluate_bottomup(
             predictor,
@@ -251,7 +261,7 @@ def main(argv=None) -> None:
         if (det_dir / "checkpoints").exists():
             det_dir = det_dir / "checkpoints"
         detector = load_detector(
-            det_dir, score_threshold=args.detector_threshold
+            det_dir, score_threshold=args.detector_threshold, mesh=mesh
         )
         summary = evaluate_detector_topdown(
             predictor,

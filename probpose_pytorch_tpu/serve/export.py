@@ -35,7 +35,7 @@ from typing import Any, Sequence
 
 import numpy as np
 
-BUNDLE_VERSION = 1
+BUNDLE_VERSION = 2  # v2: bottom-up programs return 4-tuple (+keypoint_scores)
 
 
 def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
@@ -579,6 +579,9 @@ def export_bottomup_bundle(
         "max_detections": int(predictor.max_detections),
         "img_size": list(predictor.model.img_size),
         "num_keypoints": int(predictor.model.num_keypoints),
+        "kpt_heatmaps": bool(
+            getattr(predictor.model, "kpt_heatmaps", False)
+        ),
         "platforms": (
             list(platforms) if platforms else [jax.default_backend()]
         ),
@@ -665,19 +668,24 @@ class BottomUpBundle:
                 f"dispatch batch {B} / frame {(H, W)} not exported "
                 f"(batches {self.batches}, shapes {self.frame_shapes})"
             )
-        boxes, scores, poses = self._program(B, (H, W)).call(
+        boxes, scores, poses, kscores = self._program(B, (H, W)).call(
             self.variables, frames
         )
-        return dict(boxes=boxes, scores=scores, keypoints=poses)
+        return dict(
+            boxes=boxes,
+            scores=scores,
+            keypoints=poses,
+            keypoint_scores=kscores,
+        )
 
     def __call__(
         self, frames: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """frames (B, H, W, 3) uint8 -> (boxes (B, K, 4), scores (B, K),
-        poses (B, K, Kj, 2)) in frame pixels, score-descending,
-        UNthresholded — the live predictor's contract. B splits greedily
-        over the exported batch buckets (largest bucket that fits, else
-        the smallest bucket, zero-padded)."""
+        poses (B, K, Kj, 2), keypoint_scores (B, K, Kj)) in frame pixels,
+        score-descending, UNthresholded — the live predictor's contract.
+        B splits greedily over the exported batch buckets (largest bucket
+        that fits, else the smallest bucket, zero-padded)."""
         frames = np.asarray(frames, np.uint8)
         B, H, W = frames.shape[:3]
         He, We = self._fit_shape(H, W)
@@ -697,15 +705,16 @@ class BottomUpBundle:
                 chunk = np.pad(
                     chunk, ((0, b - len(chunk)), (0, 0), (0, 0), (0, 0))
                 )
-            boxes, scores, poses = self._program(b, (He, We)).call(
-                self.variables, chunk
-            )
+            boxes, scores, poses, kscores = self._program(
+                b, (He, We)
+            ).call(self.variables, chunk)
             n = min(b, left)
             outs.append(
                 (
                     np.asarray(boxes[:n]),
                     np.asarray(scores[:n]),
                     np.asarray(poses[:n]),
+                    np.asarray(kscores[:n]),
                 )
             )
             i += n
@@ -713,24 +722,29 @@ class BottomUpBundle:
             np.concatenate([o[0] for o in outs]),
             np.concatenate([o[1] for o in outs]),
             np.concatenate([o[2] for o in outs]),
+            np.concatenate([o[3] for o in outs]),
         )
 
     def predict_frame(
         self, frame: np.ndarray, score_threshold: float | None = None
     ) -> dict[str, np.ndarray]:
         """One frame -> dict(keypoints (n, Kj, 2), scores (n,),
-        boxes (n, 4)) above the threshold, frame pixels."""
+        boxes (n, 4), keypoint_scores (n, Kj)) above the threshold,
+        frame pixels."""
         thr = (
             self.score_threshold
             if score_threshold is None
             else score_threshold
         )
-        boxes, scores, poses = self(np.asarray(frame, np.uint8)[None])
+        boxes, scores, poses, kscores = self(
+            np.asarray(frame, np.uint8)[None]
+        )
         keep = scores[0] >= thr
         return dict(
             keypoints=poses[0][keep],
             scores=scores[0][keep],
             boxes=boxes[0][keep],
+            keypoint_scores=kscores[0][keep],
         )
 
 

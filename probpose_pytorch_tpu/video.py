@@ -350,9 +350,10 @@ def run_video_bottomup(
     """Single-stage mode of `run_video`: every person's pose comes from ONE
     forward per frame (detect.BottomUpPredictor / serve.BottomUpBundle) —
     no boxes, no detector, cost per frame instead of per person. Records
-    match `run_video`'s exactly; the bottom-up head has no per-joint
-    confidence, so `scores` carries the person's center score tiled per
-    joint and `probabilities` is all-ones (every joint renders)."""
+    match `run_video`'s exactly; `scores` carries the predictor's
+    per-joint confidences (real ones from joint-heatmap-refined models,
+    the person's center score tiled per joint otherwise) and
+    `probabilities` is all-ones (every joint renders)."""
     tracker = OksTracker(threshold=track_threshold)
     smoother = None
     if smooth:
@@ -371,10 +372,16 @@ def run_video_bottomup(
             yield _empty_record(i, t, fb)
             continue
         Kj = kpts.shape[1]
+        js = out.get("keypoint_scores")
+        joint_scores = (
+            np.asarray(js, np.float32)
+            if js is not None
+            else np.tile(sc[:, None], (1, Kj))
+        )
         yield _postprocess_frame(
             {
                 "keypoints": kpts,
-                "scores": np.tile(sc[:, None], (1, Kj)),
+                "scores": joint_scores,
                 "probabilities": np.ones((len(kpts), 1, Kj), np.float32),
             },
             fb, i, t, nms, nms_threshold, tracker, smoother,

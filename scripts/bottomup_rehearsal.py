@@ -43,6 +43,10 @@ def main() -> None:
                     choices=("conv-t", "conv-s"))
     ap.add_argument("--lr", type=float, default=2.5e-4)
     ap.add_argument("--score-threshold", type=float, default=0.3)
+    ap.add_argument("--kpt-heatmaps", action="store_true",
+                    help="train with per-joint heatmap refinement heads "
+                    "(detect.train --kpt-heatmaps) — the A/B against the "
+                    "pure-regression decode")
     ap.add_argument("--max-val-images", type=int, default=None)
     ap.add_argument("--quick", action="store_true",
                     help="tiny dataset + tiny model (CI smoke)")
@@ -78,20 +82,22 @@ def main() -> None:
     img_size = 128 if args.quick else args.img_size
     if not args.skip_train:
         t0 = time.perf_counter()
-        detect_train_main(
-            [
-                "--data-root", str(root),
-                "--out", str(out),
-                "--steps", str(steps),
-                "--batch-size", str(args.batch_size),
-                "--img-size", str(img_size),
-                "--preset", args.preset,
-                "--lr", str(args.lr),
-                "--keypoints", "17",
-            ]
-        )
+        argv = [
+            "--data-root", str(root),
+            "--out", str(out),
+            "--steps", str(steps),
+            "--batch-size", str(args.batch_size),
+            "--img-size", str(img_size),
+            "--preset", args.preset,
+            "--lr", str(args.lr),
+            "--keypoints", "17",
+        ]
+        if args.kpt_heatmaps:
+            argv.append("--kpt-heatmaps")
+        detect_train_main(argv)
         record["train"] = dict(
             steps=steps, img_size=img_size, preset=args.preset,
+            kpt_heatmaps=bool(args.kpt_heatmaps),
             seconds=round(time.perf_counter() - t0, 1),
         )
         print(f"[bottomup-rehearsal] train: {record['train']}", flush=True)

@@ -557,3 +557,79 @@ class TestEndToEnd:
         assert boxes.shape == (1, 8, 4) and scores.shape == (1, 8)
         b2, s2 = pred.detect_frame(frame, score_threshold=2.0)
         assert len(b2) == 0  # nothing above an impossible threshold
+
+
+class TestMeshServing:
+    """Data-parallel detector serving: frames shard over the mesh's data
+    axis (detect/pipeline._device_frames pads ragged batches), params
+    replicate via GSPMD — outputs must match single-device exactly."""
+
+    def test_detector_mesh_matches_single_device(self):
+        from probpose_pytorch_tpu.parallel import make_mesh
+
+        model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        vars_ = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        rng = np.random.default_rng(7)
+        frames = rng.integers(0, 256, (8, 96, 80, 3), dtype=np.uint8)
+        single = DetectorPredictor(
+            model=model, variables=vars_, max_detections=8
+        )
+        meshed = DetectorPredictor(
+            model=model, variables=vars_, max_detections=8,
+            mesh=make_mesh(8),
+        )
+        b0, s0 = single(frames)
+        b1, s1 = meshed(frames)
+        np.testing.assert_allclose(s1, s0, atol=1e-5)
+        # Box pixels tolerate f32 reassociation between the mesh and
+        # single-device compiles (observed <=0.007 px); still sub-pixel.
+        np.testing.assert_allclose(b1, b0, atol=2e-2)
+
+    def test_detector_mesh_pads_ragged_batch(self):
+        from probpose_pytorch_tpu.parallel import make_mesh
+
+        model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        vars_ = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        rng = np.random.default_rng(8)
+        frames = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
+        single = DetectorPredictor(
+            model=model, variables=vars_, max_detections=4
+        )
+        meshed = DetectorPredictor(
+            model=model, variables=vars_, max_detections=4,
+            mesh=make_mesh(8),
+        )
+        b0, s0 = single(frames)
+        b1, s1 = meshed(frames)
+        assert b1.shape == (5, 4, 4) and s1.shape == (5, 4)
+        np.testing.assert_allclose(s1, s0, atol=1e-5)
+        # Box pixels tolerate f32 reassociation between the mesh and
+        # single-device compiles (observed <=0.007 px); still sub-pixel.
+        np.testing.assert_allclose(b1, b0, atol=2e-2)
+
+    def test_load_detector_mesh_kwarg(self, tmp_path):
+        import json as _json
+
+        from probpose_pytorch_tpu.detect.train import (
+            DetectorTrainer,
+            load_detector,
+        )
+        from probpose_pytorch_tpu.parallel import make_mesh
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        trainer = DetectorTrainer.create(
+            img_size=(64, 64), preset="conv-t", total_steps=10
+        )
+        (tmp_path / "detector.json").write_text(
+            _json.dumps(dict(img_size=[64, 64], preset="conv-t"))
+        )
+        CheckpointManager(tmp_path / "checkpoints").save(1, trainer.state)
+        pred = load_detector(tmp_path / "checkpoints", mesh=make_mesh(8))
+        assert pred.mesh is not None
+        frame = np.zeros((64, 64, 3), np.uint8)
+        boxes, scores = pred.detect_frame(frame, score_threshold=2.0)
+        assert len(boxes) == 0

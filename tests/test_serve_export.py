@@ -539,11 +539,12 @@ class TestBottomUpBundle:
         live, bundle, _ = bu_env
         rng = np.random.default_rng(0)
         frames = rng.integers(0, 256, (2, 64, 64, 3), dtype=np.uint8)
-        lb, ls, lp = live(frames)
-        bb, bs, bp = bundle(frames)
+        lb, ls, lp, lk = live(frames)
+        bb, bs, bp, bk = bundle(frames)
         np.testing.assert_allclose(bb, lb, atol=1e-5)
         np.testing.assert_allclose(bs, ls, atol=1e-6)
         np.testing.assert_allclose(bp, lp, atol=1e-5)
+        np.testing.assert_allclose(bk, lk, atol=1e-6)
 
     def test_predict_frame_pads_and_thresholds(self, bu_env):
         live, bundle, _ = bu_env
@@ -569,11 +570,12 @@ class TestBottomUpBundle:
         live, bundle, _ = bu_env
         rng = np.random.default_rng(2)
         frames = rng.integers(0, 256, (5, 64, 64, 3), dtype=np.uint8)
-        lb, ls, lp = live(frames)
-        bb, bs, bp = bundle(frames)
+        lb, ls, lp, lk = live(frames)
+        bb, bs, bp, bk = bundle(frames)
         assert bb.shape == lb.shape and bp.shape == lp.shape
         np.testing.assert_allclose(bs, ls, atol=1e-6)
         np.testing.assert_allclose(bp, lp, atol=1e-5)
+        np.testing.assert_allclose(bk, lk, atol=1e-6)
 
     def test_load_bottomup_dispatches_to_bundle(self, bu_env):
         from probpose_pytorch_tpu.detect.train import load_bottomup
