@@ -46,12 +46,19 @@ class CheckpointManager:
         self,
         step: int,
         state: Any,
-        force: bool = False,
+        force: bool = True,
         metadata: dict | None = None,
     ) -> None:
-        self._mgr.save(
-            step, args=ocp.args.StandardSave(state), force=force
-        )
+        """`force=True` (default) overwrites an existing checkpoint at
+        `step` (delete-then-save). Orbax's bare save at an existing step
+        either silently SKIPS or raises StepAlreadyExistsError depending
+        on `force` — both leave a stale checkpoint from a previous run in
+        place while the caller believes it saved (a fresh run into a
+        reused out-dir then restores the wrong params)."""
+        if force and step in self._mgr.all_steps():
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
         if not self.async_save:
             self._mgr.wait_until_finished()
         if metadata is not None and jax.process_index() == 0:

@@ -194,6 +194,41 @@ class TestTrainer:
         )
         ckpt.close()
 
+    def test_save_overwrites_existing_step(self, tmp_path):
+        """Saving at a step that already holds a checkpoint (a fresh run
+        into a reused out-dir) OVERWRITES it — Orbax's bare default
+        silently skips the save, leaving the previous run's stale params
+        to be restored later."""
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        cfg = _tiny_cfg(tmp_path)
+        trainer = Trainer.create(cfg, steps_per_epoch=2)
+        old_params = jax.tree_util.tree_map(  # snapshot: fit donates
+            lambda a: np.asarray(a).copy(), trainer.state.params
+        )
+        ckpt = CheckpointManager(tmp_path / "reused_ck")
+        ckpt.save(5, trainer.state)
+        ckpt.close()
+
+        trainer.fit(_data(cfg), max_steps=2)  # params now differ
+        ckpt2 = CheckpointManager(tmp_path / "reused_ck")
+        ckpt2.save(5, trainer.state)  # same step, new run
+        restored = ckpt2.restore(trainer.state)
+        ckpt2.close()
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            restored.params,
+            trainer.state.params,
+        )
+        leaves_new = jax.tree_util.tree_leaves(restored.params)
+        leaves_old = jax.tree_util.tree_leaves(old_params)
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_new, leaves_old)
+        )
+
     def test_nonfinite_loss_recovers_from_checkpoint(self, tmp_path, capsys):
         """Failure containment (train/loop.py fit): NaN-poisoned batches
         corrupt the params (no optax guard: max_nonfinite_skips=0); two
