@@ -11,6 +11,10 @@ from probpose_pytorch_tpu.detect.codec import (
     gaussian_radius,
 )
 from probpose_pytorch_tpu.detect.data import FrameDetectionDataset
+from probpose_pytorch_tpu.detect.fused import (
+    FusedTwoStagePredictor,
+    expand_boxes_jax,
+)
 from probpose_pytorch_tpu.detect.loss import detection_loss
 from probpose_pytorch_tpu.detect.model import PersonDetector
 from probpose_pytorch_tpu.detect.pipeline import (
@@ -32,6 +36,7 @@ __all__ = [
     "DetectorPredictor",
     "DetectorTrainer",
     "FrameDetectionDataset",
+    "FusedTwoStagePredictor",
     "PersonDetector",
     "box_iou_matrix",
     "decode_boxes",
@@ -41,6 +46,7 @@ __all__ = [
     "encode_boxes",
     "evaluate_bottomup",
     "evaluate_detector_topdown",
+    "expand_boxes_jax",
     "gaussian_radius",
     "load_bottomup",
     "load_detector",

@@ -11,9 +11,11 @@ configs, codec) on the box.
 from probpose_pytorch_tpu.serve.export import (
     BottomUpBundle,
     DetectorBundle,
+    FusedBundle,
     ServingBundle,
     export_bottomup_bundle,
     export_detector_bundle,
+    export_fused_bundle,
     export_predictor_bundle,
 )
 from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
@@ -21,9 +23,11 @@ from probpose_pytorch_tpu.serve.server import MicroBatcher, PoseHTTPServer
 __all__ = [
     "BottomUpBundle",
     "DetectorBundle",
+    "FusedBundle",
     "ServingBundle",
     "export_bottomup_bundle",
     "export_detector_bundle",
+    "export_fused_bundle",
     "export_predictor_bundle",
     "MicroBatcher",
     "PoseHTTPServer",

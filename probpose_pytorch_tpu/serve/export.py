@@ -748,6 +748,159 @@ class BottomUpBundle:
         )
 
 
+def export_fused_bundle(
+    predictor,
+    out_dir: str | Path,
+    frame_shapes: Sequence[tuple[int, int]],
+    batches: Sequence[int] = (1,),
+    platforms: Sequence[str] | None = None,
+) -> Path:
+    """Export a `detect.FusedTwoStagePredictor` (detector -> crops -> pose
+    in ONE program, detect/fused.py) as a codeless bundle: one StableHLO
+    program per (batch, frame shape), BOTH stages' params in one npz
+    (prefixed det/ and pose/). The serving host gets the fused path's
+    single-dispatch latency with jax + numpy only — the deployment shape
+    for per-frame standalone serving."""
+    import jax
+
+    shapes = sorted({(int(h), int(w)) for h, w in frame_shapes})
+    buckets = sorted({int(b) for b in batches})
+    if not shapes or not buckets or buckets[0] < 1:
+        raise ValueError("need at least one frame shape and batch >= 1")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def _abs(tree):
+        return jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+            tree,
+        )
+
+    fn = predictor._fn()
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    det_abs = _abs(predictor.detector.variables)
+    pose_abs = _abs(predictor.pose.variables)
+    for B in buckets:
+        for H, W in shapes:
+            ex = jax.export.export(jax.jit(fn), **kwargs)(
+                det_abs, pose_abs,
+                jax.ShapeDtypeStruct((B, H, W, 3), np.uint8),
+            )
+            (out_dir / f"fused_b{B}_h{H}w{W}.bin").write_bytes(
+                ex.serialize()
+            )
+    flat = _flatten(predictor.detector.variables, "det/")
+    flat.update(_flatten(predictor.pose.variables, "pose/"))
+    np.savez(out_dir / "params.npz", **flat)
+    manifest = {
+        "version": BUNDLE_VERSION,
+        "kind": "fused",
+        "frame_shapes": [list(s) for s in shapes],
+        "batches": buckets,
+        "score_threshold": float(predictor.score_threshold),
+        "max_people": int(predictor.max_people),
+        "bbox_scale": float(predictor.bbox_scale),
+        "platforms": (
+            list(platforms) if platforms else [jax.default_backend()]
+        ),
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out_dir
+
+
+@dataclasses.dataclass
+class FusedBundle:
+    """A loaded fused two-stage bundle: frames -> detector -> crops ->
+    poses in one program per dispatch, no model code. Duck-types
+    `detect.FusedTwoStagePredictor` (`__call__` and `predict_frame`)."""
+
+    directory: Path
+    manifest: dict
+    det_variables: dict
+    pose_variables: dict
+    _programs: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    @classmethod
+    def load(cls, directory: str | Path) -> "FusedBundle":
+        directory = Path(directory)
+        manifest = json.loads((directory / "manifest.json").read_text())
+        if manifest.get("kind") != "fused":
+            raise ValueError(
+                f"{directory} is not a fused two-stage bundle "
+                f"(kind={manifest.get('kind')!r})"
+            )
+        if manifest.get("version") != BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {manifest.get('version')} != "
+                f"{BUNDLE_VERSION} (re-export with this release)"
+            )
+        with np.load(directory / "params.npz") as z:
+            det, pose = {}, {}
+            for k in z.files:
+                if k.startswith("det/"):
+                    det[k[4:]] = z[k]
+                elif k.startswith("pose/"):
+                    pose[k[5:]] = z[k]
+        return cls(
+            directory=directory,
+            manifest=manifest,
+            det_variables=_unflatten(det),
+            pose_variables=_unflatten(pose),
+        )
+
+    @property
+    def frame_shapes(self) -> tuple[tuple[int, int], ...]:
+        return tuple(tuple(s) for s in self.manifest["frame_shapes"])
+
+    @property
+    def batches(self) -> tuple[int, ...]:
+        return tuple(self.manifest["batches"])
+
+    @property
+    def score_threshold(self) -> float:
+        return float(self.manifest["score_threshold"])
+
+    def _program(self, b: int, shape: tuple[int, int]):
+        key = (b, shape)
+        if key not in self._programs:
+            import jax
+
+            H, W = shape
+            path = self.directory / f"fused_b{b}_h{H}w{W}.bin"
+            self._programs[key] = jax.export.deserialize(path.read_bytes())
+        return self._programs[key]
+
+    def __call__(self, frames: np.ndarray) -> dict:
+        """frames (B, H, W, 3) uint8 -> dict of (B, max_people, ...) pose
+        fields + boxes + det_scores — the live fused predictor's
+        contract. (B, H, W) must be an exported (batch, frame shape)."""
+        frames = np.ascontiguousarray(np.asarray(frames, np.uint8))
+        B, H, W, _ = frames.shape
+        if B not in self.batches or (H, W) not in self.frame_shapes:
+            raise ValueError(
+                f"batch {B} / frame {(H, W)} not exported "
+                f"(batches {self.batches}, shapes {self.frame_shapes})"
+            )
+        out = self._program(B, (H, W)).call(
+            self.det_variables, self.pose_variables, frames
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def predict_frame(
+        self, frame: np.ndarray, score_threshold: float | None = None
+    ) -> dict[str, np.ndarray]:
+        """One frame -> thresholded dict (the live predictor's
+        predict_frame contract)."""
+        thr = (
+            self.score_threshold
+            if score_threshold is None
+            else score_threshold
+        )
+        out = self(np.asarray(frame, np.uint8)[None])
+        keep = out["det_scores"][0] >= thr
+        return {k: v[0][keep] for k, v in out.items()}
+
+
 def main(argv: Sequence[str] | None = None) -> None:
     parser = argparse.ArgumentParser(
         description="Export a checkpoint as a StableHLO serving bundle"
@@ -767,7 +920,17 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "--buckets for the frame-batch ladder (default 1)")
     parser.add_argument("--detector-threshold", type=float, default=0.3,
                         help="default score threshold baked into the "
-                        "detector / bottom-up bundle manifest")
+                        "detector / bottom-up / fused bundle manifest")
+    parser.add_argument("--fused-detector", type=Path, default=None,
+                        metavar="DIR",
+                        help="with --checkpoint: export a FUSED TWO-STAGE "
+                        "bundle (this detector -> crops -> the pose "
+                        "checkpoint, ONE program per dispatch); "
+                        "--frame-size for accepted shapes (';'-separated), "
+                        "--buckets for frame batches (default 1), "
+                        "--max-people for the static pose slots")
+    parser.add_argument("--max-people", type=int, default=8,
+                        help="pose slots per frame in the fused bundle")
     parser.add_argument("--config", type=Path, default=None,
                         help="TrainConfig JSON (default: beside checkpoint)")
     parser.add_argument("--out", type=Path, required=True,
@@ -847,6 +1010,40 @@ def main(argv: Sequence[str] | None = None) -> None:
         tuned_bucket_ladder,
         tuned_serving_batch,
     )
+
+    if args.fused_detector is not None:
+        from probpose_pytorch_tpu.detect.fused import FusedTwoStagePredictor
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        det_dir = args.fused_detector
+        if (det_dir / "checkpoints").exists():
+            det_dir = det_dir / "checkpoints"
+        detector = load_detector(
+            det_dir,
+            score_threshold=args.detector_threshold,
+            max_detections=max(args.max_people, 8),
+        )
+        pose = load_predictor(args.checkpoint, args.config, ema=args.ema)
+        fused = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=args.max_people,
+            score_threshold=args.detector_threshold,
+        )
+        shapes = [
+            tuple(int(v) for v in part.split(","))
+            for part in args.frame_size.split(";")
+        ]
+        batches = (
+            tuple(int(b) for b in args.buckets.split(","))
+            if args.buckets
+            else (1,)
+        )
+        export_fused_bundle(
+            fused, args.out, shapes, batches=batches, platforms=platforms
+        )
+        print(f"wrote fused two-stage bundle {args.out} "
+              f"(frames {shapes}, batches {batches}, "
+              f"max_people {args.max_people})")
+        return
 
     if args.buckets:
         buckets = tuple(int(b) for b in args.buckets.split(","))

@@ -250,6 +250,8 @@ def run_video(
     detector=None,
     detector_threshold: float | None = None,
     bbox_scale: float = 1.25,
+    fused: bool = False,
+    max_people: int = 8,
 ) -> Iterator[dict]:
     """Run the full sequence pipeline; yields one record dict per frame.
 
@@ -257,20 +259,52 @@ def run_video(
     boxes: per-frame (N_i, 4) xywh arrays (None -> one full-frame box per
     frame). detector: a detect.DetectorPredictor — boxes then come from the
     framework's own person detector per frame (standalone mode; mutually
-    exclusive with `boxes`). Records carry numpy arrays: frame index, time,
+    exclusive with `boxes`). fused=True (needs `detector`): detector ->
+    crops -> pose runs as ONE jitted program per frame (detect/fused.py —
+    no host box round-trip, every frame carries `max_people` static pose
+    slots; best for constant-size frames, each new frame shape compiles a
+    new program). Records carry numpy arrays: frame index, time,
     track_ids, keypoints (raw), smoothed (== raw when smooth=False),
     probabilities, scores, pose_scores, boxes.
     """
     if detector is not None and boxes is not None:
         raise ValueError("pass either boxes or a detector, not both")
+    if fused and detector is None:
+        raise ValueError("fused=True needs a detector")
     if tracker is None:
         tracker = OksTracker(threshold=track_threshold)
     if smooth and smoother is None:
         from probpose_pytorch_tpu.utils.smoothing import PoseSmoother
 
         smoother = PoseSmoother()
+    fused_pred = None
+    if fused:
+        from probpose_pytorch_tpu.detect.fused import FusedTwoStagePredictor
+
+        fused_pred = FusedTwoStagePredictor(
+            detector=detector,
+            pose=predictor,
+            max_people=min(max_people, detector.max_detections),
+            bbox_scale=bbox_scale,
+            score_threshold=(
+                detector.score_threshold
+                if detector_threshold is None
+                else detector_threshold
+            ),
+        )
     for i, frame in enumerate(frames):
         t = i / fps
+        if fused_pred is not None:
+            out = fused_pred.predict_frame(frame)
+            fb = out.pop("boxes")
+            out.pop("det_scores")
+            if len(fb) == 0:
+                yield _empty_record(i, t, fb)
+                continue
+            yield _postprocess_frame(
+                out, fb, i, t, nms, nms_threshold, tracker, smoother
+            )
+            continue
         if detector is not None:
             fb = detector_boxes(
                 detector, frame, predictor.input_size,
@@ -566,6 +600,12 @@ def main(argv: Sequence[str] | None = None) -> None:
                         "no --boxes file needed")
     parser.add_argument("--detector-threshold", type=float, default=None,
                         help="detection score threshold override")
+    parser.add_argument("--fused", action="store_true",
+                        help="with --detector: run detector -> crops -> "
+                        "pose as ONE jitted program per frame (no host "
+                        "box round-trip; --max-people static pose slots)")
+    parser.add_argument("--max-people", type=int, default=8,
+                        help="pose slots per frame in --fused mode")
     parser.add_argument("--boxes", type=Path, default=None,
                         help="per-frame [[x,y,w,h], ...] JSON "
                         "(default: full-frame box)")
@@ -644,6 +684,8 @@ def main(argv: Sequence[str] | None = None) -> None:
         from probpose_pytorch_tpu.detect.train import load_detector
 
         detector = load_detector(args.detector)
+    if args.fused and detector is None:
+        parser.error("--fused needs --detector")
     args.out.mkdir(parents=True, exist_ok=True)
 
     frames = iter_frames(args.frames)
@@ -695,6 +737,8 @@ def main(argv: Sequence[str] | None = None) -> None:
             predictor, frames,
             detector=detector,
             detector_threshold=args.detector_threshold,
+            fused=args.fused,
+            max_people=args.max_people,
             **common,
         )
 

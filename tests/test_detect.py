@@ -633,3 +633,134 @@ class TestMeshServing:
         frame = np.zeros((64, 64, 3), np.uint8)
         boxes, scores = pred.detect_frame(frame, score_threshold=2.0)
         assert len(boxes) == 0
+
+
+class TestFusedTwoStage:
+    """detect/fused.py: detector -> crops -> pose in ONE jitted program."""
+
+    def _models(self):
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        det_model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        det_vars = det_model.init(
+            jax.random.PRNGKey(3), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        detector = DetectorPredictor(
+            model=det_model, variables=det_vars, max_detections=8
+        )
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-eval",
+            dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=17,
+                backbone="vit-tiny-eval", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        pose = TopDownPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+        )
+        return detector, pose
+
+    def test_expand_boxes_matches_host_expansion(self):
+        from probpose_pytorch_tpu.detect import expand_boxes_jax
+        from probpose_pytorch_tpu.detect.pipeline import expand_detections
+
+        rng = np.random.default_rng(0)
+        boxes = np.concatenate(
+            [
+                rng.uniform(0, 100, (6, 2)),
+                rng.uniform(0.5, 60, (6, 2)),  # includes sub-1px degenerates
+            ],
+            axis=1,
+        ).astype(np.float32)
+        boxes[0, 2:] = 0.0  # fully degenerate detection
+        want = expand_detections(boxes, (64, 48), 1.25)
+        got = np.asarray(expand_boxes_jax(jnp.asarray(boxes), (64, 48), 1.25))
+        np.testing.assert_allclose(got, want, atol=1e-3)
+
+    def test_fused_matches_two_program_path(self):
+        """The fused program's poses == detector() then pose() as two
+        separate dispatches over the same expanded boxes."""
+        from probpose_pytorch_tpu.detect import FusedTwoStagePredictor
+        from probpose_pytorch_tpu.detect.pipeline import expand_detections
+
+        detector, pose = self._models()
+        fused = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=4
+        )
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 256, (2, 80, 96, 3), dtype=np.uint8)
+        out = fused(frames)
+        assert out["keypoints"].shape == (2, 4, 17, 2)
+        assert out["det_scores"].shape == (2, 4)
+        assert out["boxes"].shape == (2, 4, 4)
+
+        det_boxes, det_scores = detector(frames)
+        np.testing.assert_allclose(
+            out["det_scores"], det_scores[:, :4], atol=1e-5
+        )
+        for i in range(2):
+            crop_boxes = expand_detections(
+                det_boxes[i, :4], pose.input_size, 1.25
+            )
+            np.testing.assert_allclose(
+                out["boxes"][i], crop_boxes, atol=2e-2
+            )
+            two = pose(np.tile(frames[i], (4, 1, 1, 1)), crop_boxes)
+            np.testing.assert_allclose(
+                out["keypoints"][i], two["keypoints"], atol=5e-2
+            )
+            np.testing.assert_allclose(
+                out["scores"][i], two["scores"], atol=1e-3
+            )
+            np.testing.assert_allclose(
+                out["probabilities"][i], two["probabilities"], atol=1e-3
+            )
+
+    def test_fused_predict_frame_thresholds(self):
+        from probpose_pytorch_tpu.detect import FusedTwoStagePredictor
+
+        detector, pose = self._models()
+        fused = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=3
+        )
+        frame = np.zeros((72, 72, 3), np.uint8)
+        all_out = fused.predict_frame(frame, score_threshold=-1.0)
+        assert all_out["keypoints"].shape == (3, 17, 2)
+        assert all_out["det_scores"].shape == (3,)
+        none_out = fused.predict_frame(frame, score_threshold=2.0)
+        assert none_out["keypoints"].shape == (0, 17, 2)
+        assert none_out["boxes"].shape == (0, 4)
+
+    def test_fused_validation(self):
+        import dataclasses
+
+        import pytest
+
+        from probpose_pytorch_tpu.detect import FusedTwoStagePredictor
+
+        detector, pose = self._models()
+        with pytest.raises(ValueError, match="max_detections"):
+            FusedTwoStagePredictor(
+                detector=detector, pose=pose, max_people=99
+            )
+        with pytest.raises(ValueError, match="return_heatmaps"):
+            FusedTwoStagePredictor(
+                detector=detector,
+                pose=dataclasses.replace(pose, return_heatmaps=True),
+                max_people=2,
+            )

@@ -705,3 +705,105 @@ def test_manifest_records_calibration(bundle_env):
     temperature-scaled bundles."""
     _, bundle = bundle_env
     assert bundle.manifest["calibration"] == {}
+
+
+class TestFusedBundle:
+    @pytest.fixture(scope="class")
+    def fused_env(self, tmp_path_factory):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.detect import (
+            DetectorPredictor,
+            FusedTwoStagePredictor,
+            PersonDetector,
+        )
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.serve import FusedBundle, export_fused_bundle
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        det_model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        det_vars = det_model.init(
+            jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        detector = DetectorPredictor(
+            model=det_model, variables=det_vars, max_detections=4
+        )
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-eval",
+            dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5,
+                backbone="vit-tiny-eval", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        pose = TopDownPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+        )
+        live = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=3,
+            score_threshold=-1.0,  # untrained: keep everything
+        )
+        root = tmp_path_factory.mktemp("fusedbundle")
+        out = export_fused_bundle(
+            live, root / "bundle",
+            frame_shapes=[(72, 80)], batches=(1, 2),
+        )
+        return live, FusedBundle.load(out), out
+
+    def test_manifest_and_kind_gates(self, fused_env, tmp_path):
+        import json as _json
+
+        from probpose_pytorch_tpu.serve import BottomUpBundle, FusedBundle
+
+        live, bundle, out = fused_env
+        assert bundle.frame_shapes == ((72, 80),)
+        assert bundle.batches == (1, 2)
+        assert bundle.manifest["max_people"] == 3
+        fake = tmp_path / "fake"
+        fake.mkdir()
+        (fake / "manifest.json").write_text(
+            _json.dumps({"kind": "bottomup", "version": 1})
+        )
+        with pytest.raises(ValueError, match="not a fused"):
+            FusedBundle.load(fake)
+        with pytest.raises(ValueError, match="not a bottom-up"):
+            BottomUpBundle.load(out)
+
+    def test_matches_live_predictor(self, fused_env):
+        live, bundle, _ = fused_env
+        rng = np.random.default_rng(3)
+        frames = rng.integers(0, 256, (2, 72, 80, 3), dtype=np.uint8)
+        lo = live(frames)
+        bo = bundle(frames)
+        assert set(bo) == set(lo)
+        for k in lo:
+            np.testing.assert_allclose(bo[k], lo[k], atol=1e-4, err_msg=k)
+        # predict_frame contract
+        pf = bundle.predict_frame(frames[0])
+        assert pf["keypoints"].shape == (3, 5, 2)
+        # unexported shape rejected clearly
+        with pytest.raises(ValueError, match="not exported"):
+            bundle(frames[:1, :64, :64])
+
+    def test_fused_refuses_bundle_stages(self, fused_env):
+        from probpose_pytorch_tpu.detect import FusedTwoStagePredictor
+
+        live, bundle, out = fused_env
+        with pytest.raises(ValueError, match="LIVE predictors"):
+            FusedTwoStagePredictor(
+                detector=bundle, pose=live.pose, max_people=2
+            )

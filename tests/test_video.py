@@ -571,3 +571,56 @@ class TestRunVideoBottomUp:
                 "--boxes", str(tmp_path / "boxes.json"),
                 "--out", str(tmp_path / "o"),
             ])
+
+
+class TestRunVideoFused:
+    """run_video(fused=True): detector -> crops -> pose as ONE program."""
+
+    def test_fused_record_contract(self, tiny_predictor):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.detect import (
+            DetectorPredictor,
+            PersonDetector,
+        )
+
+        det_model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        det_vars = det_model.init(
+            jax.random.PRNGKey(4), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        detector = DetectorPredictor(
+            model=det_model, variables=det_vars, max_detections=8
+        )
+        rng = np.random.default_rng(1)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        recs = list(
+            run_video(
+                tiny_predictor, iter([frame] * 2),
+                detector=detector, detector_threshold=-1.0,
+                fused=True, max_people=3,
+                nms=None, smooth=False,
+            )
+        )
+        assert len(recs) == 2
+        for r in recs:
+            assert r["keypoints"].shape == (3, 5, 2)
+            assert r["boxes"].shape == (3, 4)
+            assert r["pose_scores"].shape == (3,)
+        # identical frames through the fused program -> identical poses
+        np.testing.assert_array_equal(
+            recs[0]["keypoints"], recs[1]["keypoints"]
+        )
+        H, W = tiny_predictor.input_size
+        box = recs[0]["boxes"][0]
+        assert abs(box[2] / box[3] - W / H) < 1e-4
+
+    def test_fused_needs_detector(self, tiny_predictor):
+        with pytest.raises(ValueError, match="needs a detector"):
+            next(
+                run_video(
+                    tiny_predictor,
+                    iter([np.zeros((32, 32, 3), np.uint8)]),
+                    fused=True,
+                )
+            )
