@@ -870,6 +870,31 @@ class FusedBundle:
             self._programs[key] = jax.export.deserialize(path.read_bytes())
         return self._programs[key]
 
+    def _fit_shape(self, H: int, W: int) -> tuple[int, int]:
+        fit = [s for s in self.frame_shapes if s[0] >= H and s[1] >= W]
+        if not fit:
+            raise ValueError(
+                f"frame {(H, W)} exceeds every exported shape "
+                f"{self.frame_shapes}"
+            )
+        return min(fit)
+
+    def dispatch(self, frames: np.ndarray) -> dict:
+        """Non-blocking enqueue for the serving front: frames
+        (B, H, W, 3) uint8 at an exported (batch, frame shape) EXACTLY
+        (the micro-batcher pads to both) -> dict of in-flight device
+        arrays. The live fused predictor's `dispatch` counterpart."""
+        frames = np.ascontiguousarray(np.asarray(frames, np.uint8))
+        B, H, W = frames.shape[:3]
+        if B not in self.batches or (H, W) not in self.frame_shapes:
+            raise ValueError(
+                f"dispatch batch {B} / frame {(H, W)} not exported "
+                f"(batches {self.batches}, shapes {self.frame_shapes})"
+            )
+        return self._program(B, (H, W)).call(
+            self.det_variables, self.pose_variables, frames
+        )
+
     def __call__(self, frames: np.ndarray) -> dict:
         """frames (B, H, W, 3) uint8 -> dict of (B, max_people, ...) pose
         fields + boxes + det_scores — the live fused predictor's

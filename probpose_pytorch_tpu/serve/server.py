@@ -456,6 +456,27 @@ class BottomUpRunner:
     __call__ = dispatch
 
 
+class FusedRunner:
+    """Adapts the fused two-stage predictor (a live
+    `detect.fused.FusedTwoStagePredictor` or a loaded `FusedBundle`) to
+    the MicroBatcher runner contract: whole-frame rows like the bottom-up
+    family (requests omit 'boxes'), but the program runs detector ->
+    crops -> top-down pose in one dispatch and rows threshold on
+    `det_scores`. `kind = "fused"`."""
+
+    kind = "fused"
+
+    def __init__(self, predictor):
+        self.predictor = predictor
+        self.score_threshold = float(predictor.score_threshold)
+
+    def dispatch(self, frames: np.ndarray, boxes: np.ndarray) -> dict:
+        del boxes  # full-frame rows, one per request
+        return self.predictor.dispatch(frames)
+
+    __call__ = dispatch
+
+
 def _make_handler(
     batchers: dict[str, MicroBatcher],
     default: str,
@@ -578,11 +599,16 @@ def _make_handler(
                     f"(serving: {sorted(batchers)})"
                 })
                 return
-            bottomup = getattr(batcher.runner, "kind", None) == "bottomup"
+            kind = getattr(batcher.runner, "kind", None)
+            bottomup = kind in ("bottomup", "fused")
             if bottomup:
                 if boxes is not None:
+                    fam = (
+                        "fused two-stage" if kind == "fused"
+                        else "bottom-up"
+                    )
                     self._reply(400, {
-                        "error": "bottom-up models take whole frames — "
+                        "error": f"{fam} models take whole frames — "
                         "omit 'boxes' (pass 'score_threshold' to filter)"
                     })
                     return
@@ -624,11 +650,13 @@ def _make_handler(
                 return
             if bottomup:
                 # one row per request: (1, K, ...) -> threshold over the
-                # K detection slots, return (n, ...) kept poses
+                # K detection slots, return (n, ...) kept poses. Fused
+                # rows carry the detector score under det_scores.
                 thr = float(req.get(
                     "score_threshold", batcher.runner.score_threshold
                 ))
-                keep = np.asarray(out["scores"][0]) >= thr
+                skey = "det_scores" if kind == "fused" else "scores"
+                keep = np.asarray(out[skey][0]) >= thr
                 payload = {
                     k: np.asarray(v[0])[keep].tolist()
                     for k, v in out.items()
@@ -707,6 +735,16 @@ def main(argv=None) -> None:
                         "--keypoints run dir or an exported bottom-up "
                         "bundle): requests send whole frames, no 'boxes' "
                         "field; cost is per frame, not per person")
+    parser.add_argument("--fused", action="append", default=[],
+                        metavar="[NAME=]DIR",
+                        help="FUSED two-stage model: DIR is an exported "
+                        "fused bundle (serve.export --fused-detector), or "
+                        "a pose checkpoint dir composed live with the "
+                        "global --detector; requests send whole frames "
+                        "(no 'boxes'), detector -> crops -> pose runs as "
+                        "ONE program per dispatch")
+    parser.add_argument("--max-people", type=int, default=8,
+                        help="pose slots per frame for live --fused models")
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--host", default="0.0.0.0")
     parser.add_argument("--port", type=int, default=8000)
@@ -728,9 +766,11 @@ def main(argv=None) -> None:
                         "before accepting traffic (avoids compile storms "
                         "under load; adds startup time)")
     args = parser.parse_args(argv)
-    if not args.checkpoint and not args.bundle and not args.bottomup:
+    if (not args.checkpoint and not args.bundle and not args.bottomup
+            and not args.fused):
         parser.error(
-            "need at least one --checkpoint / --bundle / --bottomup"
+            "need at least one --checkpoint / --bundle / --bottomup "
+            "/ --fused"
         )
 
     # Graceful stop on SIGTERM (orchestrators send it; also the only
@@ -746,7 +786,8 @@ def main(argv=None) -> None:
     signal.signal(signal.SIGTERM, _term)
 
     multi = (
-        len(args.checkpoint) + len(args.bundle) + len(args.bottomup) > 1
+        len(args.checkpoint) + len(args.bundle) + len(args.bottomup)
+        + len(args.fused) > 1
     )
 
     def parse_named(entries, prefix):
@@ -760,6 +801,21 @@ def main(argv=None) -> None:
 
     cli_frame_shape = tuple(int(v) for v in args.frame_shape.split(","))
     batchers: dict[str, MicroBatcher] = {}
+
+    # Loaded up front: live --fused models compose with it, and the
+    # handler's standalone (boxes-omitted top-down) path uses it.
+    detector = None
+    if args.detector is not None:
+        from probpose_pytorch_tpu.detect.train import load_detector
+
+        det_dir = args.detector
+        if (det_dir / "checkpoints").exists():
+            det_dir = det_dir / "checkpoints"
+        detector = load_detector(
+            det_dir, score_threshold=args.detector_threshold,
+            max_detections=max(args.max_people, 8),
+        )
+        print(f"detector: {det_dir} (threshold {args.detector_threshold})")
 
     def add(name, runner, buckets, frame_shape, indexed):
         if args.buckets:
@@ -806,6 +862,37 @@ def main(argv=None) -> None:
             buckets = (1, 2, 4, 8)
             frame_shape = cli_frame_shape
         add(name, BottomUpRunner(bu), buckets, frame_shape, False)
+    for name, path in parse_named(args.fused, "fused"):
+        manifest = path / "manifest.json"
+        if manifest.exists() and json.loads(
+            manifest.read_text()
+        ).get("kind") == "fused":
+            from probpose_pytorch_tpu.serve.export import FusedBundle
+
+            fb = FusedBundle.load(path)
+            add(name, FusedRunner(fb), fb.batches,
+                fb._fit_shape(*cli_frame_shape), False)
+            continue
+        if detector is None:
+            parser.error(
+                f"--fused {path}: not a fused bundle, so it must be a "
+                "pose checkpoint composed live — pass --detector too"
+            )
+        if hasattr(detector, "batches"):
+            parser.error(
+                "live --fused composition needs a live --detector "
+                "checkpoint (exported detector bundles are "
+                "already-lowered programs)"
+            )
+        from probpose_pytorch_tpu.detect.fused import FusedTwoStagePredictor
+        from probpose_pytorch_tpu.inference import load_predictor
+
+        pose = load_predictor(path, args.config, ema=args.ema)
+        fp = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=args.max_people,
+            score_threshold=args.detector_threshold,
+        )
+        add(name, FusedRunner(fp), (1, 2, 4), cli_frame_shape, False)
 
     if args.warmup:
         t0 = time.perf_counter()
@@ -813,17 +900,6 @@ def main(argv=None) -> None:
         print(
             f"warmed {n} programs in {time.perf_counter() - t0:.1f}s"
         )
-    detector = None
-    if args.detector is not None:
-        from probpose_pytorch_tpu.detect.train import load_detector
-
-        det_dir = args.detector
-        if (det_dir / "checkpoints").exists():
-            det_dir = det_dir / "checkpoints"
-        detector = load_detector(
-            det_dir, score_threshold=args.detector_threshold
-        )
-        print(f"detector: {det_dir} (threshold {args.detector_threshold})")
     server = PoseHTTPServer(batchers, args.host, args.port,
                             detector=detector)
     print(

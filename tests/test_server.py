@@ -619,3 +619,111 @@ class TestHTTPBottomUp:
                 np.asarray(out["keypoints"], np.float32),
                 ref["keypoints"], atol=0.05,
             )
+
+
+class TestHTTPFused:
+    """Fused two-stage over HTTP: whole frames in, detector -> crops ->
+    pose in one dispatch, rows thresholded on det_scores."""
+
+    @pytest.fixture(scope="class")
+    def fused_http(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.detect import (
+            DetectorPredictor,
+            FusedTwoStagePredictor,
+            PersonDetector,
+        )
+        from probpose_pytorch_tpu.inference import TopDownPredictor
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.serve.server import FusedRunner
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        det_model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        det_vars = det_model.init(
+            jax.random.PRNGKey(9), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        detector = DetectorPredictor(
+            model=det_model, variables=det_vars, max_detections=4
+        )
+        ViTConfig.PRESETS.setdefault(
+            "vit-tiny-eval",
+            dict(embed_dim=16, depth=1, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5,
+                backbone="vit-tiny-eval", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        pose = TopDownPredictor(
+            model=trainer.model,
+            variables={
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            },
+            codec=trainer.encode_codec,
+            input_size=cfg.model.img_size,
+        )
+        predictor = FusedTwoStagePredictor(
+            detector=detector, pose=pose, max_people=3,
+            score_threshold=-1.0,  # untrained: keep every slot
+        )
+        mb = MicroBatcher(
+            FusedRunner(predictor), (1, 2), (64, 64), max_wait_ms=0
+        )
+        server = PoseHTTPServer({"pose": mb}, host="127.0.0.1", port=0)
+        server.start()
+        try:
+            yield server, f"http://127.0.0.1:{server.port}", predictor
+        finally:
+            server.shutdown()
+
+    def _payload(self, frame):
+        return {
+            "frame_b64": base64.b64encode(frame.tobytes()).decode(),
+            "shape": list(frame.shape),
+        }
+
+    def test_frame_request_matches_direct(self, fused_http):
+        _, base, predictor = fused_http
+        rng = np.random.default_rng(2)
+        frame = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+        code, out = _post(base + "/predict", self._payload(frame))
+        assert code == 200, out
+        ref = predictor.predict_frame(frame)
+        assert len(out["keypoints"]) == 3  # every slot kept at thr=-1
+        np.testing.assert_allclose(
+            np.asarray(out["keypoints"], np.float32),
+            ref["keypoints"], atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["det_scores"], np.float32),
+            ref["det_scores"], atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["boxes"], np.float32), ref["boxes"], atol=1e-3
+        )
+
+    def test_boxes_field_rejected(self, fused_http):
+        _, base, _ = fused_http
+        frame = np.zeros((64, 64, 3), np.uint8)
+        payload = self._payload(frame)
+        payload["boxes"] = [[0, 0, 10, 10]]
+        code, out = _post(base + "/predict", payload)
+        assert code == 400
+        assert "fused two-stage" in out["error"]
+
+    def test_score_threshold_filters(self, fused_http):
+        _, base, _ = fused_http
+        frame = np.zeros((64, 64, 3), np.uint8)
+        payload = self._payload(frame)
+        payload["score_threshold"] = 2.0
+        code, out = _post(base + "/predict", payload)
+        assert code == 200
+        assert out["keypoints"] == [] and out["det_scores"] == []
