@@ -371,6 +371,104 @@ def _postprocess_frame(
     }
 
 
+def run_video_fused_stream(
+    fused,
+    frames,
+    fps: float = 30.0,
+    nms: str | None = "soft_oks",
+    nms_threshold: float = 0.9,
+    smooth: bool = True,
+    track_threshold: float = 0.3,
+    batch: int = 4,
+    frame_shape: tuple[int, int] | None = None,
+    depth: int = 2,
+    score_threshold: float | None = None,
+) -> Iterator[dict]:
+    """Standalone THROUGHPUT mode: batches of whole frames through the
+    fused two-stage program (detect/fused.py — detector -> crops -> pose,
+    one dispatch per `batch` frames), with up to `depth` batches in
+    flight so the next batch's upload overlaps this batch's compute.
+    The standalone analogue of `run_video_stream` (which needs
+    precomputed boxes): frames in, tracked/smoothed pose records out,
+    no boxes file and no per-frame host round-trip.
+
+    frame_shape: (H, W) every frame zero-pads to (default: the first
+    frame's shape) — one compiled program total. Results lag the input
+    by up to `batch` frames plus the in-flight window; tracking and
+    smoothing stay sequential on the reassembled frames."""
+    from collections import deque
+
+    tracker = OksTracker(threshold=track_threshold)
+    smoother = None
+    if smooth:
+        from probpose_pytorch_tpu.utils.smoothing import PoseSmoother
+
+        smoother = PoseSmoother()
+    thr = (
+        fused.score_threshold if score_threshold is None
+        else score_threshold
+    )
+    state = {"shape": frame_shape}
+
+    def pad_frame(frame: np.ndarray) -> np.ndarray:
+        if state["shape"] is None:
+            state["shape"] = tuple(frame.shape[:2])
+        H, W = state["shape"]
+        h, w = frame.shape[:2]
+        if (h, w) == (H, W):
+            return frame
+        if h > H or w > W:
+            raise ValueError(
+                f"frame {(h, w)} exceeds the stream shape {(H, W)} — "
+                "pass frame_shape= sized for the largest frame"
+            )
+        return np.pad(frame, ((0, H - h), (0, W - w), (0, 0)))
+
+    def postprocess(out_host: dict, i: int, t: float) -> dict:
+        keep = out_host["det_scores"] >= thr
+        fb = out_host["boxes"][keep]
+        if not keep.any():
+            return _empty_record(i, t, fb)
+        row = {
+            k: v[keep]
+            for k, v in out_host.items()
+            if k not in ("boxes", "det_scores")
+        }
+        return _postprocess_frame(
+            row, fb, i, t, nms, nms_threshold, tracker, smoother
+        )
+
+    in_flight: deque = deque()  # (device out dict, [frame indices])
+
+    def drain_one():
+        dev, idxs = in_flight.popleft()
+        host = {k: np.asarray(v) for k, v in dev.items()}
+        for j, i in enumerate(idxs):
+            yield postprocess(
+                {k: v[j] for k, v in host.items()}, i, i / fps
+            )
+
+    buf, idxs = [], []
+    for i, frame in enumerate(frames):
+        buf.append(pad_frame(np.asarray(frame, np.uint8)))
+        idxs.append(i)
+        if len(buf) == batch:
+            in_flight.append(
+                (fused.dispatch(np.stack(buf)), list(idxs))
+            )
+            buf, idxs = [], []
+            if len(in_flight) > depth:
+                yield from drain_one()
+    if buf:  # short tail: zero-pad frames, drop pad rows
+        n = len(buf)
+        buf += [np.zeros_like(buf[0])] * (batch - n)
+        in_flight.append(
+            (fused.dispatch(np.stack(buf)), list(idxs))
+        )
+    while in_flight:
+        yield from drain_one()
+
+
 def run_video_bottomup(
     predictor,
     frames,
@@ -676,10 +774,11 @@ def main(argv: Sequence[str] | None = None) -> None:
     if args.detector is not None:
         if args.boxes is not None:
             parser.error("--detector and --boxes are mutually exclusive")
-        if args.stream_batch is not None:
+        if args.stream_batch is not None and not args.fused:
             parser.error(
-                "--detector runs per-frame; not available in --stream-batch "
-                "throughput mode (pre-compute boxes to a JSON file instead)"
+                "--detector runs per-frame; in --stream-batch throughput "
+                "mode add --fused (batched whole-frame fused dispatches) "
+                "or pre-compute boxes to a JSON file"
             )
         from probpose_pytorch_tpu.detect.train import load_detector
 
@@ -713,6 +812,32 @@ def main(argv: Sequence[str] | None = None) -> None:
         records = run_video_bottomup(
             predictor, frames,
             score_threshold=args.detector_threshold,
+            **common,
+        )
+    elif args.stream_batch is not None and args.fused:
+        from probpose_pytorch_tpu.detect.fused import FusedTwoStagePredictor
+
+        del common["boxes"]  # whole frames in, like bottom-up
+        if args.stream_frame_shape is not None:
+            stream_frame_shape = tuple(
+                int(v) for v in args.stream_frame_shape.split(",")
+            )
+            if len(stream_frame_shape) != 2:
+                parser.error("--stream-frame-shape expects H,W")
+        fused_pred = FusedTwoStagePredictor(
+            detector=detector,
+            pose=predictor,
+            max_people=min(args.max_people, detector.max_detections),
+            score_threshold=(
+                detector.score_threshold
+                if args.detector_threshold is None
+                else args.detector_threshold
+            ),
+        )
+        records = run_video_fused_stream(
+            fused_pred, frames,
+            batch=args.stream_batch or 4,  # frames per dispatch here
+            frame_shape=stream_frame_shape,
             **common,
         )
     elif args.stream_batch is not None:

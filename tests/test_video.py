@@ -624,3 +624,60 @@ class TestRunVideoFused:
                     fused=True,
                 )
             )
+
+    def test_fused_stream_matches_per_frame(self, tiny_predictor):
+        """run_video_fused_stream == run_video(fused=True) record for
+        record (same program, batched dispatch + ragged tail)."""
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.detect import (
+            DetectorPredictor,
+            PersonDetector,
+        )
+        from probpose_pytorch_tpu.detect.fused import FusedTwoStagePredictor
+        from probpose_pytorch_tpu.video import run_video_fused_stream
+
+        det_model = PersonDetector(img_size=(64, 64), preset="conv-t")
+        det_vars = det_model.init(
+            jax.random.PRNGKey(11), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        detector = DetectorPredictor(
+            model=det_model, variables=det_vars, max_detections=8
+        )
+        rng = np.random.default_rng(4)
+        seq = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+            for _ in range(5)  # 5 frames, batch 2 -> ragged tail
+        ]
+        per_frame = list(
+            run_video(
+                tiny_predictor, iter(seq),
+                detector=detector, detector_threshold=-1.0,
+                fused=True, max_people=3,
+                nms=None, smooth=False,
+            )
+        )
+        fused = FusedTwoStagePredictor(
+            detector=detector, pose=tiny_predictor, max_people=3,
+            score_threshold=-1.0,
+        )
+        streamed = list(
+            run_video_fused_stream(
+                fused, iter(seq), batch=2,
+                nms=None, smooth=False,
+            )
+        )
+        assert len(streamed) == len(per_frame) == 5
+        for a, b in zip(streamed, per_frame):
+            assert a["frame"] == b["frame"]
+            # batch-2 vs batch-1 programs tile differently; observed
+            # <=5e-4 px / <=1e-4 score drift (same caveat as
+            # run_video_stream's docstring)
+            np.testing.assert_allclose(
+                a["keypoints"], b["keypoints"], atol=5e-3
+            )
+            np.testing.assert_allclose(
+                a["pose_scores"], b["pose_scores"], atol=1e-3
+            )
+            np.testing.assert_allclose(a["boxes"], b["boxes"], atol=5e-3)
