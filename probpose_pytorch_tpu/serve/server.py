@@ -813,7 +813,9 @@ def main(argv=None) -> None:
             det_dir = det_dir / "checkpoints"
         detector = load_detector(
             det_dir, score_threshold=args.detector_threshold,
-            max_detections=max(args.max_people, 8),
+            # shared by the classic standalone path (its default ceiling)
+            # and live --fused composition (which slices its max_people)
+            max_detections=max(args.max_people, 64),
         )
         print(f"detector: {det_dir} (threshold {args.detector_threshold})")
 
