@@ -66,7 +66,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
         # Wait until a few steps have actually run (compile included; the
         # deadline is generous because this 1-core host runs the suite and
         # compiles concurrently).
-        deadline = time.time() + 600
+        deadline = time.time() + 900
         while time.time() < deadline:
             if metrics.exists() and len(metrics.read_text().splitlines()) >= 2:
                 break
@@ -77,10 +77,10 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
                 )
             time.sleep(0.5)
         else:
-            pytest.fail("trainer never reached step 2 within 600s")
+            pytest.fail("trainer never reached step 2 within 900s")
 
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=300)
+        out, _ = proc.communicate(timeout=600)
     finally:
         if proc.poll() is None:
             proc.kill()
@@ -100,7 +100,7 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "probpose_pytorch_tpu.train.cli",
          str(out_dir), "--config", str(cfg_path), "--max-steps", "2"],
-        env=_child_env(), capture_output=True, text=True, timeout=300,
+        env=_child_env(), capture_output=True, text=True, timeout=600,
     )
     assert res.returncode == 0, res.stdout + res.stderr
     assert f"resumed from step {steps[-1]}" in res.stdout

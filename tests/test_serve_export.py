@@ -807,3 +807,62 @@ class TestFusedBundle:
             FusedTwoStagePredictor(
                 detector=bundle, pose=live.pose, max_people=2
             )
+
+    def test_export_cli_fused_mode(self, tmp_path):
+        """serve.export --checkpoint ... --fused-detector DIR: CLI round
+        trip to a loadable FusedBundle."""
+        import json as _json
+
+        import jax
+
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.serve import FusedBundle
+        from probpose_pytorch_tpu.serve.export import main as export_main
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+        from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+        det_run = tmp_path / "det_run"
+        det_run.mkdir()
+        det_trainer = DetectorTrainer.create(
+            img_size=(64, 64), total_steps=1
+        )
+        (det_run / "detector.json").write_text(
+            _json.dumps(dict(img_size=[64, 64], preset="conv-t"))
+        )
+        dckpt = CheckpointManager(det_run / "checkpoints", keep=1)
+        dckpt.save(0, det_trainer.state)
+        dckpt.close()
+
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=5,
+                backbone="vit-tiny-e2e", compute_dtype="float32",
+                deconv_out_channels=(8, 8), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+            out_dir=str(tmp_path / "pose_run"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=1)
+        pose_run = tmp_path / "pose_run"
+        pose_run.mkdir(exist_ok=True)
+        cfg.save(pose_run / "config.json")
+        pckpt = CheckpointManager(pose_run / "checkpoints", keep=1)
+        pckpt.save(0, trainer.state)
+        pckpt.close()
+
+        export_main([
+            "--checkpoint", str(pose_run / "checkpoints"),
+            "--config", str(pose_run / "config.json"),
+            "--fused-detector", str(det_run),
+            "--out", str(tmp_path / "fused_bundle"),
+            "--frame-size", "96,96",
+            "--max-people", "3",
+        ])
+        bundle = FusedBundle.load(tmp_path / "fused_bundle")
+        assert bundle.manifest["max_people"] == 3
+        out = bundle.predict_frame(
+            np.zeros((96, 96, 3), np.uint8), score_threshold=-1.0
+        )
+        assert out["keypoints"].shape == (3, 5, 2)
+        assert out["boxes"].shape == (3, 4)
