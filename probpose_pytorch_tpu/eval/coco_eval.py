@@ -198,7 +198,10 @@ class COCOKeypointEvaluator:
             all_scores.append(scores)
             n_gt += n_live
         if n_gt == 0:
-            return {"AP": -1.0, "AP50": -1.0, "AP75": -1.0, "AR": -1.0}
+            return {
+                "AP": -1.0, "AP50": -1.0, "AP75": -1.0,
+                "AR": -1.0, "AR50": -1.0, "AR75": -1.0,
+            }
         tp = np.concatenate(all_tp, axis=1) if all_tp else np.zeros((T, 0), bool)
         ig = np.concatenate(all_ig, axis=1) if all_ig else np.zeros((T, 0), bool)
         scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
@@ -230,10 +233,20 @@ class COCOKeypointEvaluator:
             "AP50": float(aps[0]),
             "AP75": float(aps[5]),
             "AR": float(np.mean(ars)),
+            "AR50": float(ars[0]),
+            "AR75": float(ars[5]),
         }
 
     def summarize(self) -> dict[str, float]:
+        """All ten COCO keypoint headline stats, matching pycocotools'
+        COCOeval stats vector: AP, AP50, AP75, AP_medium, AP_large, AR,
+        AR50, AR75, AR_medium, AR_large
+        (cross-check: scripts/cross_check_pycocotools.py)."""
         out = self._evaluate_range(_AREA_RANGES["all"])
-        out["AP_medium"] = self._evaluate_range(_AREA_RANGES["medium"])["AP"]
-        out["AP_large"] = self._evaluate_range(_AREA_RANGES["large"])["AP"]
+        med = self._evaluate_range(_AREA_RANGES["medium"])
+        lar = self._evaluate_range(_AREA_RANGES["large"])
+        out["AP_medium"] = med["AP"]
+        out["AP_large"] = lar["AP"]
+        out["AR_medium"] = med["AR"]
+        out["AR_large"] = lar["AR"]
         return out

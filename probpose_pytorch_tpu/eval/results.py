@@ -7,9 +7,11 @@ at all). The dump is the standard COCO keypoint-results layout —
 ``[{"image_id", "category_id", "keypoints": [x1, y1, s1, ...], "score"}]``
 — i.e. exactly what ``pycocotools.coco.COCO.loadRes`` consumes, so
 framework predictions can be scored by the official COCOeval wherever
-pycocotools is installed (the deferred one-shot cross-check of the in-repo
-protocol implementation, eval/coco_eval.py), submitted to the COCO
-evaluation server, or re-scored here offline with `score_results`.
+pycocotools is installed, submitted to the COCO evaluation server, or
+re-scored here offline with `score_results`. The one-shot cross-check of
+the in-repo protocol implementation (eval/coco_eval.py) against the real
+COCOeval ships as `scripts/cross_check_pycocotools.py` with a committed
+fixture pair — one command wherever pycocotools exists.
 """
 
 from __future__ import annotations
