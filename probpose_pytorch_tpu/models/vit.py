@@ -318,6 +318,7 @@ def tp_block_apply(
     softmax_dtype: jnp.dtype = jnp.float32,
     exact_gelu: bool = False,
     model_axis: str | None = None,
+    vjp_boundaries: bool = False,
 ) -> jax.Array:
     """One transformer block as a pure function over flat stacked-layout
     params (BLOCK_LEAF_PATHS names, depth axis already indexed away) with
@@ -333,9 +334,29 @@ def tp_block_apply(
     free form pipeline_spmd's fallback paths use). Numerics mirror `Block`
     with attn_impl='fused_tp': f32 LayerNorms, matmuls in `dtype`, packed
     Pallas attention on TPU / head-major einsum elsewhere.
+
+    vjp_boundaries=True emits the Megatron f/g boundary form (tp_enter /
+    tp_leave from parallel/pipeline.py — same forward, custom backward
+    collectives) that pipeline_1f1b's in-scan jax.vjp requires; the default
+    bare-psum form is what autodiff THROUGH shard_map (the GPipe path)
+    transposes correctly on its own.
     """
+    if vjp_boundaries and model_axis is not None:
+        from probpose_pytorch_tpu.parallel.pipeline import tp_enter, tp_leave
+
+        enter = lambda a: tp_enter(a, model_axis)
+        leave = lambda a: tp_leave(a, model_axis)
+    else:
+        enter = lambda a: a
+        leave = (
+            (lambda a: jax.lax.psum(a, model_axis))
+            if model_axis is not None
+            else (lambda a: a)
+        )
     y = _layernorm(h, p["norm1_scale"], p["norm1_bias"]).astype(dtype)
-    qkv = y @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(dtype)
+    qkv = enter(y) @ p["qkv_kernel"].astype(dtype) + p["qkv_bias"].astype(
+        dtype
+    )
     if _fused_kernels_enabled():
         from probpose_pytorch_tpu.ops.pallas import packed_attention
 
@@ -349,16 +370,14 @@ def tp_block_apply(
             dtype
         )
         ctx = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, heads * d)
-    out = ctx @ p["proj_kernel"].astype(dtype)
-    if model_axis is not None:
-        out = jax.lax.psum(out, model_axis)
+    out = leave(ctx @ p["proj_kernel"].astype(dtype))
     h = h + (out + p["proj_bias"].astype(dtype))
     y = _layernorm(h, p["norm2_scale"], p["norm2_bias"]).astype(dtype)
-    a = y @ p["fc1_kernel"].astype(dtype) + p["fc1_bias"].astype(dtype)
+    a = enter(y) @ p["fc1_kernel"].astype(dtype) + p["fc1_bias"].astype(
+        dtype
+    )
     a = nn.gelu(a, approximate=not exact_gelu)
-    out = a @ p["fc2_kernel"].astype(dtype)
-    if model_axis is not None:
-        out = jax.lax.psum(out, model_axis)
+    out = leave(a @ p["fc2_kernel"].astype(dtype))
     return h + (out + p["fc2_bias"].astype(dtype))
 
 

@@ -37,6 +37,7 @@ ppermute still rides the innermost "pipe" ICI hop.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable
 
 import jax
@@ -44,7 +45,61 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-__all__ = ["pipeline_spmd", "pick_microbatches"]
+__all__ = [
+    "pipeline_spmd",
+    "pipeline_1f1b",
+    "pick_microbatches",
+    "tp_enter",
+    "tp_leave",
+]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_enter(x: jax.Array, axis: str) -> jax.Array:
+    """Megatron "f" boundary: identity forward, psum backward.
+
+    Place at the point where a replicated activation enters model-sharded
+    compute (after the replicated LayerNorm, before the column-parallel
+    matmul). The backward psum merges the per-shard partial cotangents so
+    the joined cotangent upstream of the boundary is the true full one —
+    which is what makes a plain `jax.vjp` of a Megatron-form block exact
+    per shard (pipeline_1f1b runs exactly that inside its scheduled scan,
+    where shard_map's boundary transpose machinery cannot help)."""
+    return x
+
+
+def _tp_enter_fwd(x, axis):
+    return x, None
+
+
+def _tp_enter_bwd(axis, _, g):
+    return (lax.psum(g, axis),)
+
+
+tp_enter.defvjp(_tp_enter_fwd, _tp_enter_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tp_leave(x: jax.Array, axis: str) -> jax.Array:
+    """Megatron "g" boundary: psum forward, identity backward.
+
+    Place where model-sharded partial outputs merge back to a replicated
+    activation (the row-parallel matmul output, before its replicated bias
+    add). Together with `tp_enter` this makes every cotangent between
+    blocks replicated-and-true, so pipeline_1f1b needs no transpose-factor
+    corrections."""
+    return lax.psum(x, axis)
+
+
+def _tp_leave_fwd(x, axis):
+    return lax.psum(x, axis), None
+
+
+def _tp_leave_bwd(axis, _, g):
+    return (g,)
+
+
+tp_leave.defvjp(_tp_leave_fwd, _tp_leave_bwd)
 
 
 def pick_microbatches(local_batch: int, n_stages: int) -> int:
@@ -197,3 +252,251 @@ def pipeline_spmd(
         check_vma=False,  # Pallas custom_vjp may run inside block_fn
     )
     return fn(x, stacked_params)
+
+
+def pipeline_1f1b(
+    block_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    loss_fn: Callable[[Any, jax.Array, Any], jax.Array],
+    loss_params: Any,
+    x: jax.Array,
+    targets: Any,
+    mesh,
+    *,
+    pipe_axis: str = "pipe",
+    batch_axis: str = "data",
+    model_axis: str | None = None,
+    microbatches: int = 0,
+    param_specs: Any = None,
+    seq_block_fn: Callable[[Any, jax.Array], jax.Array] | None = None,
+) -> tuple[jax.Array, Any, Any, jax.Array]:
+    """One-forward-one-backward (1F1B) pipelined loss + gradients.
+
+    Why a separate engine instead of autodiff through `pipeline_spmd`:
+    autodiff of the GPipe scan necessarily runs ALL forwards before the
+    first backward, so every microbatch's stage activations stay live —
+    O(M) peak memory per stage. 1F1B interleaves each microbatch's backward
+    as soon as its loss cotangent exists, which requires the loss to be
+    computed *inside* the pipeline at the last stage. This engine therefore
+    takes the post-trunk computation as `loss_fn` and returns gradients
+    directly; the activation stash holds at most 2(S-1)+1 microbatch inputs
+    per stage — O(S), independent of M — so M can grow to shrink the bubble
+    ((S-1)/(M+S-1), same per-phase fraction as GPipe) without growing
+    memory. Backward slots recompute the stage forward from the stashed
+    input (flash-style, 2x forward FLOPs — the same trade `remat=True`
+    makes on the GPipe path). Bubble accounting: docs/SCALING.md.
+
+    Schedule (synchronous SPMD, one scan over C = M + 2(S-1) cycles, all
+    inside one shard_map): at cycle c, stage s forwards microbatch c-s and
+    backwards microbatch c-2(S-1)+s; the last stage's backward microbatch
+    equals its forward microbatch, so its loss vjp feeds its own backward
+    in the same cycle. Activations ppermute s->s+1 and cotangents s->s-1
+    once per cycle, riding the same ICI hops as the forward-only pipeline.
+
+    Args:
+        block_fn: (params_i, h) -> h for ONE trunk block (as pipeline_spmd).
+        stacked_params: pytree, every leaf leading dim `depth`.
+        loss_fn: (loss_params, h, targets_mb) -> scalar mean loss over the
+            microbatch. Runs at the last stage (replicated compute on the
+            other stages, masked out). Everything after the trunk — final
+            norm, heads, loss — lives here.
+        loss_params: pytree (replicated across the mesh).
+        x: (B, ...) trunk input; B shards over `batch_axis`.
+        targets: pytree of (B, ...) arrays consumed by loss_fn.
+        model_axis: name of a tensor-parallel mesh axis when block_fn runs
+            Megatron-style. Contract: the block must implement its
+            model-axis collectives with the `tp_enter` / `tp_leave`
+            boundaries from this module (identity-fwd/psum-bwd at the
+            sharded-branch entry, psum-fwd/identity-bwd at its exit)
+            instead of bare lax.psum — that makes the plain jax.vjp this
+            engine runs per cycle exact per shard, with replicated seam
+            cotangents and true local param grads, independent of
+            shard_map's transpose bookkeeping (which only fires at the
+            shard_map boundary and cannot help inside the scheduled scan).
+            `tp_block_apply(..., vjp_boundaries=...)` in models/vit.py
+            emits this form for the real ViT block.
+        microbatches: 0 = auto. Unlike GPipe's pick (capped at 2S for
+            memory), 1F1B can afford M >> S; auto picks the largest divisor
+            of the per-device batch that is <= 4S.
+        seq_block_fn: collective-free block form for the S==1/indivisible
+            fallback (as pipeline_spmd).
+
+    Returns:
+        (loss, d_stacked, d_loss_params, dx): global mean loss (replicated
+        scalar), trunk grads (laid out like stacked_params/param_specs),
+        loss-side grads (replicated), and the cotangent of x (batch-sharded)
+        for chaining into upstream layers (patch embed).
+    """
+    shape = dict(mesh.shape) if mesh is not None else {}
+    S = shape.get(pipe_axis, 1)
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    dp = shape.get(batch_axis, 1)
+    B = x.shape[0]
+
+    if S == 1 or B % dp != 0:
+        # Sequential fallback: plain autodiff (under an outer jit, GSPMD
+        # shards the batch math over `batch_axis` automatically).
+        seq_fn = seq_block_fn or block_fn
+
+        def total(p, lp, xin):
+            h = xin
+            for i in range(depth):
+                h = seq_fn(
+                    jax.tree_util.tree_map(lambda a: a[i], p), h
+                )
+            return loss_fn(lp, h, targets)
+
+        loss, (d_p, d_lp, d_x) = jax.value_and_grad(
+            total, argnums=(0, 1, 2)
+        )(stacked_params, loss_params, x)
+        return loss, d_p, d_lp, d_x
+
+    if depth % S != 0:
+        raise ValueError(f"depth={depth} not divisible by pipe axis size {S}")
+    local_b = B // dp
+    if microbatches:
+        M = microbatches
+    else:
+        M = 1
+        for m in range(min(4 * S, local_b), 0, -1):
+            if local_b % m == 0:
+                M = m
+                break
+    if local_b % M != 0:
+        raise ValueError(
+            f"per-device batch {local_b} not divisible by microbatches={M}"
+        )
+
+    x_spec = P(batch_axis)
+    t_specs = jax.tree_util.tree_map(lambda _: P(batch_axis), targets)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(
+            lambda _: P(pipe_axis), stacked_params
+        )
+    lp_specs = jax.tree_util.tree_map(lambda _: P(), loss_params)
+    fperm = [(i, (i + 1) % S) for i in range(S)]
+    bperm = [(i, (i - 1) % S) for i in range(S)]
+    L = depth // S
+    Q = 2 * (S - 1) + 1  # stash slots: max microbatch in-flight per stage
+
+    def scheduled(x_local, p_local, lp, t_local):
+        stage = lax.axis_index(pipe_axis)
+        mb = x_local.shape[0] // M
+        mbs = x_local.reshape(M, mb, *x_local.shape[1:])
+        t_mbs = jax.tree_util.tree_map(
+            lambda a: a.reshape(M, mb, *a.shape[1:]), t_local
+        )
+
+        def run_stage(p, h):
+            for i in range(L):
+                h = block_fn(
+                    jax.tree_util.tree_map(lambda a: a[i], p), h
+                )
+            return h
+
+        def cycle(carry, c):
+            stash, fwd_in, bwd_in, dp_acc, dlp_acc, dx_acc, loss_acc = carry
+            # ---- forward slot: microbatch f = c - stage ----
+            f = c - stage
+            f_valid = (f >= 0) & (f < M)
+            fc = jnp.clip(f, 0, M - 1)
+            h_in = jnp.where(
+                stage == 0,
+                lax.dynamic_index_in_dim(mbs, fc, 0, keepdims=False),
+                fwd_in,
+            )
+            # Stash the stage input for the recompute backward. Slot Q is a
+            # scratch slot that absorbs invalid-cycle writes so warmup/drain
+            # garbage never clobbers a live microbatch.
+            stash = lax.dynamic_update_index_in_dim(
+                stash, h_in, jnp.where(f_valid, fc % Q, Q), 0
+            )
+            y = run_stage(p_local, h_in)
+            # ---- backward slot: microbatch b = c - 2(S-1) + stage ----
+            # At the last stage b == f: the loss vjp on the activation just
+            # produced seeds its own backward in the same cycle.
+            b = c - 2 * (S - 1) + stage
+            b_valid = (b >= 0) & (b < M)
+            bc = jnp.clip(b, 0, M - 1)
+            t_mb = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(a, bc, 0, keepdims=False),
+                t_mbs,
+            )
+            lval, loss_vjp = jax.vjp(loss_fn, lp, y, t_mb)
+            # d(device loss)/d(mb loss) = 1/M (device loss = mean over mbs)
+            dlp_mb, g_loss, _ = loss_vjp(jnp.asarray(1.0 / M, lval.dtype))
+            g_in = jnp.where(stage == S - 1, g_loss, bwd_in)
+            h_b = lax.dynamic_index_in_dim(stash, bc % Q, 0, keepdims=False)
+            _, stage_vjp = jax.vjp(run_stage, p_local, h_b)
+            dp_mb, dh = stage_vjp(g_in)
+            dp_acc = jax.tree_util.tree_map(
+                lambda acc, g: acc + jnp.where(b_valid, g, 0), dp_acc, dp_mb
+            )
+            last = b_valid & (stage == S - 1)
+            dlp_acc = jax.tree_util.tree_map(
+                lambda acc, g: acc + jnp.where(last, g, 0), dlp_acc, dlp_mb
+            )
+            loss_acc = loss_acc + jnp.where(last, lval / M, 0.0)
+            dx_acc = lax.dynamic_update_index_in_dim(
+                dx_acc,
+                dh,
+                jnp.where(b_valid & (stage == 0), bc, M),
+                0,
+            )
+            return (
+                stash,
+                lax.ppermute(y, pipe_axis, fperm),
+                lax.ppermute(dh, pipe_axis, bperm),
+                dp_acc,
+                dlp_acc,
+                dx_acc,
+                loss_acc,
+            ), None
+
+        init = (
+            jnp.zeros((Q + 1, mb, *x_local.shape[1:]), x_local.dtype),
+            jnp.zeros_like(mbs[0]),
+            jnp.zeros_like(mbs[0]),
+            jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), p_local
+            ),
+            jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), lp
+            ),
+            jnp.zeros((M + 1, mb, *x_local.shape[1:]), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        )
+        carry, _ = lax.scan(cycle, init, jnp.arange(M + 2 * (S - 1)))
+        _, _, _, dp_acc, dlp_acc, dx_acc, loss_acc = carry
+        stage = lax.axis_index(pipe_axis)
+        # Mean over microbatches is already folded in (1/M cotangent);
+        # reduce across the mesh: data axis averages (global batch mean),
+        # pipe axis shares the last stage's loss-side results.
+        loss = lax.pmean(
+            lax.psum(jnp.where(stage == S - 1, loss_acc, 0.0), pipe_axis),
+            batch_axis,
+        )
+        dp_acc = jax.tree_util.tree_map(
+            lambda g: lax.pmean(g, batch_axis), dp_acc
+        )
+        dlp_acc = jax.tree_util.tree_map(
+            lambda g: lax.pmean(lax.psum(g, pipe_axis), batch_axis), dlp_acc
+        )
+        # dx has no cross-device reduction (each example lives on one data
+        # shard), so the global-mean factor 1/dp is applied explicitly.
+        dx = lax.psum(
+            jnp.where(
+                stage == 0, dx_acc[:M], jnp.zeros_like(dx_acc[:M])
+            ),
+            pipe_axis,
+        ).reshape(x_local.shape) / dp
+        return loss, dp_acc, dlp_acc, dx
+
+    fn = jax.shard_map(
+        scheduled,
+        mesh=mesh,
+        in_specs=(x_spec, param_specs, lp_specs, t_specs),
+        out_specs=(P(), param_specs, lp_specs, x_spec),
+        check_vma=False,  # manual collectives + Pallas custom_vjp inside
+    )
+    return fn(x, stacked_params, loss_params, targets)

@@ -20,6 +20,7 @@ from probpose_pytorch_tpu.parallel import (
     shard_batch,
     shard_params,
 )
+from probpose_pytorch_tpu.parallel.pipeline import pipeline_1f1b
 
 
 def _toy_stacked(depth=4, dim=8, seed=0):
@@ -118,6 +119,228 @@ class TestPipelineSpmd:
         mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
         with pytest.raises(ValueError, match="not divisible"):
             pipeline_spmd(_toy_block, stacked, x, mesh)
+
+
+class Test1F1B:
+    """pipeline_1f1b: interleaved one-forward-one-backward schedule with the
+    loss folded into the last stage (parallel/pipeline.py). Loss + all three
+    gradient outputs must match plain autodiff of the sequential trunk, and
+    the GPipe path, on the virtual mesh."""
+
+    def _loss_params(self, dim=8, out=3, seed=9):
+        rng = np.random.RandomState(seed)
+        return {"w": jnp.asarray(rng.randn(dim, out) * 0.4, jnp.float32)}
+
+    def _loss_fn(self, lp, h, t):
+        # mean-square linear probe: everything "after the trunk"
+        return jnp.mean((h @ lp["w"] - t) ** 2)
+
+    def _data(self, B=16, n=5, dim=8, out=3, seed=1):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(B, n, dim), jnp.float32)
+        t = jnp.asarray(rng.randn(B, n, out), jnp.float32)
+        return x, t
+
+    def _seq_ref(self, stacked, lp, x, t):
+        def total(p, lp_, xin):
+            return self._loss_fn(lp_, _sequential(p, xin), t)
+
+        loss, grads = jax.value_and_grad(total, argnums=(0, 1, 2))(
+            stacked, lp, x
+        )
+        return loss, *grads
+
+    def _check(self, got, want, rtol=1e-5, atol=1e-6):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=rtol, atol=atol
+            ),
+            got,
+            want,
+        )
+
+    def test_matches_sequential_autodiff(self):
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        x, t = self._data()
+        ref = self._seq_ref(stacked, lp, x, t)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh
+        )
+        self._check(got, ref)
+
+    @pytest.mark.parametrize("microbatches", [1, 2, 8])
+    def test_microbatch_counts(self, microbatches):
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        x, t = self._data(seed=2)
+        ref = self._seq_ref(stacked, lp, x, t)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh,
+            microbatches=microbatches,
+        )
+        self._check(got, ref)
+
+    def test_pipe_only_mesh(self):
+        stacked = _toy_stacked(depth=8)
+        lp = self._loss_params()
+        x, t = self._data(B=8, seed=3)
+        ref = self._seq_ref(stacked, lp, x, t)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=8)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh
+        )
+        self._check(got, ref)
+
+    def test_matches_gpipe_autodiff(self):
+        """Same loss/grads as autodiff THROUGH pipeline_spmd + external
+        loss — the schedules must be numerically interchangeable."""
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        x, t = self._data(seed=4)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+
+        def gpipe_total(p, lp_, xin):
+            return self._loss_fn(
+                lp_, pipeline_spmd(_toy_block, p, xin, mesh), t
+            )
+
+        loss_g, grads_g = jax.value_and_grad(
+            gpipe_total, argnums=(0, 1, 2)
+        )(stacked, lp, x)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh
+        )
+        self._check(got, (loss_g, *grads_g))
+
+    def test_no_pipe_axis_sequential_fallback(self):
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        x, t = self._data(B=4, seed=5)
+        ref = self._seq_ref(stacked, lp, x, t)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh=None
+        )
+        self._check(got, ref)
+
+    def test_tensor_parallel_stages(self):
+        """Megatron-style toy block (column/row-sharded MLP) under
+        dp=2 x tp=2 x pp=2: the tp_enter/tp_leave vjp boundaries must keep
+        all grads exact through the engine's in-scan jax.vjp."""
+        from probpose_pytorch_tpu.parallel.pipeline import tp_enter, tp_leave
+
+        depth, dim, hid = 4, 8, 16
+        rng = np.random.RandomState(7)
+        stacked = {
+            "w1": jnp.asarray(rng.randn(depth, dim, hid) * 0.3, jnp.float32),
+            "w2": jnp.asarray(rng.randn(depth, hid, dim) * 0.3, jnp.float32),
+            # replicated post-psum bias: its grad must NOT pick up any
+            # model-axis factor (the failure mode of naive corrections)
+            "b": jnp.asarray(rng.randn(depth, dim) * 0.1, jnp.float32),
+        }
+
+        def tp_block(p, h):
+            u = jnp.tanh(tp_enter(h, "model") @ p["w1"])
+            return h + tp_leave(u @ p["w2"], "model") + p["b"]
+
+        def seq_block(p, h):
+            return h + jnp.tanh(h @ p["w1"]) @ p["w2"] + p["b"]
+
+        lp = self._loss_params()
+        x, t = self._data(seed=8)
+
+        def total(p, lp_, xin):
+            h = xin
+            for i in range(depth):
+                h = seq_block(jax.tree.map(lambda a: a[i], p), h)
+            return self._loss_fn(lp_, h, t)
+
+        loss_ref, grads_ref = jax.value_and_grad(
+            total, argnums=(0, 1, 2)
+        )(stacked, lp, x)
+
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        got = pipeline_1f1b(
+            tp_block,
+            stacked,
+            self._loss_fn,
+            lp,
+            x,
+            t,
+            mesh,
+            model_axis="model",
+            param_specs={
+                "w1": P("pipe", None, "model"),
+                "w2": P("pipe", "model", None),
+                "b": P("pipe"),
+            },
+            seq_block_fn=seq_block,
+        )
+        self._check(got, (loss_ref, *grads_ref), rtol=2e-5, atol=2e-6)
+
+    def test_vit_block_tensor_parallel_stages(self):
+        """The real ViT block (tp_block_apply with vjp_boundaries=True)
+        under dp=2 x tp=2 x pp=2: loss and all grads match the sequential
+        full-width block."""
+        from probpose_pytorch_tpu.models.vit import (
+            stacked_param_specs,
+            tp_block_apply,
+        )
+
+        mesh = make_mesh(8, model_parallel=2, pipeline_parallel=2)
+        depth, heads, dim = 2, 2, 64
+        # head-major stacked params from a fused_tp ViT init
+        vit = ViTBackbone(
+            **dict(_vit_kw(depth=depth), attn_impl="fused_tp"),
+            pp_stages=2,
+            mesh=mesh,
+        )
+        xim = jnp.zeros((8, 64, 48, 3), jnp.float32)
+        flat = vit.init(jax.random.PRNGKey(0), xim)["params"]["blocks"]
+        flat = jax.tree.map(jnp.asarray, flat)
+
+        kw = dict(dtype=jnp.float32)
+
+        def block_fn(p, h):
+            return tp_block_apply(
+                p, h, heads=heads // 2, model_axis="model",
+                vjp_boundaries=True, **kw,
+            )
+
+        def seq_fn(p, h):
+            return tp_block_apply(p, h, heads=heads, model_axis=None, **kw)
+
+        rng = np.random.RandomState(21)
+        x = jnp.asarray(rng.randn(8, 12, dim) * 0.5, jnp.float32)
+        t = jnp.asarray(rng.randn(8, 12, 3), jnp.float32)
+        lp = self._loss_params(dim=dim)
+
+        def total(p, lp_, xin):
+            h = xin
+            for i in range(depth):
+                h = seq_fn(jax.tree.map(lambda a: a[i], p), h)
+            return self._loss_fn(lp_, h, t)
+
+        loss_ref, grads_ref = jax.value_and_grad(
+            total, argnums=(0, 1, 2)
+        )(flat, lp, x)
+        got = pipeline_1f1b(
+            block_fn,
+            flat,
+            self._loss_fn,
+            lp,
+            x,
+            t,
+            mesh,
+            model_axis="model",
+            param_specs=stacked_param_specs(),
+            seq_block_fn=seq_fn,
+        )
+        self._check(got, (loss_ref, *grads_ref), rtol=5e-4, atol=2e-5)
 
 
 def _vit_kw(depth=4):
