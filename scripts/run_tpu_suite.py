@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Run the on-chip test lane and write the committed artifact.
+
+    python scripts/run_tpu_suite.py [--out docs/tpu_suite_r4.json]
+
+Invokes ``PROBPOSE_TPU_TESTS=1 pytest -m tpu tests/test_tpu_lane.py`` in a
+fresh interpreter (the env var must be set before jax initializes — see
+tests/conftest.py), collects the per-test drift metrics the lane records,
+and writes one JSON artifact: pass/fail counts, durations, and measured
+drifts. This is the repeatable form of the kernel verifications that
+previously lived in ad-hoc scripts (round-3 verdict, weak #1 / next #1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "docs" / "tpu_suite_r4.json"))
+    args = ap.parse_args()
+
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+        metrics_path = f.name
+    env = dict(os.environ)
+    env["PROBPOSE_TPU_TESTS"] = "1"
+    env["PROBPOSE_TPU_ARTIFACT"] = metrics_path
+    env.pop("JAX_PLATFORMS", None)
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "pytest", "-m", "tpu",
+            "tests/test_tpu_lane.py", "-v", "--tb=short",
+        ],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    duration = time.time() - t0
+    sys.stdout.write(proc.stdout[-4000:])
+    sys.stderr.write(proc.stderr[-2000:])
+
+    m = re.search(r"(\d+) passed", proc.stdout)
+    passed = int(m.group(1)) if m else 0
+    m = re.search(r"(\d+) failed", proc.stdout)
+    failed = int(m.group(1)) if m else 0
+    m = re.search(r"(\d+) skipped", proc.stdout)
+    skipped = int(m.group(1)) if m else 0
+
+    metrics = {}
+    if Path(metrics_path).exists():
+        try:
+            metrics = json.loads(Path(metrics_path).read_text())
+        except json.JSONDecodeError:
+            pass
+        os.unlink(metrics_path)
+
+    artifact = dict(
+        command="PROBPOSE_TPU_TESTS=1 pytest -m tpu tests/test_tpu_lane.py",
+        passed=passed,
+        failed=failed,
+        skipped=skipped,
+        rc=proc.returncode,
+        wall_s=round(duration, 1),
+        **metrics,
+    )
+    Path(args.out).write_text(json.dumps(artifact, indent=1) + "\n")
+    print(f"\nwrote {args.out}: {passed} passed, {failed} failed "
+          f"in {duration:.0f}s")
+    return proc.returncode
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
