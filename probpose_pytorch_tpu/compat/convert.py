@@ -25,7 +25,10 @@ from pathlib import Path
 
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="reference ckpt -> orbax")
-    parser.add_argument("--torch-checkpoint", type=Path, required=True)
+    parser.add_argument("--torch-checkpoint", type=Path, default=None,
+                        help="reference head/full-model save; omit for the "
+                        "RADIO-only flow (frozen pretrained trunk + fresh "
+                        "head, the reference's primary recipe)")
     parser.add_argument("--config", type=Path, default=None)
     parser.add_argument("--out", type=Path, required=True)
     parser.add_argument("--head-only", action="store_true",
@@ -56,23 +59,33 @@ def main(argv=None) -> None:
     from probpose_pytorch_tpu.train import TrainConfig, Trainer
     from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
 
+    if args.torch_checkpoint is None and args.radio_checkpoint is None:
+        parser.error(
+            "need --torch-checkpoint and/or --radio-checkpoint"
+        )
+
     cfg = TrainConfig.load(args.config) if args.config else TrainConfig()
     cfg = dataclasses.replace(cfg, out_dir=str(args.out), resume=False)
     trainer = Trainer.create(cfg, steps_per_epoch=1)
 
-    sd = state_dict_from_checkpoint(str(args.torch_checkpoint))
-    head_prefix = "" if args.head_only else "head."
-    head_params, head_stats = import_head_params(
-        sd,
-        num_deconv=len(cfg.model.deconv_out_channels),
-        num_conv=len(cfg.model.conv_out_channels),
-        num_pool_stages=len(cfg.model.pool_sizes),
-        prefix=head_prefix,
-    )
     params = dict(trainer.state.params)
     batch_stats = dict(trainer.state.batch_stats)
-    params["head"] = head_params
-    batch_stats["head"] = head_stats
+    sd = {}
+    if args.torch_checkpoint is not None:
+        sd = state_dict_from_checkpoint(str(args.torch_checkpoint))
+        head_prefix = "" if args.head_only else "head."
+        head_params, head_stats = import_head_params(
+            sd,
+            num_deconv=len(cfg.model.deconv_out_channels),
+            num_conv=len(cfg.model.conv_out_channels),
+            num_pool_stages=len(cfg.model.pool_sizes),
+            prefix=head_prefix,
+        )
+        params["head"] = head_params
+        batch_stats["head"] = head_stats
+    else:
+        print("no head checkpoint: kept freshly initialized head "
+              "(train it with the frozen trunk — reference train recipe)")
 
     if args.radio_checkpoint is not None:
         rsd = state_dict_from_checkpoint(str(args.radio_checkpoint))
@@ -123,7 +136,12 @@ def main(argv=None) -> None:
         ),
     )
     args.out.mkdir(parents=True, exist_ok=True)
-    cfg.save(args.out / "config.json")
+    # The in-process cfg disables resume so Trainer.create above never
+    # restores a stale dir mid-conversion — but the SAVED config must
+    # resume, or a later `train.cli --config <out>/config.json` would
+    # silently train from a fresh init instead of the imported step-0
+    # checkpoint (the bug the RADIO-only CLI test pins).
+    dataclasses.replace(cfg, resume=True).save(args.out / "config.json")
     ckpt = CheckpointManager(args.out / "checkpoints", keep=1)
     ckpt.save(0, state, force=True)
     ckpt.close()

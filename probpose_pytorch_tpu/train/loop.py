@@ -630,6 +630,33 @@ class Trainer:
             )
         total_steps = steps_per_epoch * cfg.epochs
         frozen_labels = None
+        if cfg.model.frozen_backbone:
+            # stop_gradient (models/vit.py:_finish) already zeroes the
+            # trunk's gradients, but AdamW's DECOUPLED weight decay applies
+            # to params regardless of their gradient — over a full schedule
+            # it would exponentially shrink the frozen pretrained trunk
+            # (sum(lr)*wd ~ 2.5 on the flagship recipe: x0.08). Mask the
+            # optimizer to set_to_zero on trunk leaves; adapters (and
+            # everything outside the backbone) keep training.
+            import jax.tree_util as jtu
+
+            def frozen_labels(params):
+                def label(path, _leaf):
+                    keys = [
+                        str(p.key)
+                        for p in path
+                        if isinstance(p, jtu.DictKey)
+                    ]
+                    if (
+                        keys
+                        and keys[0] == "backbone"
+                        and not any("adapter" in k for k in keys)
+                    ):
+                        return "frozen"
+                    return "trainable"
+
+                return jtu.tree_map_with_path(label, params)
+
         if cfg.train_lora_only:
             if cfg.model.lora_rank <= 0:
                 raise ValueError(

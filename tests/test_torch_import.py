@@ -356,3 +356,109 @@ def test_radio_input_stats():
     mean, std = radio_input_stats(sd)
     assert mean.shape == (3,) and std.shape == (3,)
     assert radio_input_stats({}) is None
+
+
+def test_radio_only_convert_then_train(tmp_path):
+    """The 'given radio.pth, do X' one-command path (docs/MIGRATION.md §3):
+    `compat.convert --radio-checkpoint` with NO head checkpoint writes a
+    step-0 Orbax checkpoint (frozen imported trunk + fresh head), and the
+    training CLI trains one real step from it."""
+    import json
+
+    from probpose_pytorch_tpu.compat.convert import main as convert_main
+    from probpose_pytorch_tpu.models.model import ModelConfig
+    from probpose_pytorch_tpu.train import TrainConfig
+    from probpose_pytorch_tpu.train.cli import main as train_main
+
+    dim, depth, mlp, grid, regs = 64, 2, 128, 4, 2
+    rng = np.random.default_rng(0)
+
+    def t(*s):
+        return torch.tensor(rng.normal(0, 0.02, s).astype(np.float32))
+
+    sd = {
+        "model.patch_embed.proj.weight": t(dim, 3, 16, 16),
+        "model.patch_embed.proj.bias": t(dim),
+        "model.cls_token": t(1, 1, dim),
+        "model.reg_token": t(1, regs, dim),
+        "model.pos_embed": t(1, 1 + regs + grid * grid, dim),
+        "model.norm.weight": t(dim),
+        "model.norm.bias": t(dim),
+    }
+    for i in range(depth):
+        p = f"model.blocks.{i}."
+        sd.update({
+            p + "norm1.weight": t(dim), p + "norm1.bias": t(dim),
+            p + "attn.qkv.weight": t(3 * dim, dim),
+            p + "attn.qkv.bias": t(3 * dim),
+            p + "attn.proj.weight": t(dim, dim),
+            p + "attn.proj.bias": t(dim),
+            p + "norm2.weight": t(dim), p + "norm2.bias": t(dim),
+            p + "mlp.fc1.weight": t(mlp, dim), p + "mlp.fc1.bias": t(mlp),
+            p + "mlp.fc2.weight": t(dim, mlp), p + "mlp.fc2.bias": t(dim),
+        })
+    # trainable token-MLP adapter (reference backbone.py:15-21)
+    sd.update({
+        "mlp.0.weight": t(24, dim), "mlp.0.bias": t(24),
+        "mlp.2.weight": t(dim, 24), "mlp.2.bias": t(dim),
+    })
+    radio_pth = tmp_path / "radio.pth"
+    torch.save(sd, radio_pth)
+
+    cfg = TrainConfig(
+        model=ModelConfig(
+            img_size=(64, 48), patch_size=16, num_keypoints=5,
+            backbone="vit-nano", compute_dtype="float32",
+            frozen_backbone=True, adapter_hidden=(24, dim),
+            num_prefix_tokens=1 + regs, exact_gelu=True,
+            deconv_out_channels=(16, 16), deconv_kernel_sizes=(4, 4),
+            pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+        ),
+        epochs=1, train_batch_size=4, val_batch_size=4, val_every=1000,
+        dataset_format="synthetic", num_workers=1, resume=True,
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg.save(cfg_path)
+
+    out = tmp_path / "imported"
+    convert_main([
+        "--radio-checkpoint", str(radio_pth),
+        "--radio-src-grid", str(grid), str(grid),
+        "--radio-registers", str(regs),
+        "--config", str(cfg_path),
+        "--out", str(out),
+    ])
+    assert (out / "checkpoints").exists()
+    assert (out / "config.json").exists()
+
+    train_main([str(out), "--config", str(out / "config.json"),
+                "--max-steps", "1"])
+    lines = [
+        json.loads(l)
+        for l in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    losses = [l["training/loss"] for l in lines if "training/loss" in l]
+    assert losses and np.isfinite(losses[-1])
+
+    # the frozen trunk must be byte-identical to the imported weights
+    # after the training step (only adapter + head train)
+    from probpose_pytorch_tpu.compat.torch_import import (
+        import_radio_vit_params,
+    )
+    from probpose_pytorch_tpu.train import Trainer
+    from probpose_pytorch_tpu.train.checkpoint import CheckpointManager
+
+    trainer = Trainer.create(
+        TrainConfig.load(out / "config.json"), steps_per_epoch=1
+    )
+    state = CheckpointManager(out / "checkpoints").restore(trainer.state)
+    assert int(state.step) >= 1
+    want = import_radio_vit_params(
+        {k: v.numpy() for k, v in sd.items()},
+        depth=depth, src_grid=(grid, grid), dst_grid=(4, 3),
+        num_prefix_tokens=1, num_register_tokens=regs, prefix="model.",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.params["backbone"]["block0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(want["block0"]["attn"]["qkv"]["kernel"]),
+    )
