@@ -102,7 +102,9 @@ def _bench_train_step() -> tuple[float, float]:
     from probpose_pytorch_tpu.train import TrainConfig, Trainer
     from probpose_pytorch_tpu.train.loop import make_train_step
 
-    B = 128
+    # Sweep-tuned train batch (docs/train_sweep_r4.json: 64..512 measured,
+    # flat curve peaking at 256 — 2,492 vs 2,417 crops/s at 128).
+    B = 256
     cfg = TrainConfig(
         model=ModelConfig(
             img_size=(256, 192),

@@ -36,6 +36,7 @@ __all__ = [
     "nll",
     "fit_temperature",
     "apply_temperature",
+    "balanced_accuracy",
     "calibration_report",
 ]
 
@@ -176,14 +177,40 @@ def fit_temperature(
     return float(math.exp((a + b) / 2.0))
 
 
+def balanced_accuracy(
+    p: np.ndarray,
+    y: np.ndarray,
+    thresholds: np.ndarray | None = None,
+) -> float:
+    """Best-threshold balanced binary accuracy, (TPR+TNR)/2 maximized over
+    the reference's threshold sweep 0.1..0.95 (loss.py:653-697 — the exact
+    deterministic form of its randomized balanced subsampling; see
+    eval/metrics_host.balanced_binary_accuracy_sampled for the sampled
+    twin). 0.5 = chance, i.e. the branch carries no signal."""
+    p, y = _as_pairs(p, y)
+    if len(p) == 0 or y.min() == y.max():
+        return float("nan")
+    if thresholds is None:
+        thresholds = np.arange(0.10, 0.96, 0.05)
+    pos = y > 0.5
+    best = 0.0
+    for thr in thresholds:
+        pred = p >= thr
+        tpr = float(pred[pos].mean()) if pos.any() else 0.0
+        tnr = float((~pred[~pos]).mean()) if (~pos).any() else 0.0
+        best = max(best, (tpr + tnr) / 2)
+    return best
+
+
 def calibration_report(
     p: np.ndarray, y: np.ndarray, n_bins: int = 15
 ) -> dict[str, object]:
     """Full calibration summary for one probability branch.
 
-    Keys: n, positive_rate, ece, mce, brier, nll, temperature,
-    ece_scaled, nll_scaled (after temperature scaling), and `bins`
-    (the reliability histogram, JSON-friendly lists).
+    Keys: n, positive_rate, balanced_acc (best-threshold (TPR+TNR)/2 — 0.5
+    means no signal), ece, mce, brier, nll, temperature, ece_scaled,
+    nll_scaled (after temperature scaling), and `bins` (the reliability
+    histogram, JSON-friendly lists).
     """
     p, y = _as_pairs(p, y)
     t = fit_temperature(p, y)
@@ -192,6 +219,7 @@ def calibration_report(
     return dict(
         n=int(len(p)),
         positive_rate=float(y.mean()) if len(y) else 0.0,
+        balanced_acc=balanced_accuracy(p, y),
         ece=expected_calibration_error(p, y, n_bins),
         mce=max_calibration_error(p, y, n_bins),
         brier=brier_score(p, y),

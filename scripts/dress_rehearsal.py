@@ -248,8 +248,9 @@ def main() -> None:
     record["calibration"] = {
         branch: {
             k: round(rep[k], 4)
-            for k in ("n", "positive_rate", "ece", "mce", "brier", "nll",
-                      "temperature", "ece_scaled", "nll_scaled")
+            for k in ("n", "positive_rate", "balanced_acc", "ece", "mce",
+                      "brier", "nll", "temperature", "ece_scaled",
+                      "nll_scaled")
         }
         for branch, rep in cal.items()
     }

@@ -312,3 +312,31 @@ class TestPipelineIntegration:
             Oracle(), ds, batch_size=2, sigmas=COCO_SIGMAS
         )
         assert "calibration" not in res_plain
+
+
+def test_balanced_accuracy_signal_and_chance():
+    from probpose_pytorch_tpu.eval.calibration import balanced_accuracy
+
+    rng = np.random.default_rng(0)
+    y = (rng.random(4000) < 0.85).astype(np.float64)  # imbalanced positives
+    # perfectly separable scores -> 1.0 at any threshold between the bands
+    p_sep = np.where(y > 0.5, 0.8, 0.2)
+    assert balanced_accuracy(p_sep, y) == 1.0
+    # a constant prediction carries no signal -> NaN-safe chance behavior
+    p_const = np.full_like(y, 0.5)
+    ba = balanced_accuracy(p_const, y)
+    assert abs(ba - 0.5) < 0.02
+    # random scores -> ~0.5 regardless of the 85% positive rate (the trap
+    # plain accuracy falls into)
+    p_rand = rng.random(len(y))
+    assert abs(balanced_accuracy(p_rand, y) - 0.5) < 0.05
+
+
+def test_calibration_report_includes_balanced_acc():
+    from probpose_pytorch_tpu.eval.calibration import calibration_report
+
+    rng = np.random.default_rng(1)
+    y = (rng.random(500) < 0.7).astype(np.float64)
+    p = np.clip(0.6 * y + 0.2 + rng.normal(0, 0.1, len(y)), 0.01, 0.99)
+    rep = calibration_report(p, y)
+    assert 0.5 < rep["balanced_acc"] <= 1.0
