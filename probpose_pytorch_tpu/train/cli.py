@@ -27,6 +27,14 @@ def main(argv=None) -> None:
     from probpose_pytorch_tpu.parallel.distributed import (
         maybe_initialize_distributed,
     )
+    from probpose_pytorch_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    # Persistent compile cache: a preempted run's replacement process (and
+    # any same-config restart) loads the train-step executable instead of
+    # recompiling it — the dominant cold-start cost on small hosts.
+    enable_compilation_cache()
 
     # Multi-host: connect to the coordination service BEFORE first device
     # use, so jax.devices() below is the global device list.
