@@ -147,6 +147,8 @@ def accumulate_oracle(eval_imgs):
         "AP50": float(ap[0]),
         "AP75": float(ap[5]),
         "AR": float(np.mean(recall)),
+        "AR50": float(recall[0]),
+        "AR75": float(recall[5]),
     }
 
 
@@ -172,6 +174,7 @@ def cocoeval_oracle(images, sigmas, max_dets=20):
             out.update(res)
         else:
             out[f"AP_{name}"] = res["AP"] if res else -1.0
+            out[f"AR_{name}"] = res["AR"] if res else -1.0
     return out
 
 
@@ -283,7 +286,9 @@ def test_evaluator_matches_protocol_oracle(seed):
             ),
         )
     got = ev.summarize()
-    for key in ("AP", "AP50", "AP75", "AR", "AP_medium", "AP_large"):
+    # all ten stats of pycocotools' keypoint stats vector
+    for key in ("AP", "AP50", "AP75", "AP_medium", "AP_large",
+                "AR", "AR50", "AR75", "AR_medium", "AR_large"):
         assert got[key] == pytest.approx(want[key], abs=1e-9), (
             key,
             got,
