@@ -282,6 +282,42 @@ class Test1F1B:
         )
         self._check(got, (loss_ref, *grads_ref), rtol=2e-5, atol=2e-6)
 
+    def test_dx_chains_into_upstream_embed(self):
+        """The documented full-model composition: an upstream patch-embed
+        runs under its own jax.vjp and consumes the engine's dx output —
+        every gradient (embed params, trunk, loss params) must equal plain
+        autodiff of the end-to-end composition."""
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        rng = np.random.RandomState(31)
+        ep = {"w": jnp.asarray(rng.randn(6, 8) * 0.4, jnp.float32)}
+        xraw = jnp.asarray(rng.randn(16, 5, 6), jnp.float32)
+        t = jnp.asarray(rng.randn(16, 5, 3), jnp.float32)
+
+        def embed_fn(ep_, xr):
+            return jnp.tanh(xr @ ep_["w"])
+
+        def total(ep_, p, lp_):
+            h = embed_fn(ep_, xraw)
+            for i in range(stacked["w"].shape[0]):
+                h = _toy_block(jax.tree.map(lambda a: a[i], p), h)
+            return self._loss_fn(lp_, h, t)
+
+        loss_ref, (d_ep_ref, d_p_ref, d_lp_ref) = jax.value_and_grad(
+            total, argnums=(0, 1, 2)
+        )(ep, stacked, lp)
+
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        h0, embed_vjp = jax.vjp(lambda e: embed_fn(e, xraw), ep)
+        loss, d_p, d_lp, dh0 = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, h0, t, mesh
+        )
+        (d_ep,) = embed_vjp(dh0)
+        self._check(
+            (loss, d_ep, d_p, d_lp),
+            (loss_ref, d_ep_ref, d_p_ref, d_lp_ref),
+        )
+
     def test_vit_block_tensor_parallel_stages(self):
         """The real ViT block (tp_block_apply with vjp_boundaries=True)
         under dp=2 x tp=2 x pp=2: loss and all grads match the sequential
