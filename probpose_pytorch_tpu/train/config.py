@@ -179,6 +179,11 @@ class TrainConfig:
             fields = {f.name: f for f in dataclasses.fields(dc_cls)}
             kwargs = {}
             for k, v in data.items():
+                if k.startswith("_"):
+                    # JSON has no comments; underscore-prefixed keys are the
+                    # conventional escape hatch ("_comment": "...") and are
+                    # ignored (configs/radio_frozen_vitb.json uses one).
+                    continue
                 if k not in fields:
                     raise ValueError(f"unknown config key {k!r} for {dc_cls.__name__}")
                 f = fields[k]

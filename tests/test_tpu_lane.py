@@ -297,6 +297,87 @@ def _tiny_predictor(out_dir, attn_impl="fused"):
     return trainer, predictor
 
 
+class TestTrainingOnChip:
+    def test_fused_train_step_runs_and_freezes_trunk(self, tmp_path):
+        """One compiled flagship-shaped train step on chip: finite loss and
+        grad norm, params update — and with frozen_backbone the trunk is
+        byte-identical afterwards (the optimizer-mask guarantee, compiled
+        for real instead of on the CPU test backend)."""
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.data import (
+            SyntheticPoseDataset,
+            batch_iterator,
+        )
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tpu-lane",
+            dict(embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48), num_keypoints=17,
+                backbone="vit-tpu-lane", compute_dtype="bfloat16",
+                attn_impl="fused", frozen_backbone=True,
+                adapter_hidden=(32,),
+                deconv_out_channels=(16, 16), deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)), normalize=1.0,
+            ),
+            train_batch_size=8,
+            out_dir=str(tmp_path / "run"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=10)
+        ds = SyntheticPoseDataset(8, cfg.model.img_size, 17)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(batch_iterator(ds, 8, num_workers=1))
+            ).items()
+        }
+        trunk_before = np.asarray(
+            trainer.state.params["backbone"]["block0"]["attn"]["qkv"][
+                "kernel"
+            ]
+        ).copy()
+        head_before = jax.tree_util.tree_map(
+            np.asarray, trainer.state.params["head"]
+        )
+        new_state, metrics = trainer.train_step(trainer.state, batch)
+        jax.block_until_ready(new_state.params)
+        loss = float(metrics["loss"])
+        gnorm = float(metrics["grad_norm"])
+        assert np.isfinite(loss) and np.isfinite(gnorm), (loss, gnorm)
+        np.testing.assert_array_equal(
+            np.asarray(
+                new_state.params["backbone"]["block0"]["attn"]["qkv"][
+                    "kernel"
+                ]
+            ),
+            trunk_before,
+        )
+        head_after = jax.tree_util.tree_map(
+            np.asarray, new_state.params["head"]
+        )
+        changed = any(
+            not np.array_equal(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(head_before),
+                jax.tree_util.tree_leaves(head_after),
+            )
+        )
+        assert changed, "head params did not update"
+        record(
+            "train_step",
+            loss=loss,
+            grad_norm=gnorm,
+            trunk_frozen_bit_exact=True,
+        )
+
+
 class TestServingOnChip:
     def test_bundle_roundtrip_bit_exact(self, tmp_path):
         """StableHLO bundle (with the packed Pallas attention inside)
