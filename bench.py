@@ -205,6 +205,38 @@ def main() -> None:
     rates = sorted(batch / s for s in samples)
     crops_per_sec = float(np.median(rates))
     train_ms, train_cps = _bench_train_step()
+    extra = {}
+    try:
+        # Informational: single-stage (bottom-up) chip-side frames/s —
+        # whole-frame multi-person poses in one forward (the family the
+        # r3/r4 rounds added; chained differencing like the headline).
+        # Guarded: any failure degrades to omitting the field.
+        from probpose_pytorch_tpu.detect.pipeline import BottomUpPredictor
+        from probpose_pytorch_tpu.detect.train import DetectorTrainer
+        from probpose_pytorch_tpu.utils.profiling import measure_fn_time
+
+        bu_trainer = DetectorTrainer.create(
+            img_size=(384, 384), preset="conv-t", num_keypoints=17
+        )
+        bu_vars = {
+            "params": bu_trainer.state.params,
+            "batch_stats": bu_trainer.state.batch_stats,
+        }
+        bu = BottomUpPredictor(
+            model=bu_trainer.model, variables=bu_vars,
+            score_threshold=0.3, max_detections=32,
+        )
+        bu_frames = jnp.asarray(
+            np.random.default_rng(1).integers(
+                0, 256, (16, 480, 480, 3), dtype=np.uint8
+            ),
+            jnp.float32,
+        )
+        run = bu._fn()
+        sec = measure_fn_time(lambda fr: run(bu_vars, fr)[2], bu_frames)
+        extra["bottomup_frames_per_sec_chip"] = round(16 / sec, 1)
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -218,6 +250,7 @@ def main() -> None:
                 "batch": batch,
                 "train_step_ms": round(train_ms, 1),
                 "train_crops_per_sec": round(train_cps, 1),
+                **extra,
             }
         )
     )
