@@ -463,7 +463,9 @@ def pipeline_1f1b(
             jax.tree_util.tree_map(
                 lambda a: jnp.zeros(a.shape, jnp.float32), lp
             ),
-            jnp.zeros((M + 1, mb, *x_local.shape[1:]), jnp.float32),
+            # dx slots carry the activation cotangent, whose dtype follows
+            # the activations (bf16 trunks emit bf16 cotangents)
+            jnp.zeros((M + 1, mb, *x_local.shape[1:]), x_local.dtype),
             jnp.zeros((), jnp.float32),
         )
         carry, _ = lax.scan(cycle, init, jnp.arange(M + 2 * (S - 1)))

@@ -282,6 +282,51 @@ class Test1F1B:
         )
         self._check(got, (loss_ref, *grads_ref), rtol=2e-5, atol=2e-6)
 
+    def test_bf16_activations(self):
+        """bf16 trunk activations: cotangent dtypes follow the activations
+        (the production compute dtype), grads stay close to the f32 path."""
+        stacked = _toy_stacked()
+        lp = self._loss_params()
+        x, t = self._data(seed=6)
+
+        def bf16_block(p, h):
+            return jnp.tanh(
+                h @ p["w"].astype(jnp.bfloat16) + p["b"].astype(jnp.bfloat16)
+            )
+
+        def bf16_loss(lp_, h, t_):
+            return jnp.mean(
+                (h.astype(jnp.float32) @ lp_["w"] - t_) ** 2
+            )
+
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=4)
+        loss, d_p, d_lp, dx = pipeline_1f1b(
+            bf16_block, stacked, bf16_loss, lp,
+            x.astype(jnp.bfloat16), t, mesh,
+        )
+        assert dx.dtype == jnp.bfloat16
+        ref = jax.value_and_grad(
+            lambda p, l, xi: bf16_loss(
+                l,
+                (lambda h: [h := bf16_block(jax.tree.map(lambda a: a[i], p), h) for i in range(4)][-1])(xi),
+                t,
+            ),
+            argnums=(0, 1, 2),
+        )(stacked, lp, x.astype(jnp.bfloat16))
+        loss_ref, (d_p_ref, d_lp_ref, dx_ref) = ref
+        # bf16 microbatch-mean ordering differs from the monolithic mean
+        np.testing.assert_allclose(
+            float(loss), float(loss_ref), rtol=1e-3
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-2, atol=2e-3,
+            ),
+            (d_p, d_lp, dx),
+            (d_p_ref, d_lp_ref, dx_ref),
+        )
+
     def test_dx_chains_into_upstream_embed(self):
         """The documented full-model composition: an upstream patch-embed
         runs under its own jax.vjp and consumes the engine's dx output —
