@@ -282,6 +282,28 @@ class Test1F1B:
         )
         self._check(got, (loss_ref, *grads_ref), rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.parametrize(
+        "pp,m,b",
+        [
+            (4, 3, 24),  # M < S: warmup/drain overlap dominates
+            (2, 5, 20),  # odd M
+            (8, 2, 16),  # deep pipe, tiny M
+            (2, 10, 40),  # M >> S (the 1F1B memory win regime)
+        ],
+    )
+    def test_schedule_edge_geometries(self, pp, m, b):
+        depth = 8
+        stacked = _toy_stacked(depth=depth)
+        lp = self._loss_params()
+        x, t = self._data(B=b, seed=40 + pp)
+        ref = self._seq_ref(stacked, lp, x, t)
+        mesh = make_mesh(8, model_parallel=1, pipeline_parallel=pp)
+        got = pipeline_1f1b(
+            _toy_block, stacked, self._loss_fn, lp, x, t, mesh,
+            microbatches=m,
+        )
+        self._check(got, ref)
+
     def test_bf16_activations(self):
         """bf16 trunk activations: cotangent dtypes follow the activations
         (the production compute dtype), grads stay close to the f32 path."""
