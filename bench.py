@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -235,8 +236,14 @@ def main() -> None:
         run = bu._fn()
         sec = measure_fn_time(lambda fr: run(bu_vars, fr)[2], bu_frames)
         extra["bottomup_frames_per_sec_chip"] = round(16 / sec, 1)
-    except Exception:
-        pass
+    except Exception as e:
+        # Optional probe — but a silent miss would mask a real bottom-up
+        # regression, so say why the field is absent.
+        print(
+            f"[bench] bottom-up frames/s probe failed ({type(e).__name__}: "
+            f"{e}); omitting bottomup_frames_per_sec_chip",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

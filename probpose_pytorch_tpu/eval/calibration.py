@@ -181,7 +181,7 @@ def balanced_accuracy(
     p: np.ndarray,
     y: np.ndarray,
     thresholds: np.ndarray | None = None,
-) -> float:
+) -> float | None:
     """Best-threshold balanced binary accuracy, (TPR+TNR)/2 maximized over
     the reference's threshold sweep 0.1..0.95 (loss.py:653-697 — the exact
     deterministic form of its randomized balanced subsampling; see
@@ -189,7 +189,9 @@ def balanced_accuracy(
     twin). 0.5 = chance, i.e. the branch carries no signal."""
     p, y = _as_pairs(p, y)
     if len(p) == 0 or y.min() == y.max():
-        return float("nan")
+        # None (not NaN): callers json.dumps these reports, and a bare NaN
+        # token makes the artifact invalid strict JSON.
+        return None
     if thresholds is None:
         thresholds = np.arange(0.10, 0.96, 0.05)
     pos = y > 0.5

@@ -30,6 +30,7 @@ __all__ = [
     "ViTConfig",
     "tp_block_apply",
     "stacked_param_specs",
+    "pp_block_fns",
 ]
 
 
@@ -381,6 +382,89 @@ def tp_block_apply(
     return h + (out + p["fc2_bias"].astype(dtype))
 
 
+def pp_block_fns(
+    *,
+    num_heads: int,
+    mlp_ratio: float,
+    embed_dim: int,
+    dtype: jnp.dtype,
+    softmax_dtype: jnp.dtype = jnp.float32,
+    attn_impl: str = "einsum",
+    mlp_impl: str = "dense",
+    exact_gelu: bool = False,
+    tp: int = 1,
+    remat: bool = False,
+    vjp_boundaries: bool = False,
+):
+    """(block_fn, seq_block_fn, param_specs) for the stacked pipeline trunk.
+
+    The single source of the per-stage block application used by BOTH
+    pipeline engines: ViTBackbone._pp_trunk (GPipe, autodiff through
+    shard_map — bare-psum TP collectives) and the Trainer's 1F1B step
+    (in-scan jax.vjp — pass vjp_boundaries=True so the TP block emits the
+    tp_enter/tp_leave Megatron boundary form pipeline_1f1b requires).
+
+    tp == 1 returns (Block.apply over the unstacked tree, same, None);
+    tp > 1 returns the tp_block_apply pair plus stacked_param_specs().
+    """
+    hidden = int(embed_dim * mlp_ratio)
+    if tp > 1:
+        if attn_impl != "fused_tp":
+            raise ValueError(
+                "tensor parallelism inside a pipeline stage requires "
+                f"attn_impl='fused_tp' (got {attn_impl!r}); the "
+                "head-major qkv packing is what the model-axis column "
+                "shard slices into whole heads"
+            )
+        if num_heads % tp or hidden % tp:
+            raise ValueError(
+                f"heads ({num_heads}) and mlp hidden ({hidden}) must "
+                f"divide the model axis ({tp})"
+            )
+        if mlp_impl == "fused":
+            raise ValueError(
+                "mlp_impl='fused' does not compose with tensor "
+                "parallelism inside a pipeline stage"
+            )
+        kw = dict(
+            dtype=dtype, softmax_dtype=softmax_dtype, exact_gelu=exact_gelu
+        )
+
+        def block_fn(pflat, h):
+            return tp_block_apply(
+                pflat, h, heads=num_heads // tp, model_axis="model",
+                vjp_boundaries=vjp_boundaries, **kw,
+            )
+
+        def seq_block_fn(pflat, h):
+            return tp_block_apply(
+                pflat, h, heads=num_heads, model_axis=None, **kw
+            )
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn)
+            seq_block_fn = jax.checkpoint(seq_block_fn)
+        return block_fn, seq_block_fn, stacked_param_specs()
+
+    block = Block(
+        num_heads,
+        mlp_ratio,
+        dtype=dtype,
+        softmax_dtype=softmax_dtype,
+        attn_impl="einsum" if attn_impl == "pallas" else attn_impl,
+        mlp_impl=mlp_impl,
+        exact_gelu=exact_gelu,
+        mesh=None,
+    )
+
+    def block_fn(pflat, h):
+        return block.apply({"params": _block_tree(pflat)}, h)
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn)
+    return block_fn, block_fn, None
+
+
 def stacked_param_specs(pipe_axis: str = "pipe", model_axis: str = "model"):
     """PartitionSpecs for the stacked trunk layout under pipeline + tensor
     parallelism: depth over `pipe_axis`; Megatron dims over `model_axis`
@@ -557,39 +641,59 @@ class ViTBackbone(nn.Module):
                 self.img_size[1] // self.patch_size)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        """(B, H, W, 3) image in [0, 1] -> (B, H/p, W/p, C) features."""
+    def __call__(
+        self, x: jax.Array, train: bool = False, segment: str = "all"
+    ) -> jax.Array:
+        """(B, H, W, 3) image in [0, 1] -> (B, H/p, W/p, C) features.
+
+        `segment` slices the forward for externally-scheduled pipeline
+        engines (train/loop.py's 1F1B step, which runs the trunk blocks
+        itself inside parallel/pipeline.py:pipeline_1f1b):
+          * "all"        — the whole backbone (default).
+          * "embed"      — patch embed + pos embed + prefix tokens only;
+                           returns the (B, N, C) token stream entering the
+                           trunk.
+          * "post_trunk" — treats `x` as the (B, N, C) token stream LEAVING
+                           the trunk; runs the final norm, prefix strip, and
+                           `_finish` (frozen stop-grad + adapters + grid
+                           reshape).
+        Segments only read/declare the parameters they touch, so applying a
+        segment against the full param tree is exact.
+        """
         B = x.shape[0]
         gh, gw = self.grid_size
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x.astype(self.dtype))
-        x = x.reshape(B, gh * gw, self.embed_dim)
-        pos = self.param(
-            "pos_embed",
-            nn.initializers.truncated_normal(0.02),
-            (1, gh * gw, self.embed_dim),
-            jnp.float32,
-        )
-        x = x + pos.astype(self.dtype)
-        if self.num_prefix_tokens:
-            prefix = self.param(
-                "prefix_tokens",
+        if segment in ("all", "embed"):
+            x = nn.Conv(
+                self.embed_dim,
+                kernel_size=(self.patch_size, self.patch_size),
+                strides=(self.patch_size, self.patch_size),
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x.astype(self.dtype))
+            x = x.reshape(B, gh * gw, self.embed_dim)
+            pos = self.param(
+                "pos_embed",
                 nn.initializers.truncated_normal(0.02),
-                (1, self.num_prefix_tokens, self.embed_dim),
+                (1, gh * gw, self.embed_dim),
                 jnp.float32,
             )
-            x = jnp.concatenate(
-                [jnp.broadcast_to(
-                    prefix.astype(self.dtype),
-                    (B, self.num_prefix_tokens, self.embed_dim),
-                ), x],
-                axis=1,
-            )
+            x = x + pos.astype(self.dtype)
+            if self.num_prefix_tokens:
+                prefix = self.param(
+                    "prefix_tokens",
+                    nn.initializers.truncated_normal(0.02),
+                    (1, self.num_prefix_tokens, self.embed_dim),
+                    jnp.float32,
+                )
+                x = jnp.concatenate(
+                    [jnp.broadcast_to(
+                        prefix.astype(self.dtype),
+                        (B, self.num_prefix_tokens, self.embed_dim),
+                    ), x],
+                    axis=1,
+                )
+            if segment == "embed":
+                return x
         if self.lora_rank:
             if self.pp_stages > 1:
                 raise ValueError(
@@ -601,24 +705,25 @@ class ViTBackbone(nn.Module):
                     "lora_rank > 0 does not compose with mlp_impl='fused' "
                     "(the VMEM LN+MLP kernel bypasses the Dense modules)"
                 )
-        if self.pp_stages > 1:
-            x = self._pp_trunk(x)
-        else:
-            block_cls = nn.remat(Block) if self.remat else Block
-            for i in range(self.depth):
-                x = block_cls(
-                    self.num_heads,
-                    self.mlp_ratio,
-                    dtype=self.dtype,
-                    softmax_dtype=self.softmax_dtype,
-                    attn_impl=self.attn_impl,
-                    mlp_impl=self.mlp_impl,
-                    exact_gelu=self.exact_gelu,
-                    mesh=self.mesh,
-                    lora_rank=self.lora_rank,
-                    lora_alpha=self.lora_alpha,
-                    name=f"block{i}",
-                )(x)
+        if segment != "post_trunk":
+            if self.pp_stages > 1:
+                x = self._pp_trunk(x)
+            else:
+                block_cls = nn.remat(Block) if self.remat else Block
+                for i in range(self.depth):
+                    x = block_cls(
+                        self.num_heads,
+                        self.mlp_ratio,
+                        dtype=self.dtype,
+                        softmax_dtype=self.softmax_dtype,
+                        attn_impl=self.attn_impl,
+                        mlp_impl=self.mlp_impl,
+                        exact_gelu=self.exact_gelu,
+                        mesh=self.mesh,
+                        lora_rank=self.lora_rank,
+                        lora_alpha=self.lora_alpha,
+                        name=f"block{i}",
+                    )(x)
         x = nn.LayerNorm(dtype=jnp.float32, name="norm")(x)
         if self.num_prefix_tokens:
             x = x[:, self.num_prefix_tokens:]
@@ -656,76 +761,26 @@ class ViTBackbone(nn.Module):
             if self.mesh is not None
             else 1
         )
-        if tp > 1:
-            if self.attn_impl != "fused_tp":
-                raise ValueError(
-                    "tensor parallelism inside a pipeline stage requires "
-                    f"attn_impl='fused_tp' (got {self.attn_impl!r}); the "
-                    "head-major qkv packing is what the model-axis column "
-                    "shard slices into whole heads"
-                )
-            if self.num_heads % tp or int(C * self.mlp_ratio) % tp:
-                raise ValueError(
-                    f"heads ({self.num_heads}) and mlp hidden "
-                    f"({int(C * self.mlp_ratio)}) must divide the model "
-                    f"axis ({tp})"
-                )
-            if self.mlp_impl == "fused":
-                raise ValueError(
-                    "mlp_impl='fused' does not compose with tensor "
-                    "parallelism inside a pipeline stage"
-                )
-            kw = dict(
-                dtype=self.dtype,
-                softmax_dtype=self.softmax_dtype,
-                exact_gelu=self.exact_gelu,
-            )
-
-            def block_fn(pflat, h):
-                return tp_block_apply(
-                    pflat, h, heads=self.num_heads // tp,
-                    model_axis="model", **kw,
-                )
-
-            def seq_block_fn(pflat, h):
-                return tp_block_apply(
-                    pflat, h, heads=self.num_heads, model_axis=None, **kw
-                )
-
-            if self.remat:
-                block_fn = jax.checkpoint(block_fn)
-                seq_block_fn = jax.checkpoint(seq_block_fn)
-            return pipeline_spmd(
-                block_fn,
-                flat,
-                x,
-                self.mesh,
-                microbatches=self.pp_microbatches,
-                param_specs=stacked_param_specs(),
-                seq_block_fn=seq_block_fn,
-            )
-        block = Block(
-            self.num_heads,
-            self.mlp_ratio,
+        block_fn, seq_block_fn, param_specs = pp_block_fns(
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            embed_dim=C,
             dtype=self.dtype,
             softmax_dtype=self.softmax_dtype,
-            attn_impl="einsum" if self.attn_impl == "pallas" else self.attn_impl,
+            attn_impl=self.attn_impl,
             mlp_impl=self.mlp_impl,
             exact_gelu=self.exact_gelu,
-            mesh=None,
+            tp=tp,
+            remat=self.remat,
         )
-
-        def block_fn(pflat, h):
-            return block.apply({"params": _block_tree(pflat)}, h)
-
-        if self.remat:
-            block_fn = jax.checkpoint(block_fn)
         return pipeline_spmd(
             block_fn,
             flat,
             x,
             self.mesh,
             microbatches=self.pp_microbatches,
+            param_specs=param_specs,
+            seq_block_fn=seq_block_fn,
         )
 
     def _finish(self, x: jax.Array, B: int, gh: int, gw: int) -> jax.Array:

@@ -9,6 +9,9 @@ from probpose_pytorch_tpu.ops.pallas.attention_kernel import (  # noqa: F401
     packed_attention,
     sharded_packed_attention,
 )
+from probpose_pytorch_tpu.ops.pallas.attention_tiled import (  # noqa: F401
+    tiled_attention,
+)
 from probpose_pytorch_tpu.ops.pallas.mlp_kernel import (  # noqa: F401
     fused_ln_mlp,
 )

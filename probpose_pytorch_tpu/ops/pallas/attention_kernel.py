@@ -269,12 +269,13 @@ def _fit_group(qkv_shape, group: int, *, bwd: bool = False) -> int:
 
     Returns 0 when even group=1 exceeds the budget — the caller must fall
     back to the einsum formulation instead of handing the compiler a
-    guaranteed OOM."""
+    guaranteed OOM. Decrements (not halves) so odd starting groups don't
+    skip feasible intermediate sizes (e.g. 3 -> 2)."""
     g = group
     while g >= 1:
         if _attn_vmem_bytes(qkv_shape, g, bwd=bwd) <= _VMEM_BUDGET:
             return g
-        g //= 2
+        g -= 1
     return 0
 
 
@@ -301,18 +302,20 @@ def _auto_group(qkv_shape, requested: int | None, cap: int = 4) -> int:
 _warned_fallback: set = set()
 
 
-def _warn_fallback(qkv_shape, *, bwd: bool) -> None:
-    key = (tuple(qkv_shape[1:]), bwd)
+def _warn_fallback(qkv_shape, *, bwd: bool, tiled: bool = False) -> None:
+    key = (tuple(qkv_shape[1:]), bwd, tiled)
     if key not in _warned_fallback:
         _warned_fallback.add(key)
         _, N, C3 = qkv_shape
         logger.warning(
             "packed_attention %s at N=%d C=%d exceeds the ~%d MB VMEM "
-            "budget even at group=1 (est. %.1f MB); falling back to the "
-            "einsum formulation for this geometry.",
+            "budget even at group=1 (est. %.1f MB); %s.",
             "backward" if bwd else "forward", N, C3 // 3,
             _VMEM_BUDGET >> 20,
             _attn_vmem_bytes(qkv_shape, 1, bwd=bwd) / (1 << 20),
+            "dispatching to the row-tiled kernel (attention_tiled.py)"
+            if tiled
+            else "falling back to the einsum formulation for this geometry",
         )
 
 
@@ -373,6 +376,16 @@ def packed_attention(
         interpret = jax.default_backend() != "tpu"
     g = _resolve_fwd_group(qkv.shape, group)
     if g == 0:
+        from probpose_pytorch_tpu.ops.pallas.attention_tiled import (
+            tiled_attention,
+            tiled_feasible_bq,
+        )
+
+        if tiled_feasible_bq(
+            qkv.shape, heads, qkv.dtype.itemsize, bwd=False
+        ):
+            _warn_fallback(qkv.shape, bwd=False, tiled=True)
+            return tiled_attention(qkv, heads, None, interpret, layout)
         _warn_fallback(qkv.shape, bwd=False)
         return _einsum_packed_attention(qkv, heads, layout)
     return _packed_fwd(qkv, heads, g, interpret, layout)
@@ -404,6 +417,17 @@ def _packed_attention_fwd(qkv, heads, group, interpret, layout):
         interpret = jax.default_backend() != "tpu"
     g = _resolve_fwd_group(qkv.shape, group)
     if g == 0:
+        from probpose_pytorch_tpu.ops.pallas.attention_tiled import (
+            _tiled_fwd,
+            tiled_feasible_bq,
+        )
+
+        bq = tiled_feasible_bq(
+            qkv.shape, heads, qkv.dtype.itemsize, bwd=False
+        )
+        if bq:
+            _warn_fallback(qkv.shape, bwd=False, tiled=True)
+            return _tiled_fwd(qkv, heads, bq, interpret, layout), qkv
         _warn_fallback(qkv.shape, bwd=False)
         return _einsum_packed_attention(qkv, heads, layout), qkv
     return _packed_fwd(qkv, heads, g, interpret, layout), qkv
@@ -414,10 +438,23 @@ def _packed_attention_bwd(heads, group, interpret, layout, qkv, g):
         interpret = jax.default_backend() != "tpu"
     bwd_group = _resolve_bwd_group(qkv.shape, group)
     if bwd_group == 0:
-        # Even group=1 exceeds the VMEM budget: differentiate the einsum
-        # formulation instead. Same math as the recompute kernel (f32
-        # scores/softmax), so the gradient agrees within bf16 tolerance
-        # even when the forward ran the kernel.
+        from probpose_pytorch_tpu.ops.pallas.attention_tiled import (
+            _tiled_bwd,
+            tiled_feasible_bq,
+        )
+
+        bq = tiled_feasible_bq(
+            qkv.shape, heads, qkv.dtype.itemsize, bwd=True
+        )
+        if bq:
+            # Row-tiled recompute backward: same f32 math, O(BQ*N) score
+            # memory (attention_tiled.py).
+            _warn_fallback(qkv.shape, bwd=True, tiled=True)
+            return (_tiled_bwd(qkv, g, heads, bq, interpret, layout),)
+        # Terminal fallback: differentiate the einsum formulation. Same
+        # math as the recompute kernels (f32 scores/softmax), so the
+        # gradient agrees within bf16 tolerance even when the forward ran
+        # a kernel.
         _warn_fallback(qkv.shape, bwd=True)
         _, vjp = jax.vjp(
             lambda x: _einsum_packed_attention(x, heads, layout), qkv

@@ -269,6 +269,7 @@ def pipeline_1f1b(
     microbatches: int = 0,
     param_specs: Any = None,
     seq_block_fn: Callable[[Any, jax.Array], jax.Array] | None = None,
+    loss_has_aux: bool = False,
 ) -> tuple[jax.Array, Any, Any, jax.Array]:
     """One-forward-one-backward (1F1B) pipelined loss + gradients.
 
@@ -280,11 +281,20 @@ def pipeline_1f1b(
     computed *inside* the pipeline at the last stage. This engine therefore
     takes the post-trunk computation as `loss_fn` and returns gradients
     directly; the activation stash holds at most 2(S-1)+1 microbatch inputs
-    per stage — O(S), independent of M — so M can grow to shrink the bubble
-    ((S-1)/(M+S-1), same per-phase fraction as GPipe) without growing
+    per stage — O(S), independent of M — so M can grow without growing
     memory. Backward slots recompute the stage forward from the stashed
     input (flash-style, 2x forward FLOPs — the same trade `remat=True`
-    makes on the GPipe path). Bubble accounting: docs/SCALING.md.
+    makes on the GPipe path).
+
+    Cycle accounting (this synchronous lock-step SPMD scan, NOT the classic
+    async-MPMD figure): the scan runs C = M + 2(S-1) cycles, each executing
+    one forward and one (possibly masked) backward slot on every stage, so
+    wall-clock is (M+2S-2)*(tF+tB) and the idle fraction is
+    2(S-1)/(M+2S-2) — about double the textbook (S-1)/(M+S-1), which only
+    an asynchronous MPMD 1F1B achieves. The win over GPipe here is the O(S)
+    activation memory (GPipe autodiff is O(M) per stage), not wall-clock:
+    GPipe's fwd+bwd completes in the equivalent of (M+S-1)*(tF+tB). Grow M
+    (memory-free in this engine) to amortize. Full table: docs/SCALING.md.
 
     Schedule (synchronous SPMD, one scan over C = M + 2(S-1) cycles, all
     inside one shard_map): at cycle c, stage s forwards microbatch c-s and
@@ -320,12 +330,21 @@ def pipeline_1f1b(
             of the per-device batch that is <= 4S.
         seq_block_fn: collective-free block form for the S==1/indivisible
             fallback (as pipeline_spmd).
+        loss_has_aux: when True, loss_fn returns (scalar_loss, aux) where
+            aux is a pytree of float arrays computed per microbatch at the
+            last stage (per-term loss metrics, BatchNorm running-stat
+            updates, ...). The engine returns aux averaged over microbatches
+            (uniform weights) and over the data axis, replicated like the
+            loss. Non-decomposable statistics (e.g. cross-microbatch
+            variance) are approximated by this mean — the same semantics as
+            gradient accumulation.
 
     Returns:
-        (loss, d_stacked, d_loss_params, dx): global mean loss (replicated
-        scalar), trunk grads (laid out like stacked_params/param_specs),
-        loss-side grads (replicated), and the cotangent of x (batch-sharded)
-        for chaining into upstream layers (patch embed).
+        (loss, d_stacked, d_loss_params, dx[, aux]): global mean loss
+        (replicated scalar), trunk grads (laid out like
+        stacked_params/param_specs), loss-side grads (replicated), the
+        cotangent of x (batch-sharded) for chaining into upstream layers
+        (patch embed), and — iff loss_has_aux — the microbatch-averaged aux.
     """
     shape = dict(mesh.shape) if mesh is not None else {}
     S = shape.get(pipe_axis, 1)
@@ -346,6 +365,13 @@ def pipeline_1f1b(
                 )
             return loss_fn(lp, h, targets)
 
+        if loss_has_aux:
+            # Sequential semantics: ONE full-batch loss_fn evaluation (M=1),
+            # so batch statistics inside loss_fn see the whole batch.
+            (loss, aux), (d_p, d_lp, d_x) = jax.value_and_grad(
+                total, argnums=(0, 1, 2), has_aux=True
+            )(stacked_params, loss_params, x)
+            return loss, d_p, d_lp, d_x, aux
         loss, (d_p, d_lp, d_x) = jax.value_and_grad(
             total, argnums=(0, 1, 2)
         )(stacked_params, loss_params, x)
@@ -395,7 +421,16 @@ def pipeline_1f1b(
             return h
 
         def cycle(carry, c):
-            stash, fwd_in, bwd_in, dp_acc, dlp_acc, dx_acc, loss_acc = carry
+            (
+                stash,
+                fwd_in,
+                bwd_in,
+                dp_acc,
+                dlp_acc,
+                dx_acc,
+                loss_acc,
+                aux_acc,
+            ) = carry
             # ---- forward slot: microbatch f = c - stage ----
             f = c - stage
             f_valid = (f >= 0) & (f < M)
@@ -422,7 +457,15 @@ def pipeline_1f1b(
                 lambda a: lax.dynamic_index_in_dim(a, bc, 0, keepdims=False),
                 t_mbs,
             )
-            lval, loss_vjp = jax.vjp(loss_fn, lp, y, t_mb)
+            if loss_has_aux:
+                lval, loss_vjp, aux = jax.vjp(
+                    loss_fn, lp, y, t_mb, has_aux=True
+                )
+            else:
+                lval, loss_vjp, aux = (
+                    *jax.vjp(loss_fn, lp, y, t_mb),
+                    (),
+                )
             # d(device loss)/d(mb loss) = 1/M (device loss = mean over mbs)
             dlp_mb, g_loss, _ = loss_vjp(jnp.asarray(1.0 / M, lval.dtype))
             g_in = jnp.where(stage == S - 1, g_loss, bwd_in)
@@ -437,6 +480,15 @@ def pipeline_1f1b(
                 lambda acc, g: acc + jnp.where(last, g, 0), dlp_acc, dlp_mb
             )
             loss_acc = loss_acc + jnp.where(last, lval / M, 0.0)
+            # aux rides the same mask: at the last stage b == f, so the aux
+            # evaluated on this cycle's forward output y belongs to exactly
+            # the microbatch being counted.
+            aux_acc = jax.tree_util.tree_map(
+                lambda acc, a: acc
+                + jnp.where(last, a.astype(acc.dtype) / M, 0),
+                aux_acc,
+                aux,
+            )
             dx_acc = lax.dynamic_update_index_in_dim(
                 dx_acc,
                 dh,
@@ -451,8 +503,22 @@ def pipeline_1f1b(
                 dlp_acc,
                 dx_acc,
                 loss_acc,
+                aux_acc,
             ), None
 
+        aux_init: Any = ()
+        if loss_has_aux:
+            # Abstract-eval the loss to learn aux's structure/shapes; the
+            # accumulator carries float32 means (aux must be float-typed).
+            aux_struct = jax.eval_shape(
+                loss_fn,
+                lp,
+                mbs[0],
+                jax.tree_util.tree_map(lambda a: a[0], t_mbs),
+            )[1]
+            aux_init = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, jnp.float32), aux_struct
+            )
         init = (
             jnp.zeros((Q + 1, mb, *x_local.shape[1:]), x_local.dtype),
             jnp.zeros_like(mbs[0]),
@@ -467,9 +533,10 @@ def pipeline_1f1b(
             # the activations (bf16 trunks emit bf16 cotangents)
             jnp.zeros((M + 1, mb, *x_local.shape[1:]), x_local.dtype),
             jnp.zeros((), jnp.float32),
+            aux_init,
         )
         carry, _ = lax.scan(cycle, init, jnp.arange(M + 2 * (S - 1)))
-        _, _, _, dp_acc, dlp_acc, dx_acc, loss_acc = carry
+        _, _, _, dp_acc, dlp_acc, dx_acc, loss_acc, aux_acc = carry
         stage = lax.axis_index(pipe_axis)
         # Mean over microbatches is already folded in (1/M cotangent);
         # reduce across the mesh: data axis averages (global batch mean),
@@ -492,13 +559,42 @@ def pipeline_1f1b(
             ),
             pipe_axis,
         ).reshape(x_local.shape) / dp
+        if loss_has_aux:
+            aux_out = jax.tree_util.tree_map(
+                lambda a: lax.pmean(
+                    lax.psum(
+                        jnp.where(stage == S - 1, a, jnp.zeros_like(a)),
+                        pipe_axis,
+                    ),
+                    batch_axis,
+                ),
+                aux_acc,
+            )
+            return loss, dp_acc, dlp_acc, dx, aux_out
         return loss, dp_acc, dlp_acc, dx
 
+    out_specs = (P(), param_specs, lp_specs, x_spec)
+    if loss_has_aux:
+        a_struct = _aux_structure(loss_fn, loss_params, x, targets, dp, M)
+        out_specs = out_specs + (
+            jax.tree_util.tree_map(lambda _: P(), a_struct),
+        )
     fn = jax.shard_map(
         scheduled,
         mesh=mesh,
         in_specs=(x_spec, param_specs, lp_specs, t_specs),
-        out_specs=(P(), param_specs, lp_specs, x_spec),
+        out_specs=out_specs,
         check_vma=False,  # manual collectives + Pallas custom_vjp inside
     )
     return fn(x, stacked_params, loss_params, targets)
+
+
+def _aux_structure(loss_fn, loss_params, x, targets, dp, M):
+    """Abstract aux pytree of a has-aux loss_fn on one microbatch's shapes
+    (for building shard_map out_specs)."""
+    mb = x.shape[0] // dp // M
+    xs = jax.ShapeDtypeStruct((mb, *x.shape[1:]), x.dtype)
+    ts = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct((mb, *a.shape[1:]), a.dtype), targets
+    )
+    return jax.eval_shape(loss_fn, loss_params, xs, ts)[1]

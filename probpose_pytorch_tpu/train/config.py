@@ -144,6 +144,16 @@ class TrainConfig:
     model_parallel: int = 1
     # Pipeline stages for deep trunks (parallel/pipeline.py); 1 = off.
     pipeline_parallel: int = 1
+    # Pipeline schedule when pipeline_parallel > 1:
+    #   "gpipe" — forward pipeline in the model, autodiff backward; O(M)
+    #             activation memory per stage (combine with model.remat).
+    #   "1f1b"  — one-forward-one-backward engine (pipeline_1f1b): the head
+    #             and loss run INSIDE the pipeline at the last stage, O(S)
+    #             activation memory, so microbatches can grow to amortize
+    #             the bubble. Head BatchNorm sees per-microbatch batch
+    #             statistics (grad-accumulation semantics) instead of the
+    #             full per-step batch.
+    pipeline_schedule: str = "gpipe"
     # ZeRO-1-style optimizer-state sharding over the data axis
     # (parallel/sharding.py:opt_state_shardings); dp-only meshes.
     shard_opt_state: bool = False

@@ -36,7 +36,13 @@ from probpose_pytorch_tpu.train.state import (
 )
 from probpose_pytorch_tpu.utils.logging import MetricsLogger
 
-__all__ = ["build_codecs", "make_train_step", "make_eval_step", "Trainer"]
+__all__ = [
+    "build_codecs",
+    "make_train_step",
+    "make_train_step_1f1b",
+    "make_eval_step",
+    "Trainer",
+]
 
 
 def qkv_layout_of(model_cfg) -> str:
@@ -277,6 +283,91 @@ def _load_teacher(cfg: TrainConfig) -> tuple[Any, Any]:
     return teacher_trainer.model, tvars
 
 
+def _augment_encode(
+    cfg: TrainConfig,
+    encode_codec: Codec,
+    base_key: jax.Array,
+    hb_base_key: jax.Array,
+    step: jax.Array,
+    batch: dict[str, Any],
+) -> tuple[jax.Array, dict[str, Any]]:
+    """Shared train-step preamble: frame-mode cropping, augmentation, and
+    on-device target encoding. Returns (images, gt) — identical between the
+    single-program step (make_train_step) and the 1F1B pipelined step."""
+    aug = cfg.augment
+    H, W = cfg.model.img_size
+    if "frame" in batch:
+        from probpose_pytorch_tpu.ops.augment import augment_boxes
+        from probpose_pytorch_tpu.ops.preprocess import (
+            crop_resize,
+            transform_keypoints,
+        )
+
+        boxes = jnp.asarray(batch["box"], jnp.float32)
+        if aug is not None and aug.half_body_prob > 0:
+            from probpose_pytorch_tpu.ops.augment import half_body_boxes
+
+            # Separate root key (seed-derived): the 2*step / 2*step+1
+            # fold_in domains are taken by flip/rot/color and box
+            # jitter, and any arithmetic third domain collides with
+            # one of them at some step.
+            kh = jax.random.fold_in(hb_base_key, step)
+            boxes = half_body_boxes(
+                kh,
+                boxes,
+                jnp.asarray(batch["keypoints"], jnp.float32),
+                jnp.asarray(batch["keypoints_visibility"]),
+                aug,
+                aspect=W / H,
+            )
+        if aug is not None and (aug.scale_jitter or aug.shift_jitter):
+            kb = jax.random.fold_in(base_key, step * 2 + 1)
+            boxes = augment_boxes(kb, boxes, aug)
+        images = crop_resize(
+            batch["frame"], boxes, (H, W), cfg.preprocess_method
+        )
+        batch = dict(
+            batch,
+            keypoints=transform_keypoints(
+                jnp.asarray(batch["keypoints"], jnp.float32),
+                boxes,
+                (H, W),
+            ),
+        )
+    else:
+        images = _prepare_images(batch)
+    if aug is not None and aug.enabled:
+        from probpose_pytorch_tpu.ops.augment import (
+            color_jitter,
+            flip_crops_and_keypoints,
+            rotate_crops_and_keypoints,
+        )
+
+        # fold_in domain 2*step (box jitter above uses 2*step+1): the
+        # two per-step streams must never share a fold_in index or
+        # flip/rot/color draws at step 2t+1 correlate with the box
+        # jitter drawn at step t.
+        key = jax.random.fold_in(base_key, step * 2)
+        k_flip, k_rot, k_color = jax.random.split(key, 3)
+        images, kpts, vis, visibility = flip_crops_and_keypoints(
+            k_flip,
+            images,
+            batch["keypoints"],
+            batch["keypoints_visible"],
+            batch["keypoints_visibility"],
+            aug,
+        )
+        images, kpts = rotate_crops_and_keypoints(k_rot, images, kpts, aug)
+        images = color_jitter(k_color, images, aug)
+        batch = dict(
+            batch,
+            keypoints=kpts,
+            keypoints_visible=vis,
+            keypoints_visibility=visibility,
+        )
+    return images, _encode_targets(encode_codec, batch)
+
+
 def make_train_step(
     model,
     encode_codec: Codec,
@@ -297,84 +388,13 @@ def make_train_step(
     Plus keypoints_visible / keypoints_visibility (B,K) in both modes.
     """
     weights = cfg.loss_weights.as_dict()
-    aug = cfg.augment
     base_key = jax.random.PRNGKey(cfg.seed)
     hb_base_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2**31 - 1)
-    H, W = cfg.model.img_size
 
     def step(state: TrainState, batch: dict[str, Any]):
-        if "frame" in batch:
-            from probpose_pytorch_tpu.ops.augment import augment_boxes
-            from probpose_pytorch_tpu.ops.preprocess import (
-                crop_resize,
-                transform_keypoints,
-            )
-
-            boxes = jnp.asarray(batch["box"], jnp.float32)
-            if aug is not None and aug.half_body_prob > 0:
-                from probpose_pytorch_tpu.ops.augment import half_body_boxes
-
-                # Separate root key (seed-derived): the 2*step / 2*step+1
-                # fold_in domains are taken by flip/rot/color and box
-                # jitter, and any arithmetic third domain collides with
-                # one of them at some step.
-                kh = jax.random.fold_in(hb_base_key, state.step)
-                boxes = half_body_boxes(
-                    kh,
-                    boxes,
-                    jnp.asarray(batch["keypoints"], jnp.float32),
-                    jnp.asarray(batch["keypoints_visibility"]),
-                    aug,
-                    aspect=W / H,
-                )
-            if aug is not None and (aug.scale_jitter or aug.shift_jitter):
-                kb = jax.random.fold_in(base_key, state.step * 2 + 1)
-                boxes = augment_boxes(kb, boxes, aug)
-            images = crop_resize(
-                batch["frame"], boxes, (H, W), cfg.preprocess_method
-            )
-            batch = dict(
-                batch,
-                keypoints=transform_keypoints(
-                    jnp.asarray(batch["keypoints"], jnp.float32),
-                    boxes,
-                    (H, W),
-                ),
-            )
-        else:
-            images = _prepare_images(batch)
-        if aug is not None and aug.enabled:
-            from probpose_pytorch_tpu.ops.augment import (
-                color_jitter,
-                flip_crops_and_keypoints,
-                rotate_crops_and_keypoints,
-            )
-
-            # fold_in domain 2*step (box jitter above uses 2*step+1): the
-            # two per-step streams must never share a fold_in index or
-            # flip/rot/color draws at step 2t+1 correlate with the box
-            # jitter drawn at step t.
-            key = jax.random.fold_in(base_key, state.step * 2)
-            k_flip, k_rot, k_color = jax.random.split(key, 3)
-            images, kpts, vis, visibility = flip_crops_and_keypoints(
-                k_flip,
-                images,
-                batch["keypoints"],
-                batch["keypoints_visible"],
-                batch["keypoints_visibility"],
-                aug,
-            )
-            images, kpts = rotate_crops_and_keypoints(
-                k_rot, images, kpts, aug
-            )
-            images = color_jitter(k_color, images, aug)
-            batch = dict(
-                batch,
-                keypoints=kpts,
-                keypoints_visible=vis,
-                keypoints_visibility=visibility,
-            )
-        gt = _encode_targets(encode_codec, batch)
+        images, gt = _augment_encode(
+            cfg, encode_codec, base_key, hb_base_key, state.step, batch
+        )
 
         def compute_loss(params):
             pred, updates = model.apply(
@@ -432,6 +452,137 @@ def make_train_step(
             grads, tx, ema_decay=cfg.optim.ema_decay
         ).replace(batch_stats=updates["batch_stats"])
         metrics = {"loss": total, **{f"loss/{k}": v for k, v in losses.items()}}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return step
+
+
+def make_train_step_1f1b(
+    model,
+    encode_codec: Codec,
+    loss_fn: ProbPoseLoss,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+    mesh: Mesh,
+) -> Callable:
+    """The flagship train step scheduled through the 1F1B pipeline engine
+    (parallel/pipeline.py:pipeline_1f1b) — TrainConfig.pipeline_schedule
+    '1f1b' on a mesh whose "pipe" axis exceeds 1.
+
+    Structure (vs make_train_step's single model.apply):
+      1. the shared preamble (_augment_encode) runs unchanged;
+      2. patch embed runs as its own jax.vjp'd segment
+         (ViTBackbone segment="embed");
+      3. the trunk blocks + final norm + head + composite loss run inside
+         pipeline_1f1b — the head and ProbPoseLoss are the engine's
+         last-stage `loss_fn`, so backward for microbatch i starts as soon
+         as its loss exists (O(S) activation memory instead of GPipe's
+         O(M) per stage);
+      4. the engine's dx cotangent chains into the embed segment's vjp and
+         the two outer-gradient trees sum (disjoint support);
+      5. the usual optimizer/EMA update applies to the reassembled grads.
+
+    Semantics deltas vs the GPipe path, both inherent to pipelined losses:
+      * head BatchNorm normalizes with per-microbatch batch statistics
+        (running stats update with the microbatch-averaged estimate) —
+        gradient-accumulation semantics;
+      * loss terms whose reduction is not a plain per-example mean (masked
+        OKS means) are averaged per microbatch then across microbatches.
+    Knowledge distillation is not composed with this schedule (the teacher
+    would have to ride every pipeline stage); Trainer.create rejects it.
+    """
+    weights = cfg.loss_weights.as_dict()
+    base_key = jax.random.PRNGKey(cfg.seed)
+    hb_base_key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 2**31 - 1)
+    from probpose_pytorch_tpu.models.vit import ViTConfig, pp_block_fns
+    from probpose_pytorch_tpu.parallel.pipeline import pipeline_1f1b
+
+    vit_kw = ViTConfig.PRESETS[cfg.model.backbone]
+    tp = dict(mesh.shape).get("model", 1)
+    block_fn, seq_block_fn, param_specs = pp_block_fns(
+        num_heads=vit_kw["num_heads"],
+        mlp_ratio=vit_kw["mlp_ratio"],
+        embed_dim=vit_kw["embed_dim"],
+        dtype=cfg.model.dtype,
+        softmax_dtype=jnp.dtype(cfg.model.softmax_dtype),
+        attn_impl=cfg.model.attn_impl,
+        mlp_impl=cfg.model.mlp_impl,
+        exact_gelu=cfg.model.exact_gelu,
+        tp=tp,
+        remat=cfg.model.remat,
+        vjp_boundaries=True,  # tp_enter/tp_leave form for the in-scan vjp
+    )
+
+    def embed_method(m, x):
+        return m.backbone(x, segment="embed")
+
+    def post_trunk_method(m, tokens):
+        feats = m.backbone(tokens, train=True, segment="post_trunk")
+        return m.head(feats, train=True)
+
+    def step(state: TrainState, batch: dict[str, Any]):
+        images, gt = _augment_encode(
+            cfg, encode_codec, base_key, hb_base_key, state.step, batch
+        )
+        stacked = state.params["backbone"]["blocks"]
+        outer = dict(state.params)
+        outer["backbone"] = {
+            k: v for k, v in state.params["backbone"].items() if k != "blocks"
+        }
+
+        def embed_fn(op, img):
+            return model.apply({"params": op}, img, method=embed_method)
+
+        tokens, embed_vjp = jax.vjp(embed_fn, outer, images)
+
+        def pp_loss(lp, h, t_mb):
+            op, bs = lp
+            pred, updates = model.apply(
+                {"params": op, "batch_stats": bs},
+                h,
+                method=post_trunk_method,
+                mutable=["batch_stats"],
+            )
+            losses = loss_fn(
+                t_mb,
+                pred,
+                learn_heatmaps_from_zeros=cfg.learn_heatmaps_from_zeros,
+            )
+            total = sum(losses[k] * w for k, w in weights.items())
+            return total, (losses, updates["batch_stats"])
+
+        loss, d_stacked, d_lp, dx, (losses_avg, new_bs) = pipeline_1f1b(
+            block_fn,
+            stacked,
+            pp_loss,
+            (outer, state.batch_stats),
+            tokens,
+            gt,
+            mesh,
+            model_axis="model" if tp > 1 else None,
+            microbatches=cfg.model.pp_microbatches,
+            param_specs=param_specs,
+            seq_block_fn=seq_block_fn,
+            loss_has_aux=True,
+        )
+        # Outer grads arrive from two disjoint-support trees: the embed
+        # segment's vjp (patch_embed/pos_embed/prefix leaves) and the
+        # engine's loss-side grads (norm/adapter/head leaves); the rest of
+        # each tree is zeros, so the elementwise sum is the full gradient.
+        d_outer_embed, _d_images = embed_vjp(dx)
+        d_outer = jax.tree_util.tree_map(
+            lambda a, b: a + b, d_lp[0], d_outer_embed
+        )
+        grads = dict(d_outer)
+        grads["backbone"] = dict(d_outer["backbone"], blocks=d_stacked)
+        new_state = state.apply_gradients(
+            grads, tx, ema_decay=cfg.optim.ema_decay
+        ).replace(batch_stats=new_bs)
+        metrics = {
+            "loss": loss,
+            **{f"loss/{k}": v for k, v in losses_avg.items()},
+        }
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
@@ -704,12 +855,31 @@ class Trainer:
                         tvars, NamedSharding(mesh, PartitionSpec())
                     ),
                 )
-        train_step = jax.jit(
-            make_train_step(
-                model, encode_codec, loss_fn, tx, cfg, teacher=teacher
-            ),
-            donate_argnums=(0,),
-        )
+        if cfg.pipeline_schedule not in ("gpipe", "1f1b"):
+            raise ValueError(
+                f"unknown pipeline_schedule {cfg.pipeline_schedule!r} "
+                "(expected gpipe | 1f1b)"
+            )
+        if pipe_size > 1 and cfg.pipeline_schedule == "1f1b":
+            if teacher is not None:
+                raise ValueError(
+                    "distillation does not compose with "
+                    "pipeline_schedule='1f1b' (the frozen teacher would "
+                    "have to run on every pipeline stage); use 'gpipe'"
+                )
+            train_step = jax.jit(
+                make_train_step_1f1b(
+                    model, encode_codec, loss_fn, tx, cfg, mesh
+                ),
+                donate_argnums=(0,),
+            )
+        else:
+            train_step = jax.jit(
+                make_train_step(
+                    model, encode_codec, loss_fn, tx, cfg, teacher=teacher
+                ),
+                donate_argnums=(0,),
+            )
         eval_step = jax.jit(make_eval_step(model, encode_codec, loss_fn, cfg))
         return cls(
             cfg=cfg,

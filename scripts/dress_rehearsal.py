@@ -247,7 +247,8 @@ def main() -> None:
     )
     record["calibration"] = {
         branch: {
-            k: round(rep[k], 4)
+            # balanced_acc is None (strict-JSON null) on degenerate labels
+            k: None if rep[k] is None else round(rep[k], 4)
             for k in ("n", "positive_rate", "balanced_acc", "ece", "mce",
                       "brier", "nll", "temperature", "ece_scaled",
                       "nll_scaled")
