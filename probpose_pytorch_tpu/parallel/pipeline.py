@@ -42,12 +42,15 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
 __all__ = [
     "pipeline_spmd",
     "pipeline_1f1b",
+    "pipeline_1f1b_interleaved",
+    "circular_chunk_order",
     "pick_microbatches",
     "tp_enter",
     "tp_leave",
@@ -598,3 +601,351 @@ def _aux_structure(loss_fn, loss_params, x, targets, dp, M):
         lambda a: jax.ShapeDtypeStruct((mb, *a.shape[1:]), a.dtype), targets
     )
     return jax.eval_shape(loss_fn, loss_params, xs, ts)[1]
+
+
+def circular_chunk_order(depth: int, n_stages: int, virtual: int) -> list:
+    """Depth permutation taking LOGICAL block order to the CIRCULAR layout
+    `pipeline_1f1b_interleaved` shards: device s's contiguous depth shard
+    holds its `virtual` chunks [chunk s, chunk S+s, ..., chunk (V-1)S+s]
+    (chunk k = logical blocks [k*L', (k+1)*L'), L' = depth/(S*V)).
+
+    Returns `order` with order[pos] = logical index, i.e.
+    ``circ = tree_map(lambda a: a[np.asarray(order)], logical_stacked)``.
+    Invert with ``np.argsort(order)`` (checkpoints stay logical)."""
+    S, V = n_stages, virtual
+    if depth % (S * V):
+        raise ValueError(
+            f"depth={depth} not divisible by stages*virtual={S * V}"
+        )
+    Lp = depth // (S * V)
+    return [
+        (r * S + s) * Lp + l
+        for s in range(S)
+        for r in range(V)
+        for l in range(Lp)
+    ]
+
+
+def pipeline_1f1b_interleaved(
+    block_fn: Callable[[Any, jax.Array], jax.Array],
+    stacked_params: Any,
+    loss_fn: Callable[[Any, jax.Array, Any], jax.Array],
+    loss_params: Any,
+    x: jax.Array,
+    targets: Any,
+    mesh,
+    *,
+    virtual: int = 2,
+    pipe_axis: str = "pipe",
+    batch_axis: str = "data",
+    model_axis: str | None = None,
+    microbatches: int = 0,
+    param_specs: Any = None,
+    seq_block_fn: Callable[[Any, jax.Array], jax.Array] | None = None,
+    loss_has_aux: bool = False,
+) -> tuple:
+    """Circular-interleaved (virtual-stage) 1F1B: `pipeline_1f1b` with V
+    depth chunks per device, cutting the synchronous schedule's idle
+    fraction for deep trunks (the depth-32 ViT-H user).
+
+    Layout contract: `stacked_params` must be in the CIRCULAR depth order
+    (`circular_chunk_order`) so each device's contiguous shard is its V
+    strided chunks; activations ride the same ring as `pipeline_1f1b`
+    (chunk k sits on device k mod S, so chunk->chunk+1 is always the
+    s->s+1 ICI hop, wrapping from the last device back to device 0 for
+    the next ring pass).
+
+    Schedule (mixed-radix, one scan over MINI-cycles of 1/V stage cost):
+    microbatch m = g*S + j forwards through chunk k = r*S + s at
+    mini-cycle c_f = g*S*V + r*S + s + j — a unique (g, r, j)
+    decomposition of c - s, so every device runs exactly one forward and
+    one backward slot per mini-cycle, fully dense in steady state. Its
+    backward through chunk k runs at c_b = c_f(m, SV-1) + (SV-1-k); at
+    the last chunk c_b == c_f, so the loss vjp seeds its own backward in
+    the same mini-cycle (as in `pipeline_1f1b`).
+
+    Cycle accounting (M a multiple of S): C = M*V + S*V + S - 2
+    mini-cycles at (tF+tB)/V each, vs the plain engine's
+    (M + 2S - 2)*(tF+tB) — e.g. S=4, M=8, V=2: 13.0 vs 14.0 (tF+tB)
+    units, idle 38.5% vs 42.9%. The classic interleaved figure
+    ((S-1)/V-ish bubbles) requires per-device asynchronous F/B slot
+    choice, which a lock-step SPMD scan cannot express (every device
+    executes both slots every cycle, masked or not) — this engine is the
+    best synchronous form: denser steady state, V-times-finer warmup
+    granularity. Memory: the input stash grows to V*(2S+2) microbatch
+    inputs per device (vs 2S-1 plain) — still O(S·V), independent of M.
+    Full table: docs/SCALING.md.
+
+    Args are as `pipeline_1f1b` plus `virtual` (V; 1 reduces to the plain
+    schedule exactly). Returns (loss, d_stacked_circular, d_loss_params,
+    dx[, aux]) — trunk grads in the SAME circular layout as the input.
+    """
+    shape = dict(mesh.shape) if mesh is not None else {}
+    S = shape.get(pipe_axis, 1)
+    V = virtual
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    dp = shape.get(batch_axis, 1)
+    B = x.shape[0]
+
+    if S == 1 or B % dp != 0:
+        # Sequential fallback in LOGICAL order: circular layout position
+        # -> logical block via the permutation's inverse.
+        seq_fn = seq_block_fn or block_fn
+        order = circular_chunk_order(depth, max(S, 1), V) if S > 1 else list(
+            range(depth)
+        )
+        inv = np.argsort(np.asarray(order)) if S > 1 else np.arange(depth)
+
+        def total(p, lp, xin):
+            h = xin
+            for kk in range(depth):
+                h = seq_fn(
+                    jax.tree_util.tree_map(lambda a: a[int(inv[kk])], p), h
+                )
+            return loss_fn(lp, h, targets)
+
+        if loss_has_aux:
+            (loss, aux), (d_p, d_lp, d_x) = jax.value_and_grad(
+                total, argnums=(0, 1, 2), has_aux=True
+            )(stacked_params, loss_params, x)
+            return loss, d_p, d_lp, d_x, aux
+        loss, (d_p, d_lp, d_x) = jax.value_and_grad(
+            total, argnums=(0, 1, 2)
+        )(stacked_params, loss_params, x)
+        return loss, d_p, d_lp, d_x
+
+    if depth % (S * V) != 0:
+        raise ValueError(
+            f"depth={depth} not divisible by stages*virtual={S * V}"
+        )
+    local_b = B // dp
+    if microbatches:
+        M = microbatches
+    else:
+        M = 1
+        for m in range(min(4 * S, local_b), 0, -1):
+            if local_b % m == 0:
+                M = m
+                break
+    if local_b % M != 0:
+        raise ValueError(
+            f"per-device batch {local_b} not divisible by microbatches={M}"
+        )
+
+    x_spec = P(batch_axis)
+    t_specs = jax.tree_util.tree_map(lambda _: P(batch_axis), targets)
+    if param_specs is None:
+        param_specs = jax.tree_util.tree_map(
+            lambda _: P(pipe_axis), stacked_params
+        )
+    lp_specs = jax.tree_util.tree_map(lambda _: P(), loss_params)
+    fperm = [(i, (i + 1) % S) for i in range(S)]
+    bperm = [(i, (i - 1) % S) for i in range(S)]
+    Lp = depth // (S * V)  # blocks per chunk
+    Qv = 2 * S + 2  # stash slots per chunk (max in-flight mbs < 2S+1)
+    SV = S * V
+    # Mini-cycle count: largest backward completion + 1 (chunk 0 of the
+    # last microbatch: c_f(M-1, SV-1) + SV-1).
+    gM, jM = (M - 1) // S, (M - 1) % S
+    C = gM * SV + (V - 1) * S + (S - 1) + jM + (SV - 1) + 1
+
+    def scheduled(x_local, p_local, lp, t_local):
+        stage = lax.axis_index(pipe_axis)
+        mb = x_local.shape[0] // M
+        mbs = x_local.reshape(M, mb, *x_local.shape[1:])
+        t_mbs = jax.tree_util.tree_map(
+            lambda a: a.reshape(M, mb, *a.shape[1:]), t_local
+        )
+
+        def chunk_params(r):
+            # local layout: (V*Lp, ...) = [r, l]; chunk r = rows r*Lp+l
+            return jax.tree_util.tree_map(
+                lambda a: lax.dynamic_slice_in_dim(a, r * Lp, Lp, 0),
+                p_local,
+            )
+
+        def run_chunk(p_chunk, h):
+            for i in range(Lp):
+                h = block_fn(
+                    jax.tree_util.tree_map(lambda a: a[i], p_chunk), h
+                )
+            return h
+
+        aux_init: Any = ()
+        if loss_has_aux:
+            aux_struct = jax.eval_shape(
+                loss_fn,
+                lp,
+                mbs[0],
+                jax.tree_util.tree_map(lambda a: a[0], t_mbs),
+            )[1]
+            aux_init = jax.tree_util.tree_map(
+                lambda s_: jnp.zeros(s_.shape, jnp.float32), aux_struct
+            )
+
+        def cycle(carry, c):
+            (
+                stash,
+                fwd_in,
+                bwd_in,
+                dp_acc,
+                dlp_acc,
+                dx_acc,
+                loss_acc,
+                aux_acc,
+            ) = carry
+            # ---- forward slot: decompose c - stage = g*SV + r*S + j ----
+            cf = c - stage
+            j_f = jnp.mod(cf, S)
+            r_f = jnp.mod(cf // S, V)
+            g_f = cf // SV
+            m_f = g_f * S + j_f
+            f_valid = (cf >= 0) & (m_f >= 0) & (m_f < M)
+            mfc = jnp.clip(m_f, 0, M - 1)
+            # chunk entry: fresh microbatch only at device 0, ring 0
+            h_in = jnp.where(
+                (stage == 0) & (r_f == 0),
+                lax.dynamic_index_in_dim(mbs, mfc, 0, keepdims=False),
+                fwd_in,
+            )
+            # stash[(r, m mod Qv)]; slot V*Qv is the scratch absorber
+            f_slot = jnp.where(
+                f_valid, r_f * Qv + jnp.mod(mfc, Qv), V * Qv
+            )
+            stash = lax.dynamic_update_index_in_dim(stash, h_in, f_slot, 0)
+            p_f = chunk_params(jnp.clip(r_f, 0, V - 1))
+            y = run_chunk(p_f, h_in)
+            # ---- backward slot: j_b = (c+stage+2) mod S; Q = ... -------
+            t_ = c + stage + 2
+            j_b = jnp.mod(t_, S)
+            Q = (t_ - j_b) // S
+            r_b = jnp.mod(-Q, V)
+            g_b = (Q + r_b) // V - 2
+            m_b = g_b * S + j_b
+            b_valid = (g_b >= 0) & (m_b >= 0) & (m_b < M)
+            mbc = jnp.clip(m_b, 0, M - 1)
+            rbc = jnp.clip(r_b, 0, V - 1)
+            t_mb = jax.tree_util.tree_map(
+                lambda a: lax.dynamic_index_in_dim(
+                    a, mbc, 0, keepdims=False
+                ),
+                t_mbs,
+            )
+            if loss_has_aux:
+                lval, loss_vjp, aux = jax.vjp(
+                    loss_fn, lp, y, t_mb, has_aux=True
+                )
+            else:
+                lval, loss_vjp, aux = (*jax.vjp(loss_fn, lp, y, t_mb), ())
+            dlp_mb, g_loss, _ = loss_vjp(jnp.asarray(1.0 / M, lval.dtype))
+            # last chunk (device S-1, ring V-1): loss vjp on the forward
+            # output just produced (same m by construction) seeds its own
+            # backward this mini-cycle.
+            is_last_chunk = (stage == S - 1) & (rbc == V - 1)
+            g_in = jnp.where(is_last_chunk, g_loss, bwd_in)
+            b_slot = rbc * Qv + jnp.mod(mbc, Qv)
+            h_b = lax.dynamic_index_in_dim(stash, b_slot, 0, keepdims=False)
+            p_b = chunk_params(rbc)
+            _, chunk_vjp = jax.vjp(run_chunk, p_b, h_b)
+            dp_mb, dh = chunk_vjp(g_in)
+            # scatter the chunk grads back into the local (V*Lp, ...) rows
+            dp_acc = jax.tree_util.tree_map(
+                lambda acc, g: lax.dynamic_update_slice_in_dim(
+                    acc,
+                    lax.dynamic_slice_in_dim(acc, rbc * Lp, Lp, 0)
+                    + jnp.where(b_valid, g, 0).astype(acc.dtype),
+                    rbc * Lp,
+                    0,
+                ),
+                dp_acc,
+                dp_mb,
+            )
+            last = b_valid & is_last_chunk
+            dlp_acc = jax.tree_util.tree_map(
+                lambda acc, g: acc + jnp.where(last, g, 0), dlp_acc, dlp_mb
+            )
+            loss_acc = loss_acc + jnp.where(last, lval / M, 0.0)
+            aux_acc = jax.tree_util.tree_map(
+                lambda acc, a: acc
+                + jnp.where(last, a.astype(acc.dtype) / M, 0),
+                aux_acc,
+                aux,
+            )
+            dx_acc = lax.dynamic_update_index_in_dim(
+                dx_acc,
+                dh,
+                jnp.where(b_valid & (stage == 0) & (rbc == 0), mbc, M),
+                0,
+            )
+            return (
+                stash,
+                lax.ppermute(y, pipe_axis, fperm),
+                lax.ppermute(dh, pipe_axis, bperm),
+                dp_acc,
+                dlp_acc,
+                dx_acc,
+                loss_acc,
+                aux_acc,
+            ), None
+
+        init = (
+            jnp.zeros(
+                (V * Qv + 1, mb, *x_local.shape[1:]), x_local.dtype
+            ),
+            jnp.zeros_like(mbs[0]),
+            jnp.zeros_like(mbs[0]),
+            jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), p_local
+            ),
+            jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, jnp.float32), lp
+            ),
+            jnp.zeros((M + 1, mb, *x_local.shape[1:]), x_local.dtype),
+            jnp.zeros((), jnp.float32),
+            aux_init,
+        )
+        carry, _ = lax.scan(cycle, init, jnp.arange(C))
+        _, _, _, dp_acc, dlp_acc, dx_acc, loss_acc, aux_acc = carry
+        stage = lax.axis_index(pipe_axis)
+        loss = lax.pmean(
+            lax.psum(jnp.where(stage == S - 1, loss_acc, 0.0), pipe_axis),
+            batch_axis,
+        )
+        dp_acc = jax.tree_util.tree_map(
+            lambda g: lax.pmean(g, batch_axis), dp_acc
+        )
+        dlp_acc = jax.tree_util.tree_map(
+            lambda g: lax.pmean(lax.psum(g, pipe_axis), batch_axis), dlp_acc
+        )
+        dx = lax.psum(
+            jnp.where(stage == 0, dx_acc[:M], jnp.zeros_like(dx_acc[:M])),
+            pipe_axis,
+        ).reshape(x_local.shape) / dp
+        if loss_has_aux:
+            aux_out = jax.tree_util.tree_map(
+                lambda a: lax.pmean(
+                    lax.psum(
+                        jnp.where(stage == S - 1, a, jnp.zeros_like(a)),
+                        pipe_axis,
+                    ),
+                    batch_axis,
+                ),
+                aux_acc,
+            )
+            return loss, dp_acc, dlp_acc, dx, aux_out
+        return loss, dp_acc, dlp_acc, dx
+
+    out_specs = (P(), param_specs, lp_specs, x_spec)
+    if loss_has_aux:
+        a_struct = _aux_structure(loss_fn, loss_params, x, targets, dp, M)
+        out_specs = out_specs + (
+            jax.tree_util.tree_map(lambda _: P(), a_struct),
+        )
+    fn = jax.shard_map(
+        scheduled,
+        mesh=mesh,
+        in_specs=(x_spec, param_specs, lp_specs, t_specs),
+        out_specs=out_specs,
+        check_vma=False,  # manual collectives + Pallas custom_vjp inside
+    )
+    return fn(x, stacked_params, loss_params, targets)

@@ -36,7 +36,8 @@ sys.path.insert(0, str(Path(__file__).parents[1]))  # repo root
 
 def make_config(root: Path, out_dir: Path, quick: bool,
                 head_type: str = "probmap", rotation_deg: float = 0.0,
-                visibility_weight: float = 0.0, epochs: int | None = None):
+                visibility_weight: float = 0.0, epochs: int | None = None,
+                seed: int = 0, cache_dir: str | None = None):
     from probpose_pytorch_tpu.models.model import ModelConfig
     from probpose_pytorch_tpu.ops.augment import AugmentConfig
     from probpose_pytorch_tpu.train.config import (
@@ -100,10 +101,10 @@ def make_config(root: Path, out_dir: Path, quick: bool,
         val_every=200,
         log_every=50,
         checkpoint_every_epochs=5,
-        seed=0,
+        seed=seed,
         data_root=str(root),
         dataset_format="coco",
-        cache_dir=str(out_dir / "cache"),
+        cache_dir=cache_dir or str(out_dir / "cache"),
         num_workers=4,
         out_dir=str(out_dir),
     )
@@ -138,6 +139,13 @@ def main() -> None:
                     "covered only 60%% of theirs)")
     ap.add_argument("--skip-train", action="store_true",
                     help="only run eval phases on an existing checkpoint")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="TrainConfig.seed (init + augmentation + data "
+                    "order); the generated DATASET stays seed-0 so "
+                    "multi-seed A/B arms train on identical data")
+    ap.add_argument("--cache-dir", default=None,
+                    help="crop-cache directory to share across runs of "
+                    "the same dataset/geometry (default: <out>/cache)")
     args = ap.parse_args()
 
     from probpose_pytorch_tpu.data.synth_coco import generate_coco_synth
@@ -181,7 +189,8 @@ def main() -> None:
     cfg = make_config(root, out, args.quick, head_type=args.head_type,
                       rotation_deg=args.rotation_deg,
                       visibility_weight=args.visibility_weight,
-                      epochs=args.epochs)
+                      epochs=args.epochs, seed=args.seed,
+                      cache_dir=args.cache_dir)
     cfg.save(out / "config.json")
 
     from probpose_pytorch_tpu.train.cli import main as train_main
@@ -201,20 +210,21 @@ def main() -> None:
         )
         print(f"[rehearsal] train: {record['train']}", flush=True)
 
-        # ---- 3. resume ----------------------------------------------
-        t0 = time.perf_counter()
-        train_main(
-            [
-                str(out),
-                "--config", str(out / "config.json"),
-                "--max-steps", str(args.resume_steps),
-            ]
-        )
-        record["resume"] = dict(
-            steps=args.resume_steps,
-            seconds=round(time.perf_counter() - t0, 1),
-        )
-        print(f"[rehearsal] resume: {record['resume']}", flush=True)
+        # ---- 3. resume (skipped when --resume-steps <= 0) ------------
+        if args.resume_steps > 0:
+            t0 = time.perf_counter()
+            train_main(
+                [
+                    str(out),
+                    "--config", str(out / "config.json"),
+                    "--max-steps", str(args.resume_steps),
+                ]
+            )
+            record["resume"] = dict(
+                steps=args.resume_steps,
+                seconds=round(time.perf_counter() - t0, 1),
+            )
+            print(f"[rehearsal] resume: {record['resume']}", flush=True)
 
     # ---- 4. eval -----------------------------------------------------
     from probpose_pytorch_tpu.data.coco import (

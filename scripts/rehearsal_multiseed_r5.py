@@ -1,0 +1,209 @@
+#!/usr/bin/env python
+"""Multi-seed statistical hygiene for the shipped A/Bs (round-4 verdict
+item #3): every accuracy conclusion so far rested on single runs inside a
+~2-AP between-run spread. This driver runs 3 seeds per arm on ONE shared
+generated dataset + shared crop cache and reports mean +- spread for:
+
+  * visibility loss weight 0.0 vs 1.0 (probmap head),
+  * probmap vs SimCC head family (the serving-headline gate, item #4),
+  * flip-TTA on vs off (eval-only re-run on the probmap w=0 checkpoints).
+
+Arms differ ONLY in TrainConfig.seed (init + augmentation + data order);
+the dataset and its cache are fixed at generation seed 0. Writes
+docs/rehearsal_multiseed_r5.json with per-seed rows and computed
+conclusions keyed to the measured spread.
+
+Usage:
+    python scripts/rehearsal_multiseed_r5.py [--steps 1200] [--epochs 75]
+        [--seeds 0,1,2] [--base /tmp/probpose_ms]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import statistics
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+ARMS = [
+    # (name, head_type, visibility_weight)
+    ("probmap_w0", "probmap", 0.0),
+    ("probmap_w1", "probmap", 1.0),
+    ("simcc", "simcc", 0.0),
+]
+
+
+def run_arm(name: str, head: str, weight: float, seed: int, args) -> dict:
+    out = Path(args.base) / "runs" / f"{name}_s{seed}"
+    done = out / "rehearsal.json"
+    if done.exists():
+        # completed run from an interrupted sweep: reuse its record
+        rec = json.loads(done.read_text())
+        vis = rec.get("calibration", {}).get("visibility", {})
+        print(f"[multiseed] {name} s{seed}: reusing existing run", flush=True)
+        return {
+            "arm": name, "seed": seed,
+            "AP": rec["eval"]["AP"], "AP50": rec["eval"]["AP50"],
+            "AP75": rec["eval"]["AP75"], "AR": rec["eval"]["AR"],
+            "visibility_balanced_acc": vis.get("balanced_acc"),
+            "visibility_ece": vis.get("ece"),
+            "train_seconds": rec.get("train", {}).get("seconds"),
+            "wall_seconds": None,
+            "out": str(out),
+        }
+    cmd = [
+        sys.executable, "scripts/dress_rehearsal.py",
+        "--root", str(Path(args.base) / "data"),
+        "--out", str(out),
+        "--steps", str(args.steps),
+        "--resume-steps", "0",
+        "--epochs", str(args.epochs),
+        "--head-type", head,
+        "--visibility-weight", str(weight),
+        "--seed", str(seed),
+        "--cache-dir", str(Path(args.base) / "cache"),
+    ]
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, cwd=REPO)
+    if proc.returncode != 0:
+        raise RuntimeError(f"arm {name} seed {seed} failed rc={proc.returncode}")
+    rec = json.loads((out / "rehearsal.json").read_text())
+    vis = rec.get("calibration", {}).get("visibility", {})
+    row = {
+        "arm": name,
+        "seed": seed,
+        "AP": rec["eval"]["AP"],
+        "AP50": rec["eval"]["AP50"],
+        "AP75": rec["eval"]["AP75"],
+        "AR": rec["eval"]["AR"],
+        "visibility_balanced_acc": vis.get("balanced_acc"),
+        "visibility_ece": vis.get("ece"),
+        "train_seconds": rec.get("train", {}).get("seconds"),
+        "wall_seconds": round(time.perf_counter() - t0, 1),
+        "out": str(out),
+    }
+    print(f"[multiseed] {name} s{seed}: AP={row['AP']} "
+          f"({row['wall_seconds']}s)", flush=True)
+    return row
+
+
+def flip_eval(run_dir: str, args) -> float:
+    """Re-evaluate an existing probmap checkpoint with flip-TTA on."""
+    sys.path.insert(0, str(REPO))
+    from probpose_pytorch_tpu.data.coco import COCOPoseDataset
+    from probpose_pytorch_tpu.eval.pipeline import evaluate_topdown
+    from probpose_pytorch_tpu.inference import load_predictor
+
+    out = Path(run_dir)
+    predictor = load_predictor(
+        out / "checkpoints", out / "config.json", ema=True, flip_test=True
+    )
+    root = Path(args.base) / "data"
+    val_ds = COCOPoseDataset(
+        root / "annotations/person_keypoints_val2017.json",
+        root / "val2017",
+        predictor.input_size,
+    )
+    summary = evaluate_topdown(predictor, val_ds, batch_size=128)
+    return round(float(summary["AP"]), 4)
+
+
+def stats(vals):
+    vals = [v for v in vals if v is not None]
+    return {
+        "mean": round(statistics.mean(vals), 4),
+        "spread": round(max(vals) - min(vals), 4),
+        "min": round(min(vals), 4),
+        "max": round(max(vals), 4),
+        "per_seed": [round(v, 4) for v in vals],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1200)
+    ap.add_argument("--epochs", type=int, default=75,
+                    help="sized so steps cover the FULL OneCycle schedule")
+    ap.add_argument("--seeds", default="0,1,2")
+    ap.add_argument("--base", default="/tmp/probpose_ms")
+    ap.add_argument("--out-json",
+                    default=str(REPO / "docs/rehearsal_multiseed_r5.json"))
+    args = ap.parse_args()
+    seeds = [int(s) for s in args.seeds.split(",")]
+
+    rows = []
+    for name, head, weight in ARMS:
+        for seed in seeds:
+            rows.append(run_arm(name, head, weight, seed, args))
+
+    # Flip-TTA: eval-only arm on the trained probmap_w0 checkpoints.
+    flip_rows = []
+    for row in [r for r in rows if r["arm"] == "probmap_w0"]:
+        ap_flip = flip_eval(row["out"], args)
+        flip_rows.append(
+            {"seed": row["seed"], "AP_no_flip": row["AP"],
+             "AP_flip": ap_flip, "delta": round(ap_flip - row["AP"], 4)}
+        )
+        print(f"[multiseed] flip-TTA s{row['seed']}: "
+              f"{row['AP']} -> {ap_flip}", flush=True)
+
+    by_arm = {
+        name: stats([r["AP"] for r in rows if r["arm"] == name])
+        for name, _, _ in ARMS
+    }
+    vis_acc = stats(
+        [r["visibility_balanced_acc"] for r in rows
+         if r["arm"] == "probmap_w1"]
+    )
+    spread = max(a["spread"] for a in by_arm.values())
+    d_vis = round(by_arm["probmap_w1"]["mean"] - by_arm["probmap_w0"]["mean"], 4)
+    d_simcc = round(by_arm["simcc"]["mean"] - by_arm["probmap_w0"]["mean"], 4)
+    d_flip = stats([f["delta"] for f in flip_rows])
+
+    def verdict(delta: float, label: str) -> str:
+        if abs(delta) <= spread:
+            return (f"{label}: mean dAP {delta:+.4f} is within the "
+                    f"max per-arm seed spread ({spread:.4f}) - "
+                    "statistically indistinguishable at 3 seeds")
+        return (f"{label}: mean dAP {delta:+.4f} EXCEEDS the max per-arm "
+                f"seed spread ({spread:.4f}) - treat as a real effect")
+
+    record = {
+        "config": {
+            "steps": args.steps, "epochs": args.epochs, "seeds": seeds,
+            "recipe": "dress_rehearsal flagship (ViT-S 256x192 bf16, "
+                      "fused attention), shared seed-0 dataset + cache",
+        },
+        "rows": [
+            {k: v for k, v in r.items() if k != "out"} for r in rows
+        ],
+        "flip_tta": flip_rows,
+        "AP_by_arm": by_arm,
+        "visibility_balanced_acc_w1": vis_acc,
+        "max_seed_spread": spread,
+        "deltas": {
+            "visibility_1_vs_0": d_vis,
+            "simcc_vs_probmap": d_simcc,
+            "flip_tta": d_flip,
+        },
+        "conclusions": [
+            verdict(d_vis, "visibility weight 1.0 vs 0.0"),
+            verdict(d_simcc, "SimCC vs probmap"),
+            verdict(d_flip["mean"], "flip-TTA"),
+            f"visibility branch balanced accuracy at w=1.0: "
+            f"{vis_acc['mean']} +- {vis_acc['spread']} "
+            "(vs ~0.5 untrained)",
+        ],
+    }
+    Path(args.out_json).write_text(json.dumps(record, indent=1))
+    print(json.dumps(record["conclusions"], indent=1))
+    print(f"[multiseed] wrote {args.out_json}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
