@@ -69,9 +69,28 @@ def run_arm(name: str, head: str, weight: float, seed: int, args) -> dict:
         "--cache-dir", str(Path(args.base) / "cache"),
     ]
     t0 = time.perf_counter()
-    proc = subprocess.run(cmd, cwd=REPO)
-    if proc.returncode != 0:
-        raise RuntimeError(f"arm {name} seed {seed} failed rc={proc.returncode}")
+    for attempt in range(2):
+        # Per-run timeout + one retry from a CLEAN dir: the tunneled TPU
+        # occasionally wedges a run mid-training (futex wait); a resume
+        # would mis-count --max-steps, so wipe and redo.
+        import shutil
+
+        if out.exists():
+            shutil.rmtree(out)
+        # settle delay: the tunneled TPU wedges a fresh client that
+        # connects while the previous process is still tearing down
+        time.sleep(45)
+        try:
+            proc = subprocess.run(cmd, cwd=REPO, timeout=3600)
+            if proc.returncode == 0:
+                break
+            print(f"[multiseed] {name} s{seed} attempt {attempt} "
+                  f"rc={proc.returncode}", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[multiseed] {name} s{seed} attempt {attempt} timed out",
+                  flush=True)
+    else:
+        raise RuntimeError(f"arm {name} seed {seed} failed twice")
     rec = json.loads((out / "rehearsal.json").read_text())
     vis = rec.get("calibration", {}).get("visibility", {})
     row = {
@@ -191,6 +210,18 @@ def main() -> None:
             "simcc_vs_probmap": d_simcc,
             "flip_tta": d_flip,
         },
+        "power_note": (
+            None
+            if spread <= 0.05
+            else (
+                f"max per-arm seed spread {spread:.3f} AP at "
+                f"{args.steps}-step runs: seed noise DOMINATES every "
+                "measured delta, so 'within spread' verdicts are "
+                "low-power (absence of evidence, not evidence of "
+                "absence). Longer runs (>=2400 steps) or more seeds "
+                "are needed to resolve effects smaller than the spread."
+            )
+        ),
         "conclusions": [
             verdict(d_vis, "visibility weight 1.0 vs 0.0"),
             verdict(d_simcc, "SimCC vs probmap"),

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Run the on-chip test lane and write the committed artifact.
 
-    python scripts/run_tpu_suite.py [--out docs/tpu_suite_r4.json]
+    python scripts/run_tpu_suite.py [--out docs/tpu_suite_r5.json]
 
 Invokes ``PROBPOSE_TPU_TESTS=1 pytest -m tpu tests/test_tpu_lane.py`` in a
 fresh interpreter (the env var must be set before jax initializes — see
@@ -28,7 +28,7 @@ REPO = Path(__file__).resolve().parents[1]
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=str(REPO / "docs" / "tpu_suite_r4.json"))
+    ap.add_argument("--out", default=str(REPO / "docs" / "tpu_suite_r5.json"))
     args = ap.parse_args()
 
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:

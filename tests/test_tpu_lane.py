@@ -461,3 +461,206 @@ class TestServingOnChip:
                 out["scores"][i], two["scores"], atol=1e-3
             )
         record("fused_two_stage", max_kpt_drift_px=max_kpt_drift)
+
+
+class TestTiledAttentionOnChip:
+    """Compiled row-tiled attention (ops/pallas/attention_tiled.py) at the
+    768^2-frame-trunk geometry (N=2304, ViT-S width) — the family that
+    previously fell back to HBM-materialized einsum. Records parity drift
+    AND wall time vs the einsum formulation (round-4 verdict missing #3 /
+    task 8 evidence)."""
+
+    def _ref(self, qkv, heads):
+        import jax
+        import jax.numpy as jnp
+
+        B, N, C3 = qkv.shape
+        C = C3 // 3
+        d = C // heads
+        q, k, v = jnp.moveaxis(qkv.reshape(B, N, 3, heads, d), 2, 0)
+        a = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(d)
+        a = jax.nn.softmax(a, -1).astype(qkv.dtype)
+        return jnp.einsum("bhnm,bmhd->bnhd", a, v).reshape(B, N, C)
+
+    def _time(self, fn, *args, repeats=20):
+        import jax
+
+        jax.block_until_ready(fn(*args))  # compile
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / repeats
+
+    def test_forward_parity_and_speed(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.ops.pallas import tiled_attention
+
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(rng.normal(size=(4, 2304, 1152)), jnp.bfloat16)
+        ker = jax.jit(lambda x: tiled_attention(x, 6))
+        ref = jax.jit(lambda x: self._ref(x, 6))
+        drift = float(
+            np.abs(
+                np.asarray(ker(qkv), np.float32)
+                - np.asarray(ref(qkv), np.float32)
+            ).max()
+        )
+        t_ker = self._time(ker, qkv)
+        t_ref = self._time(ref, qkv)
+        record(
+            "tiled_attention_fwd",
+            max_abs_drift=drift,
+            ms_tiled=round(t_ker * 1e3, 3),
+            ms_einsum=round(t_ref * 1e3, 3),
+            speedup=round(t_ref / t_ker, 2),
+            geometry="B4 N2304 C384 bf16",
+        )
+        assert drift < 3e-2, drift
+
+    def test_backward_parity_and_speed(self):
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.ops.pallas import tiled_attention
+
+        rng = np.random.default_rng(1)
+        qkv = jnp.asarray(rng.normal(size=(2, 2304, 1152)), jnp.bfloat16)
+        t = jnp.asarray(rng.normal(size=(2, 2304, 384)), jnp.bfloat16)
+
+        def loss_k(x):
+            import jax.numpy as jnp
+
+            return jnp.sum(
+                tiled_attention(x, 6).astype(jnp.float32)
+                * t.astype(jnp.float32)
+            )
+
+        def loss_r(x):
+            import jax.numpy as jnp
+
+            return jnp.sum(
+                self._ref(x, 6).astype(jnp.float32)
+                * t.astype(jnp.float32)
+            )
+
+        import jax
+
+        gk = jax.jit(jax.grad(loss_k))
+        gr = jax.jit(jax.grad(loss_r))
+        drift = float(
+            np.abs(
+                np.asarray(gk(qkv), np.float32)
+                - np.asarray(gr(qkv), np.float32)
+            ).max()
+        )
+        scale = float(np.abs(np.asarray(gr(qkv), np.float32)).max())
+        t_ker = self._time(gk, qkv, repeats=10)
+        t_ref = self._time(gr, qkv, repeats=10)
+        record(
+            "tiled_attention_bwd",
+            max_abs_drift=drift,
+            ref_scale=scale,
+            ms_tiled=round(t_ker * 1e3, 3),
+            ms_einsum=round(t_ref * 1e3, 3),
+            speedup=round(t_ref / t_ker, 2),
+        )
+        assert drift < 0.05 * max(scale, 1.0), (drift, scale)
+
+    def test_dispatch_picks_tiled_on_chip(self):
+        """packed_attention's auto-dispatch at the frame geometry compiles
+        and matches einsum on hardware (kernel -> tiled -> einsum chain)."""
+        import jax
+        import jax.numpy as jnp
+
+        from probpose_pytorch_tpu.ops.pallas import packed_attention
+
+        rng = np.random.default_rng(2)
+        qkv = jnp.asarray(rng.normal(size=(1, 2304, 1152)), jnp.bfloat16)
+        out = np.asarray(
+            jax.jit(lambda x: packed_attention(x, 6))(qkv), np.float32
+        )
+        ref = np.asarray(
+            jax.jit(lambda x: self._ref(x, 6))(qkv), np.float32
+        )
+        drift = float(np.abs(out - ref).max())
+        record("tiled_dispatch_fwd", max_abs_drift=drift)
+        assert drift < 3e-2, drift
+
+
+class Test1F1BStepOnChip:
+    def test_1f1b_train_step_compiles_single_chip(self, tmp_path):
+        """The 1F1B trainer step compiled on real hardware. One chip means
+        the engine takes its S==1 sequential path, but the FULL
+        make_train_step_1f1b structure runs compiled: embed-segment vjp
+        chaining, in-engine head + composite loss with aux (loss terms +
+        BN stat updates), grad reassembly, optimizer/EMA update."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh
+
+        from probpose_pytorch_tpu.data import (
+            SyntheticPoseDataset,
+            batch_iterator,
+        )
+        from probpose_pytorch_tpu.models.model import ModelConfig
+        from probpose_pytorch_tpu.models.vit import ViTConfig
+        from probpose_pytorch_tpu.train import TrainConfig, Trainer
+        from probpose_pytorch_tpu.train.loop import make_train_step_1f1b
+
+        ViTConfig.PRESETS.setdefault(
+            "vit-tpu-lane",
+            dict(embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0),
+        )
+        cfg = TrainConfig(
+            model=ModelConfig(
+                img_size=(64, 48),
+                num_keypoints=5,
+                backbone="vit-tpu-lane",
+                compute_dtype="bfloat16",
+                deconv_out_channels=(16, 16),
+                deconv_kernel_sizes=(4, 4),
+                pool_sizes=((2, 2), (2, 2)),
+                normalize=1.0,
+                pp_stages=2,  # stacked trunk layout for the engine
+                pp_microbatches=2,
+            ),
+            train_batch_size=8,
+            out_dir=str(tmp_path),
+        )
+        mesh = Mesh(
+            np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+            ("data", "model", "pipe"),
+        )
+        trainer = Trainer.create(cfg, steps_per_epoch=4, mesh=mesh)
+        step = jax.jit(
+            make_train_step_1f1b(
+                trainer.model, trainer.encode_codec, trainer.loss_fn,
+                trainer.tx, trainer.cfg, mesh,
+            ),
+            donate_argnums=(0,),
+        )
+        ds = SyntheticPoseDataset(8, cfg.model.img_size, 5)
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(batch_iterator(ds, 8, num_workers=1))
+            ).items()
+        }
+        t0 = time.perf_counter()
+        new_state, metrics = step(trainer.state, batch)
+        jax.block_until_ready(new_state.params)
+        loss = float(metrics["loss"])
+        gn = float(metrics["grad_norm"])
+        record(
+            "train_step_1f1b_compiled",
+            loss=loss,
+            grad_norm=gn,
+            first_step_seconds=round(time.perf_counter() - t0, 1),
+        )
+        assert np.isfinite(loss) and np.isfinite(gn)
+        assert int(new_state.step) == 1
