@@ -228,7 +228,12 @@ def main() -> None:
             gate = json.load(f)
         d_ap = float(gate["deltas"]["simcc_vs_probmap"])
         spread = float(gate["max_seed_spread"])
-        if abs(d_ap) <= spread or d_ap > 0:
+        n_simcc = len(gate["AP_by_arm"]["simcc"]["per_seed"])
+        # Practical-parity bound, NOT spread-relative: with large seed
+        # spread, "within spread" is low-power (see the artifact's
+        # power_note) and would promote on noise. Require the measured
+        # mean deficit to be small in absolute terms and >= 2 seeds.
+        if d_ap > -0.02 and n_simcc >= 2:
             sys.path.insert(0, os.path.join(repo, "scripts"))
             from bench_simcc import _rate as _simcc_rate
 
@@ -252,8 +257,11 @@ def main() -> None:
             )
         else:
             extra["simcc_gate"] = (
-                f"NOT promoted: 3-seed dAP {d_ap:+.4f} exceeds max seed "
-                f"spread {spread:.4f} (docs/rehearsal_multiseed_r5.json)"
+                f"NOT promoted: dAP {d_ap:+.4f} (simcc seeds: {n_simcc}) "
+                f"fails the practical-parity bound (-0.02) — headline "
+                f"stays the probmap reference-parity family "
+                f"(docs/rehearsal_multiseed_r5.json, max seed spread "
+                f"{spread:.4f})"
             )
     except FileNotFoundError:
         pass

@@ -124,15 +124,36 @@ def main() -> None:
                 f"seed spread ({spread:.4f}) - treat as a real effect")
 
     conclusions = [
-        verdict(d if isinstance(d, float) else d["mean"], label)
+        verdict(d, label)
         for label, d in (
             ("visibility weight 1.0 vs 0.0",
              deltas.get("visibility_1_vs_0")),
             ("SimCC vs probmap", deltas.get("simcc_vs_probmap")),
-            ("flip-TTA", deltas.get("flip_tta")),
         )
         if d is not None
     ]
+    if deltas.get("flip_tta"):
+        # flip-TTA is PAIRED (same checkpoint, eval-only), so its own
+        # per-seed deltas — not the between-run arm spread — are the
+        # yardstick: same-sign deltas across seeds are a real effect even
+        # when tiny relative to seed noise.
+        ft = deltas["flip_tta"]
+        same_sign = all(d < 0 for d in ft["per_seed"]) or all(
+            d > 0 for d in ft["per_seed"]
+        )
+        if same_sign:
+            conclusions.append(
+                f"flip-TTA (paired per-seed): dAP "
+                f"{ft['per_seed']} - consistently "
+                f"{'negative' if ft['mean'] < 0 else 'positive'} across "
+                f"seeds (mean {ft['mean']:+.4f}); a real "
+                f"{'cost' if ft['mean'] < 0 else 'gain'} at this recipe"
+            )
+        else:
+            conclusions.append(
+                f"flip-TTA (paired per-seed): dAP {ft['per_seed']} - "
+                f"mixed sign, mean {ft['mean']:+.4f}; no consistent effect"
+            )
     if vis_acc:
         conclusions.append(
             f"visibility branch balanced accuracy at w=1.0: "
